@@ -1,0 +1,98 @@
+"""CDC apply: decode + last-writer-wins merge.
+
+Reference parity: this is the Spark re-expression of the reference's
+whole sink path — per-table micro-batch buffering
+(outputs/starrocks/starrocks.go:64-104), ordered apply via run-splitting
+(outputs/mysql/mysql.go:172-202 ``splitMsgs``), bulk upsert
+(outputs/mysql/mysql_utils.go:45-88) and bulk delete
+(outputs/mysql/mysql_utils.go:114-134).  Instead of splitting a batch
+into consecutive delete/upsert runs and replaying them in order, we
+reduce each batch to its LAST event per primary key (``max_by(event,
+seq)``) and apply once — order-safe and one aggregation instead of N
+statements (SURVEY §2.A A27 mapping).
+
+Scale notes:
+- ``latest_by_key`` uses ``groupBy(pk).agg(max_by(...))`` rather than a
+  window ``row_number``: partial (map-side) aggregation means the
+  shuffle carries at most one row per key per input partition, vs the
+  window's full-data shuffle + sort.  At 100 TB of events this is the
+  difference between shuffling |keys| and shuffling |events|.
+- The merge with the existing target is a full-outer-style union-reduce
+  keyed on pk.  On a real deployment the target would be a Delta/Iceberg
+  table with ``MERGE INTO`` (file-skipping on pk ranges); the parquet
+  implementation here rewrites the table, which is the correct
+  semantics and the honest local stand-in.
+- Idempotence (at-least-once replay, reference position semantics
+  inputs/mysql/mysql_position.go:150-170): re-applying any suffix of the
+  stream is a no-op because max-seq wins and seq is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from qin_cdc_spark.cdc.envelope import OP_DELETE
+
+
+def decode_envelope(env: DataFrame, schema: StructType, *, db: str, table: str) -> DataFrame:
+    """Route + decode: filter one table's events out of the envelope
+    stream and parse ``data`` into typed columns (A2-A4/A7 analog).
+
+    The filter on (db, table) is the router predicate (A17/A18,
+    metas/routers.go:34-75) — Catalyst pushes it down before the JSON
+    parse, so only the routed table's rows pay the parse cost.
+    """
+    return (
+        env.filter((F.col("db") == db) & (F.col("table") == table))
+        .withColumn("_row", F.from_json(F.col("data"), schema))
+        .select("op", "seq", "_row.*")
+    )
+
+
+def latest_by_key(df: DataFrame, keys: list[str], *, seq_col: str = "seq") -> DataFrame:
+    """Reduce an event set to the latest event per primary key.
+
+    max_by over a struct keeps the whole row of the winning event; ties
+    on seq cannot happen for a well-formed stream (seq is the total
+    order), matching the reference's binlog-order guarantee.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(seq_col)).alias("_last"),
+        F.max(seq_col).alias("_max_seq"),
+    )
+    return agg.select(*keys, "_last.*").drop("_max_seq")
+
+
+def apply_changes(
+    target: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Last-writer-wins merge of a change batch into a target snapshot.
+
+    Semantics (SURVEY §2.A delivery invariants 1-4):
+    - last event per key wins (binlog order via seq);
+    - a last event of ``delete`` tombstones the row;
+    - update/insert/replace all apply the full new image (the reference
+      applies updates as full-row upserts, outputs/mysql/mysql_utils.go:45-88);
+    - replaying any suffix is idempotent.
+    """
+    value_cols = [c for c in changes.columns if c not in {op_col, seq_col, *keys}]
+    if target is not None:
+        # Existing rows act as op=insert at seq=-1 (anything in the
+        # change stream beats them; absent keys survive unchanged).
+        base = target.select(
+            F.lit("insert").alias(op_col),
+            F.lit(-1).cast("long").alias(seq_col),
+            *[F.col(c) for c in keys],
+            *[F.col(c) for c in value_cols],
+        )
+        changes = base.unionByName(changes.select(base.columns))
+    last = latest_by_key(changes, keys, seq_col=seq_col)
+    return last.filter(F.col(op_col) != OP_DELETE).select(*keys, *value_cols)

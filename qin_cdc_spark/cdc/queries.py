@@ -1,0 +1,148 @@
+"""CDC correctness-gate queries: envelope round-trip + LWW apply.
+
+Each query exercises the full reference data path (SURVEY §3.2): typed
+change rows → JSON envelope (core.Msg analog) → route filter → JSON
+decode → transform chain → last-writer-wins apply.  The DuckDB oracle
+reproduces the same deterministic stream and materializes it with the
+window idiom from FIXTURES.md §5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qin_cdc_spark.cdc.apply import apply_changes, decode_envelope, latest_by_key
+from qin_cdc_spark.cdc.changestream import (
+    LINEITEM_STREAM_SQL,
+    ORDERS_STREAM_SQL,
+    lineitem_change_stream,
+    orders_change_stream,
+)
+from qin_cdc_spark.cdc.envelope import envelope_from_typed
+from qin_cdc_spark.operators.transforms import DeleteColumnTransform, RenameColumnTransform, TransformChain
+from qin_cdc_spark.sources.tables import load_table
+
+
+def _orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes = orders_change_stream(spark, sf_dir)
+    return envelope_from_typed(changes, db="src", table="orders")
+
+
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full path: envelope → decode → LWW apply → final orders snapshot."""
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    return apply_changes(None, decoded, ["o_orderkey"])
+
+
+CDC_APPLY_ORDERS_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def cdc_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once invariant (SURVEY §2.A invariant 4): applying the
+    snapshot, then REPLAYING the entire stream on top of it, must be a
+    fixed point — the oracle is the same final snapshot."""
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    first = apply_changes(None, decoded, ["o_orderkey"])
+    return apply_changes(first, decoded, ["o_orderkey"])
+
+
+def cdc_apply_lineitem_multipk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-primary-key apply (l_orderkey, l_linenumber) — the
+    reference's multi-PK path (outputs/mysql/mysql_utils.go:90-112,
+    implemented correctly per SURVEY §4.3.2)."""
+    changes = lineitem_change_stream(spark, sf_dir)
+    env = envelope_from_typed(changes, db="src", table="lineitem")
+    schema = load_table(spark, sf_dir, "lineitem").schema
+    decoded = decode_envelope(env, schema, db="src", table="lineitem")
+    return apply_changes(None, decoded, ["l_orderkey", "l_linenumber"])
+
+
+CDC_APPLY_LINEITEM_ORACLE = f"""
+WITH {LINEITEM_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                               ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def cdc_last_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-reduction operator itself (A27 analog): last op+seq per
+    key, deletes included — what foreachBatch applies per micro-batch."""
+    from pyspark.sql import functions as F
+
+    changes = orders_change_stream(spark, sf_dir).select("op", "seq", "o_orderkey")
+    return latest_by_key(changes, ["o_orderkey"], seq_col="seq").select(
+        "o_orderkey", "op", F.col("seq").alias("last_seq")
+    )
+
+
+CDC_LAST_EVENT_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL}
+SELECT o_orderkey, op, seq AS last_seq
+FROM (SELECT o_orderkey, op, seq,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM ev)
+WHERE rn = 1
+"""
+
+
+def cdc_transform_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform chain on a routed stream (A14-A16): rename
+    c_mktsegment→segment, drop c_acctbal, then apply.  Transforms run
+    BEFORE apply, mirroring the reference's transform-then-sink order
+    (SURVEY §2.A invariant 5)."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    changes = cust.select(
+        F.lit("insert").alias("op"), F.col("c_custkey").alias("seq"), *cust.columns
+    )
+    env = envelope_from_typed(changes, db="src", table="customer")
+    decoded = decode_envelope(env, cust.schema, db="src", table="customer")
+    chain = TransformChain(
+        [
+            RenameColumnTransform("src", "customer", ("c_mktsegment",), ("segment",)),
+            DeleteColumnTransform("src", "customer", ("c_acctbal",)),
+        ]
+    )
+    transformed = chain.apply("src", "customer", decoded)
+    return apply_changes(None, transformed, ["c_custkey"])
+
+
+CDC_TRANSFORM_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment AS segment FROM customer
+"""
+
+
+QUERIES = {
+    "cdc_apply_orders": cdc_apply_orders,
+    "cdc_replay_idempotent": cdc_replay_idempotent,
+    "cdc_apply_lineitem_multipk": cdc_apply_lineitem_multipk,
+    "cdc_last_event_per_key": cdc_last_event_per_key,
+    "cdc_transform_rename_drop": cdc_transform_rename_drop,
+}
+
+ORACLES = {
+    "cdc_apply_orders": CDC_APPLY_ORDERS_ORACLE,
+    "cdc_replay_idempotent": CDC_APPLY_ORDERS_ORACLE,
+    "cdc_apply_lineitem_multipk": CDC_APPLY_LINEITEM_ORACLE,
+    "cdc_last_event_per_key": CDC_LAST_EVENT_ORACLE,
+    "cdc_transform_rename_drop": CDC_TRANSFORM_ORACLE,
+}

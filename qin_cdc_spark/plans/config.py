@@ -1,0 +1,115 @@
+"""TOML pipeline config — accepts the reference's exact config schema.
+
+Reference parity: config/config.go:10-31, config/plugin_config.go:3-48,
+sample configs docs/*.toml and README.md:37-99.  Sections:
+
+- ``name``                          pipeline name (unique)
+- ``[input]``   type + config       source plugin (mysql in reference)
+- ``[[transforms]]`` type + config  ordered transform chain (A14-A16)
+- ``[output]``  type + config       sink plugin + ``[[…routers]]`` with
+                                     optional ``columns-mapper`` (A18/A19)
+
+Notes kept from the survey: ``parallel-workers`` appears in the
+reference's samples but is never read by its code (BASELINE.md) — we
+accept and ignore it the same way.  Column mapping preserves declared
+order (the reference's ``MapMapperOrder`` fix for Go map-iteration
+nondeterminism, core/meta.go:80-103 / SURVEY §4.3.1).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+
+from qin_cdc_spark.operators.transforms import TransformChain, build_transform
+
+
+@dataclass(frozen=True)
+class Router:
+    """source schema.table → target schema.table (+ ordered column map).
+
+    Reference: metas/routers.go:10-25; mapping built in core/meta.go:38-104
+    (same-name auto-map when source-columns is empty).
+    """
+
+    source_schema: str
+    source_table: str
+    target_schema: str
+    target_table: str
+    source_columns: tuple[str, ...] = ()
+    target_columns: tuple[str, ...] = ()
+
+    @property
+    def key(self) -> str:
+        # GenerateMapRouterKey analog (metas/routers.go:70-75)
+        return f"{self.source_schema}:{self.source_table}"
+
+    def column_mapping(self, available: list[str]) -> list[tuple[str, str]]:
+        """Ordered (source, target) pairs; empty config = identity map
+        over the available columns (core/meta.go:43-55)."""
+        if not self.source_columns:
+            return [(c, c) for c in available]
+        return list(zip(self.source_columns, self.target_columns))
+
+
+@dataclass
+class PipelineConfig:
+    name: str
+    input_type: str
+    input_config: dict
+    output_type: str
+    output_config: dict
+    transforms: TransformChain
+    routers: list[Router] = field(default_factory=list)
+
+    def router_for(self, db: str, table: str) -> Router | None:
+        for r in self.routers:
+            if r.source_schema == db and r.source_table == table:
+                return r
+        return None
+
+
+def parse_config(text: str) -> PipelineConfig:
+    raw = tomllib.loads(text)
+    name = raw.get("name", "")
+    inp = raw.get("input", {})
+    out = raw.get("output", {})
+
+    chain = TransformChain(
+        [build_transform(t["type"], t.get("config", {})) for t in raw.get("transforms", [])]
+    )
+
+    routers = []
+    for r in out.get("config", {}).get("routers", []):
+        mapper = r.get("columns-mapper", {})
+        src_cols = tuple(mapper.get("source-columns", []) or [])
+        tgt_cols = tuple(mapper.get("target-columns", []) or [])
+        if len(src_cols) != len(tgt_cols):
+            raise ValueError(
+                f"router {r.get('source-table')}: columns-mapper source/target length mismatch"
+            )
+        routers.append(
+            Router(
+                source_schema=r["source-schema"],
+                source_table=r["source-table"],
+                target_schema=r.get("target-schema", r["source-schema"]),
+                target_table=r.get("target-table", r["source-table"]),
+                source_columns=src_cols,
+                target_columns=tgt_cols,
+            )
+        )
+
+    return PipelineConfig(
+        name=name,
+        input_type=inp.get("type", ""),
+        input_config=inp.get("config", {}),
+        output_type=out.get("type", ""),
+        output_config=out.get("config", {}),
+        transforms=chain,
+        routers=routers,
+    )
+
+
+def load_config(path: str) -> PipelineConfig:
+    with open(path, "rb") as f:
+        return parse_config(f.read().decode("utf-8"))

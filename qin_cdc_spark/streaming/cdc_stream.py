@@ -1,0 +1,184 @@
+"""Structured Streaming CDC apply — the reference's full pipeline, live.
+
+Reference parity (SURVEY §3.2): binlog tail → channel → transforms →
+micro-batch buffer → per-table apply → position checkpoint maps to
+``readStream`` → Catalyst plan → trigger micro-batch → ``foreachBatch``
+LWW merge → Spark checkpoint (offsets+commits).  The reference's
+batch-size / batch-interval-ms knobs (outputs/*/…_utils.go defaults
+10240 rows / 3000 ms) map to ``maxFilesPerTrigger``-style source rate
+limits and ``trigger(processingTime=…)``.
+
+Delivery semantics: Spark's checkpoint gives exactly-once offsets per
+batch; the merge itself is idempotent under replay (max-seq wins), so
+at-least-once re-delivery after a crash — the reference's model,
+inputs/mysql/mysql_position.go:150-170 — converges to the same state.
+
+Sink note: locally the target is a parquet directory swapped atomically
+per batch (read-merge-rewrite).  On a production deployment the target
+is a Delta/Iceberg table and the body of ``_merge_batch`` becomes a
+``MERGE INTO`` — file-skipping on pk statistics replaces the rewrite, so
+per-batch cost scales with touched files, not table size.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from qin_cdc_spark.cdc.apply import decode_envelope, latest_by_key
+
+
+class ParquetUpsertTable:
+    """A primary-keyed table materialized as a parquet directory with
+    atomic swap-on-write — the local stand-in for a MERGE-capable sink.
+
+    Cross-batch ordering guard (SURVEY §7 "hard parts"): the table
+    persists ``_seq`` (the max applied event seq per key) and keeps
+    deletes as ``_deleted`` tombstones instead of physically dropping
+    them.  Without this, at-least-once redelivery or out-of-order
+    micro-batches resurrect rows: a delete applied in batch N would be
+    forgotten, and the same key's older insert redelivered in batch N+1
+    would win against a target that no longer remembers seq N.  With the
+    guard, merge is a pure max-seq LWW over (stored ∪ incoming) and is
+    idempotent and order-insensitive across batches.  Tombstones are
+    GC-able once the source can no longer redeliver below their seq
+    (the reference's 3-second position-lag window,
+    inputs/mysql/mysql_position.go:150-170)."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame | None:
+        """Visible rows (tombstones and bookkeeping columns hidden)."""
+        full = self.read_internal()
+        if full is None:
+            return None
+        return full.filter(~F.col("_deleted")).drop("_seq", "_deleted")
+
+    def read_internal(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq") -> None:
+        """LWW-merge a (op, seq, *cols) change batch into the table."""
+        incoming = changes.select(
+            *self.keys,
+            *[c for c in changes.columns if c not in {op_col, seq_col, *self.keys}],
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == "delete").alias("_deleted"),
+        )
+        current = self.read_internal()
+        union = incoming if current is None else current.unionByName(incoming)
+        merged = latest_by_key(union, self.keys, seq_col="_seq")
+        self._swap_write(merged)
+
+    def gc_tombstones(self, min_live_seq: int) -> None:
+        """Drop tombstones no longer reachable by redelivery (their seq
+        is below the source's committed low-water mark)."""
+        full = self.read_internal()
+        if full is None:
+            return
+        self._swap_write(full.filter(~(F.col("_deleted") & (F.col("_seq") < min_live_seq))))
+
+    def _swap_write(self, df: DataFrame) -> None:
+        stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(stage)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if self.exists():
+            os.rename(self.path, old)
+        os.rename(stage, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
+class CdcStreamRoute:
+    """One route (db.table → target) of a streaming CDC pipeline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        db: str,
+        table: str,
+        schema: StructType,
+        keys: list[str],
+        target_path: str,
+        transform=None,
+    ):
+        self.spark = spark
+        self.db = db
+        self.table = table
+        self.schema = schema
+        self.keys = keys
+        self.target = None  # lazily bound so transform can change columns
+        self.target_path = target_path
+        self.transform = transform
+
+    def apply_batch(self, env_batch: DataFrame) -> None:
+        decoded = decode_envelope(env_batch, self.schema, db=self.db, table=self.table)
+        if self.transform is not None:
+            decoded = self.transform(decoded)
+        # Reduce the batch to its last event per key BEFORE the merge —
+        # the A27 run-splitting analog; keeps the merge input at
+        # ≤|keys in batch| rows regardless of batch size.
+        reduced = latest_by_key(decoded, self.keys)
+        if self.target is None:
+            self.target = ParquetUpsertTable(self.spark, self.target_path, self.keys)
+        self.target.merge(reduced)
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    envelope_stream: DataFrame,
+    routes: list[CdcStreamRoute],
+    *,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+):
+    """Start the streaming apply: one foreachBatch fanning out to every
+    route (per-table grouping, A21 analog — each route filters its own
+    (db, table) slice of the batch)."""
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_ckpt_")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for route in routes:
+                route.apply_batch(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        envelope_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def file_envelope_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a directory of envelope parquet files — the test
+    stand-in for a binlog/Kafka source.  maxFilesPerTrigger is the
+    batch-size rate-limit analog (reference `batch-size`, A20)."""
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)

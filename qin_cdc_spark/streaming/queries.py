@@ -1,0 +1,175 @@
+"""Streaming-operator queries, batch-checkable (SURVEY §2.B streaming row).
+
+``window()`` / ``session_window()`` evaluate identically on static
+DataFrames, so the correctness gate runs them in batch against a DuckDB
+oracle; tests/test_streaming.py runs the same operators through a real
+``readStream`` and asserts equal results.  Watermark late-drop semantics
+are expressed explicitly (running-max event-time over arrival order) so
+DuckDB can mirror them.
+
+Scale notes: streaming aggs shuffle on (window, key) — state-store size
+is |windows × keys|, bounded by the watermark horizon.  The batch forms
+below have the same shuffle profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qin_cdc_spark.sources.tables import load_table
+
+
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window agg per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EV_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "avg_value")
+    )
+
+
+EV_SLIDING_ORACLE = """
+WITH slid AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800) * 1000000)
+           AS win_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+  WHERE epoch(ts) - (CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800 < 3600
+)
+SELECT win_start, count(*) AS n_events, avg(value) AS avg_value
+FROM slid GROUP BY win_start
+"""
+
+
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Gaps-and-islands mirror: new session when the gap >= 10 minutes
+# (Spark extends a session while ts < last_ts + gap).
+EV_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 10 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS sess_start,
+       max(ts) + INTERVAL 10 MINUTE AS sess_end,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+def ev_dedup_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup analog: first event per (user_id, event_type) in
+    event-time order (deterministic tie-break on event_id).  In a live
+    stream this is ``dropDuplicates`` with watermark; batch form uses
+    min_by so partial aggregation keeps the shuffle at |keys|."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min_by(F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")).alias("_f")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("_f.event_id").alias("first_event_id"),
+        F.col("_f.ts").alias("first_ts"),
+        F.col("_f.value").alias("first_value"),
+    )
+
+
+EV_DEDUP_ORACLE = """
+SELECT user_id, event_type,
+       event_id AS first_event_id, ts AS first_ts, value AS first_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def ev_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics made explicit: arrival order = event_id, the
+    watermark is (running max event-time − 10 min), and an event is late
+    iff its event time is below the watermark at arrival.  This is the
+    deterministic per-row form of ``withWatermark('ts','10 minutes')``
+    late-data dropping; tests compare it with a real stream run."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        ev.withColumn("wm", F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTES"))
+        .filter(F.col("wm").isNull() | (F.col("ts") >= F.col("wm")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+EV_WATERMARK_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT *, max(ts) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            - INTERVAL 10 MINUTE AS wm
+  FROM events
+)
+WHERE wm IS NULL OR ts >= wm
+"""
+
+
+QUERIES = {
+    "ev_tumbling_window": ev_tumbling_window,
+    "ev_sliding_window": ev_sliding_window,
+    "ev_session_window": ev_session_window,
+    "ev_dedup_first_by_key": ev_dedup_first_by_key,
+    "ev_watermark_late_drop": ev_watermark_late_drop,
+}
+
+ORACLES = {
+    "ev_tumbling_window": EV_TUMBLING_ORACLE,
+    "ev_sliding_window": EV_SLIDING_ORACLE,
+    "ev_session_window": EV_SESSION_ORACLE,
+    "ev_dedup_first_by_key": EV_DEDUP_ORACLE,
+    "ev_watermark_late_drop": EV_WATERMARK_ORACLE,
+}
