@@ -1,0 +1,138 @@
+"""Multimodal column plumbing (north star, SURVEY §2.C): opaque binary
+payloads + typed metadata structs, decoded via Arrow-batched
+``mapInPandas``.
+
+The container has no image/audio libraries, so the DECODE KERNEL is
+swappable: ``fake_decode_batch`` is a deterministic arithmetic stand-in
+(so the whole path is oracle-checkable), and ``real_decode_batch`` is
+the clearly-marked stub that a deployment replaces with PIL/ffmpeg.
+Everything around the kernel — binary column handling, metadata
+structs, Arrow batch shape, partition sizing — is real and is what
+matters at 100 TB:
+
+- payloads stay in executor memory as Arrow binary arrays; Python sees
+  zero-copy pandas Series of bytes, batch-at-a-time
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory);
+- the decode is a narrow map — no shuffle; partition count follows the
+  input, so 100 TB of images is just more partitions;
+- metadata lives in a struct column next to the payload (one scan
+  serves both filter-on-metadata and decode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from qin_cdc_spark.sources.tables import load_table
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize an image-like binary column from documents.text (the
+    fixtures carry no real media): payload = utf-8 bytes, plus a typed
+    metadata struct — the storage layout a real multimodal table uses."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.col("n_chars").cast("int").alias("declared_size"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("first_byte", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decode kernel: derives "image dimensions"
+    arithmetically from the payload so the DuckDB oracle can verify the
+    full mapInPandas path (schema, batching, binary transfer)."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "width": (64 + n_bytes % 512).astype("int32"),
+                "height": (64 + (n_bytes * 7 + first) % 512).astype("int32"),
+                "first_byte": first.astype("int32"),
+                "format": pdf["media_meta"].map(lambda m: m["format"]),
+            }
+        )
+
+
+def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real image decode kernel — requires PIL, which this container
+    does not ship.  Plug-in point for deployments."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode needs Pillow; use fake_decode_batch in this environment"
+        ) from e
+    raise NotImplementedError("wire PIL decode here")  # pragma: no cover
+
+
+def decode_media(df: DataFrame, kernel=fake_decode_batch) -> DataFrame:
+    """Run a decode kernel over (doc_id, payload, media_meta) with
+    mapInPandas — Arrow-batched, shuffle-free."""
+    return df.mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: full multimodal path — synthesize payloads, decode
+    via mapInPandas, join decoded features back to metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_payload(docs)
+    decoded = decode_media(media)
+    return decoded.join(
+        media.select("doc_id", F.col("media_meta.declared_size").alias("declared_size")),
+        "doc_id",
+    ).select("doc_id", "n_bytes", "width", "height", "first_byte", "format", "declared_size")
+
+
+# length(text)==n_bytes only if text is pure ASCII; use octet arithmetic
+# via encode in the oracle to stay exact for multi-byte (zh) docs.
+MM_DECODE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         octet_length(encode(text)) AS nb,
+         CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INTEGER) AS fb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nb AS INTEGER) AS n_bytes,
+       CAST(64 + nb % 512 AS INTEGER) AS width,
+       CAST(64 + (nb * 7 + fb) % 512 AS INTEGER) AS height,
+       CAST(fb AS INTEGER) AS first_byte,
+       'fake/raw' AS format,
+       CAST(n_chars AS INTEGER) AS declared_size
+FROM b
+"""
+
+
+QUERIES = {"mm_decode_meta": mm_decode_meta}
+ORACLES = {"mm_decode_meta": MM_DECODE_ORACLE}

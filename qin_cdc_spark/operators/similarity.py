@@ -1,0 +1,368 @@
+"""Similarity & near-dup operators (north star, SURVEY §2.C): MinHash
+LSH, SimHash, exact cosine top-k, and sign-LSH bucketed ANN.
+
+Scale architecture (the point of these implementations):
+- Signatures (MinHash / SimHash / sign-LSH bits) are ROW-LOCAL array
+  expressions — an embarrassingly parallel map with zero shuffle.
+- Candidate generation shuffles only on short band keys; bucket sizes
+  are bounded by construction, so the pair join is |bucket|² not |n|².
+- Verification (exact Jaccard / hamming / cosine) runs only on
+  candidates.  This is the standard LSH+verify contract: identical
+  output to brute force whenever the bands catch the pair, at a
+  fraction of the comparisons.
+All hash arithmetic is md5-based and mirrored literally in the DuckDB
+oracles, so even the probabilistic structures are hash-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from qin_cdc_spark.functions.text import (
+    MERSENNE31,
+    lsh_band_keys,
+    minhash_signature,
+    perm_params_sql,
+    simhash60,
+    word_shingles,
+    words,
+)
+from qin_cdc_spark.functions.vectors import cosine, hyperplanes, signature_bits
+from qin_cdc_spark.operators.llm_text import HASH60_SQL, SHINGLES_SQL, WORDS_SQL
+from qin_cdc_spark.sources.tables import load_table
+
+N_MINHASH = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16×4 banding + exact-Jaccard verification ≥ 0.5.
+
+    Per-doc signature is row-local; the only shuffles are the band-key
+    self-join and the shingle-intersection verify join on candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    # Materialize the signature behind a persist() barrier: without it
+    # CollapseProject inlines the 64-hash MinHash expression into every
+    # element_at of every band key (64× duplication) on both sides of
+    # the self-join — a ~100× slowdown observed at sf0.01.
+    sig = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        "shingles",
+        minhash_signature(F.col("shingles"), N_MINHASH).alias("sig"),
+    ).persist()
+    banded = sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias("band"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify on candidates only
+    ex = sig.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def _minhash_oracle() -> str:
+    params = "[" + ", ".join(f"[{a}, {b}]" for a, b in perm_params_sql(N_MINHASH)) + "]"
+    band_elems = ", ".join(
+        "array_to_string([CAST(b AS VARCHAR)"
+        + "".join(f", CAST(sig[b*{ROWS_PER_BAND}+{r+1}] AS VARCHAR)" for r in range(ROWS_PER_BAND))
+        + "], ',')"
+        for _ in range(1)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL.format(w=WORDS_SQL)} AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id, len(shingles) AS n_sh, shingles,
+         list_transform({params}, p ->
+           list_min(list_transform(shingles, s ->
+             (p[1] * ({HASH60_SQL.format(x='s')} % {MERSENNE31}) + p[2]) % {MERSENNE31}))
+         ) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, unnest(list_transform(range(0, {N_BANDS}), b -> {band_elems})) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+),
+ex AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sig),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard_r
+FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup: 4×15-bit chunk banding, exact hamming ≤ 6
+    verification via bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persist: same CollapseProject-duplication hazard as MinHash — the
+    # 60-bit aggregate would otherwise be recomputed per chunk per side.
+    sig = docs.select("doc_id", simhash60(words(F.col("text"))).alias("sim")).persist()
+    chunks = sig.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(c)),
+                        F.shiftright(F.col("sim"), 15 * c).bitwiseAND(F.lit(32767)).cast("string"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), "chunk")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SIMHASH_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 60), j ->
+           CASE WHEN list_sum(list_transform(
+                  list_distinct({WORDS_SQL}), t ->
+                    CASE WHEN ({HASH60_SQL.format(x='t')} >> j) & 1 = 1
+                         THEN 1 ELSE -1 END)) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS sim
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, sim,
+         unnest(list_transform(range(0, 4), c ->
+           concat(CAST(c AS VARCHAR), ':', CAST((sim >> (15*c)) & 32767 AS VARCHAR))))
+           AS chunk
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  x.sim AS sim_a, y.sim AS sim_b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
+"""
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (query set: vec_id % 10 = 0).
+
+    The query side is broadcast — at 100 TB the corpus side streams
+    through executors once, each computing cosines against the
+    in-memory query block (classic brute-force ANN baseline).  Ranking
+    uses cosine rounded to 9dp with vec_id tie-break so float
+    summation-order can never flip the result set.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 9).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "cand_id", "cos_r", "rn")
+    )
+
+
+_COS_SQL = (
+    _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    + " / (sqrt(" + _DOT_SQL.format(a="q.embedding", b="q.embedding") + ")"
+    + " * sqrt(" + _DOT_SQL.format(a="c.embedding", b="c.embedding") + "))"
+)
+
+SIM_COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round({_COS_SQL}, 9) AS cos_r
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_r, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_r DESC, cand_id ASC) AS INTEGER) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+N_PLANES = 16
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: 16 deterministic hyperplanes → 4 bands of
+    4 bits; candidates share any band; exact cosine re-rank, top-5.
+
+    Output = top-5 by exact cosine among LSH candidates — identical in
+    both engines because the plane matrix is a shared md5-derived
+    literal.  Recall vs brute force is measured in tests.
+    """
+    planes = hyperplanes(N_PLANES, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", signature_bits(F.col("embedding"), planes).alias("bits")
+    )
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(band)),
+                        *[F.element_at(F.col("bits"), band * 4 + r + 1).cast("string") for r in range(4)],
+                    )
+                    for band in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    q = banded.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "band"
+    )
+    cand = (
+        banded.join(broadcast(q), "band")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("vec_id").alias("cand_id"), "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 9).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cos_r", "rn")
+    )
+
+
+def _ann_oracle() -> str:
+    planes = hyperplanes(N_PLANES, 64)
+    plane_lits = "[" + ", ".join(
+        "[" + ", ".join(f"{w}.0" for w in row) + "]" for row in planes
+    ) + "]"
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         list_transform({plane_lits}, pl ->
+           CASE WHEN {_DOT_SQL.format(a="embedding", b="pl")} > 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, embedding,
+         unnest(list_transform(range(0, 4), b ->
+           concat(CAST(b AS VARCHAR), ':',
+                  CAST(bits[b*4+1] AS VARCHAR), ':', CAST(bits[b*4+2] AS VARCHAR), ':',
+                  CAST(bits[b*4+3] AS VARCHAR), ':', CAST(bits[b*4+4] AS VARCHAR)))) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_emb,
+                  c.vec_id AS cand_id, c.embedding AS embedding
+  FROM banded q JOIN banded c ON q.band = c.band AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 10 = 0
+),
+scored AS (
+  SELECT query_id, cand_id,
+         round({_DOT_SQL.format(a="q_emb", b="embedding")}
+           / (sqrt({_DOT_SQL.format(a="q_emb", b="q_emb")})
+              * sqrt({_DOT_SQL.format(a="embedding", b="embedding")})), 9) AS cos_r
+  FROM cand
+)
+SELECT query_id, cand_id, cos_r, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_r DESC, cand_id ASC) AS INTEGER) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+QUERIES = {
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+}
+
+ORACLES = {
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": SIMHASH_ORACLE,
+    "sim_cosine_topk": SIM_COSINE_TOPK_ORACLE,
+    "sim_ann_lsh": _ann_oracle(),
+}
