@@ -69,15 +69,22 @@ def perm_params_sql(n: int) -> list[tuple[int, int]]:
     return [_perm_params(i) for i in range(n)]
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """MinHash signature as array<bigint>, fully row-local.
+def shingle_hashes(shingles: Column) -> Column:
+    """hash60 % M of each shingle — materialize this ONCE (own projection
+    + persist) before fanning out to the permutation family: inlining it
+    into each of the 64 array_mins re-runs every md5 64×."""
+    return F.transform(shingles, lambda s: hash60(s) % MERSENNE31)
 
-    For each permutation i: min over shingles of
-    (a_i * (hash60(s) % M) + b_i) % M, with M = 2^31-1 so the product
-    stays under 2^62 (no int64 overflow — DuckDB would error, Java would
-    silently wrap; staying exact keeps both engines identical).
+
+def minhash_from_hashes(hashed: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature as array<bigint> from precomputed shingle
+    hashes, fully row-local.
+
+    For each permutation i: min over hashes of (a_i * h + b_i) % M,
+    with M = 2^31-1 so the product stays under 2^62 (no int64 overflow —
+    DuckDB would error, Java would silently wrap; staying exact keeps
+    both engines identical).
     """
-    hashed = F.transform(shingles, lambda s: hash60(s) % MERSENNE31)
     params = perm_params_sql(n_hashes)
 
     def _perm(a: int, b: int):
@@ -87,6 +94,12 @@ def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     return F.array(
         *[F.array_min(F.transform(hashed, _perm(a, b))) for a, b in params]
     )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """Convenience form; prefer shingle_hashes + minhash_from_hashes with
+    a materialization barrier between them (see dedup_minhash_lsh)."""
+    return minhash_from_hashes(shingle_hashes(shingles), n_hashes)
 
 
 def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
@@ -108,14 +121,18 @@ def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column
     )
 
 
-def simhash60(tokens: Column) -> Column:
-    """60-bit SimHash over distinct tokens, row-local.
+def token_hashes(tokens: Column) -> Column:
+    """hash60 of each distinct token — materialize once before
+    simhash_from_hashes (same 60× md5-recompute hazard as MinHash)."""
+    return F.transform(F.array_distinct(tokens), lambda t: hash60(t))
+
+
+def simhash_from_hashes(hashed: Column) -> Column:
+    """60-bit SimHash from precomputed token hashes, row-local.
 
     bit j of the result = 1 iff sum over tokens of (+1 if bit j of
-    hash60(token) else -1) > 0.  Computed as a transform over bit
-    positions with an inner aggregate over tokens.
+    hash60(token) else -1) > 0.
     """
-    hashed = F.transform(F.array_distinct(tokens), lambda t: hash60(t))
 
     def _bit_sum(j: int) -> Column:
         # bit positions are plan-time constants (shiftright needs an int)
@@ -133,6 +150,12 @@ def simhash60(tokens: Column) -> Column:
         ]
     )
     return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash60(tokens: Column) -> Column:
+    """Convenience form; prefer token_hashes + simhash_from_hashes with
+    a materialization barrier between them."""
+    return simhash_from_hashes(token_hashes(tokens))
 
 
 # Language-marker word lists for the n-gram/stopword language heuristic.

@@ -206,7 +206,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles appearing in >p% of docs — they only create candidate
     noise), which is a cheap pre-count.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))

@@ -23,9 +23,11 @@ from pyspark.sql.functions import broadcast
 from qin_cdc_spark.functions.text import (
     MERSENNE31,
     lsh_band_keys,
-    minhash_signature,
+    minhash_from_hashes,
     perm_params_sql,
-    simhash60,
+    shingle_hashes,
+    simhash_from_hashes,
+    token_hashes,
     word_shingles,
     words,
 )
@@ -44,17 +46,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc signature is row-local; the only shuffles are the band-key
     self-join and the shingle-intersection verify join on candidates.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
-    # Materialize the signature behind a persist() barrier: without it
-    # CollapseProject inlines the 64-hash MinHash expression into every
-    # element_at of every band key (64× duplication) on both sides of
-    # the self-join — a ~100× slowdown observed at sf0.01.
-    sig = sh.select(
+    # repartition: the fixture is one parquet file → one input split; the
+    # signature map is CPU-bound, so spread it over every core (at 100 TB
+    # the input is already many splits and this is a no-op knob).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Two materialization barriers (persist):
+    # 1. shingle hashes — otherwise each of the 64 array_mins re-runs
+    #    every md5 (64× recompute);
+    # 2. the signature — otherwise CollapseProject inlines the whole
+    #    MinHash expression into every band key on both sides of the
+    #    self-join (~100× slowdown observed at sf0.01).
+    hashed = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    ).select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
         "shingles",
-        minhash_signature(F.col("shingles"), N_MINHASH).alias("sig"),
+        shingle_hashes(F.col("shingles")).alias("hashed"),
+    ).persist()
+    sig = hashed.select(
+        "doc_id",
+        "n_sh",
+        "shingles",
+        minhash_from_hashes(F.col("hashed"), N_MINHASH).alias("sig"),
     ).persist()
     banded = sig.select(
         "doc_id",
@@ -136,10 +152,13 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup: 4×15-bit chunk banding, exact hamming ≤ 6
     verification via bit_count(xor)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # persist: same CollapseProject-duplication hazard as MinHash — the
-    # 60-bit aggregate would otherwise be recomputed per chunk per side.
-    sig = docs.select("doc_id", simhash60(words(F.col("text"))).alias("sim")).persist()
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # persist twice: token hashes (60× md5-recompute hazard) and the
+    # final simhash (CollapseProject would duplicate it per chunk/side).
+    hashed = docs.select("doc_id", token_hashes(words(F.col("text"))).alias("th")).persist()
+    sig = hashed.select("doc_id", simhash_from_hashes(F.col("th")).alias("sim")).persist()
     chunks = sig.select(
         "doc_id",
         "sim",
@@ -220,7 +239,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses cosine rounded to 9dp with vec_id tie-break so float
     summation-order can never flip the result set.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     q = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -270,7 +291,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal.  Recall vs brute force is measured in tests.
     """
     planes = hyperplanes(N_PLANES, 64)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = emb.select(
         "vec_id", "embedding", signature_bits(F.col("embedding"), planes).alias("bits")
     )
