@@ -280,15 +280,23 @@ SELECT query_id, cand_id, cos_r, rn FROM (
 """
 
 N_PLANES = 16
+ANN_BANDS = 8
+ANN_ROWS = 2
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN: 16 deterministic hyperplanes → 4 bands of
-    4 bits; candidates share any band; exact cosine re-rank, top-5.
+    """Sign-LSH bucketed ANN: 16 deterministic hyperplanes → 8 bands of
+    2 bits; candidates share any band; exact cosine re-rank, top-5.
 
-    Output = top-5 by exact cosine among LSH candidates — identical in
-    both engines because the plane matrix is a shared md5-derived
-    literal.  Recall vs brute force is measured in tests.
+    Band/row geometry trades recall against candidate volume and must
+    match the corpus similarity distribution: the synthetic uniform
+    fixture is the worst case (true neighbors sit near cos≈0.5, so
+    per-bit agreement is only ~0.6 — 8×2 gives ~0.97 theoretical recall
+    there; clustered real embeddings support narrower bands with far
+    fewer candidates).  Output = top-5 by exact cosine among LSH
+    candidates — identical in both engines because the plane matrix is
+    a shared md5-derived literal.  Recall vs brute force is measured in
+    tests.
     """
     planes = hyperplanes(N_PLANES, 64)
     emb = load_table(spark, sf_dir, "embeddings").repartition(
@@ -306,9 +314,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(
                         ":",
                         F.lit(str(band)),
-                        *[F.element_at(F.col("bits"), band * 4 + r + 1).cast("string") for r in range(4)],
+                        *[
+                            F.element_at(F.col("bits"), band * ANN_ROWS + r + 1).cast("string")
+                            for r in range(ANN_ROWS)
+                        ],
                     )
-                    for band in range(4)
+                    for band in range(ANN_BANDS)
                 ]
             )
         ).alias("band"),
@@ -340,6 +351,9 @@ def _ann_oracle() -> str:
     plane_lits = "[" + ", ".join(
         "[" + ", ".join(f"{w}.0" for w in row) + "]" for row in planes
     ) + "]"
+    band_bits = "".join(
+        f", ':', CAST(bits[b*{ANN_ROWS}+{r+1}] AS VARCHAR)" for r in range(ANN_ROWS)
+    )
     return f"""
 WITH sig AS (
   SELECT vec_id, embedding,
@@ -349,10 +363,8 @@ WITH sig AS (
 ),
 banded AS (
   SELECT vec_id, embedding,
-         unnest(list_transform(range(0, 4), b ->
-           concat(CAST(b AS VARCHAR), ':',
-                  CAST(bits[b*4+1] AS VARCHAR), ':', CAST(bits[b*4+2] AS VARCHAR), ':',
-                  CAST(bits[b*4+3] AS VARCHAR), ':', CAST(bits[b*4+4] AS VARCHAR)))) AS band
+         unnest(list_transform(range(0, {ANN_BANDS}), b ->
+           concat(CAST(b AS VARCHAR){band_bits}))) AS band
   FROM sig
 ),
 cand AS (

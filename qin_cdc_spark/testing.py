@@ -1,0 +1,68 @@
+"""Canonicalization + oracle-compare helpers shared by the t2 harness
+(tools/check_correctness.py) and the pytest suite."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+from qin_cdc_spark.sources.tables import TABLES
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, Decimal):
+        return canon_value(float(v))
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows) -> tuple[int, str]:
+    """(row_count, order-insensitive sha256) with columns sorted by name."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon_value(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(lines), h
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def assert_matches_oracle(df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -> None:
+    """Assert a Spark DataFrame equals a DuckDB query under canon-hash."""
+    spark_cols = df.columns
+    spark_rows = df.collect()
+    cur = con.execute(oracle_sql)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"columns differ: {sorted(spark_cols)} vs {sorted(duck_cols)}"
+    )
+    sc, sh = canon_rows(spark_cols, spark_rows)
+    dc, dh = canon_rows(duck_cols, duck_rows)
+    assert sc == dc, f"row counts differ: spark={sc} duckdb={dc}"
+    assert sh == dh, f"value hash mismatch over {sc} rows"

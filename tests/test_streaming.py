@@ -1,0 +1,268 @@
+"""Real Structured Streaming tests: the same operators the gate checks
+in batch form, driven through readStream, plus the CDC stream apply
+under out-of-order delivery and replay."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from qin_cdc_spark.cdc.changestream import orders_change_stream
+from qin_cdc_spark.cdc.envelope import envelope_from_typed
+from qin_cdc_spark.sources.tables import load_table
+from qin_cdc_spark.streaming.cdc_stream import (
+    CdcStreamRoute,
+    file_envelope_stream,
+    start_cdc_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """events table as a 4-file directory for file-source streaming."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_agg_equals_batch(spark, events_stream_dir):
+    """readStream windowed agg == identical batch agg."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    # complete mode, no watermark: files arrive in arbitrary order, so an
+    # event-time watermark would misclassify rows as late; complete mode
+    # emits the full state, which must equal the batch aggregation exactly
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    got = _run_stream_to_memory(spark, agg, "tumbling_test", "complete").select(
+        F.col("window.start").alias("ws"), "event_type", "n", "sv"
+    )
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "sv")
+    )
+    assert got.subtract(exp).count() == 0
+    assert exp.subtract(got).count() == 0
+
+
+def test_streaming_dedup_by_key(spark, events_stream_dir):
+    """dropDuplicates on the unique event_id passes every row exactly
+    once, across micro-batches (stateful streaming dedup)."""
+    ev_schema = load_table(spark, SF_SMOKE, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    # duplicate the stream by unioning it with itself, then dedup.
+    # No watermark: dedup state must span the whole (unordered) replay —
+    # a watermark would evict keys and drop genuinely-new "late" events.
+    doubled = stream.union(stream)
+    dedup = doubled.dropDuplicates(["event_id"])
+    got = _run_stream_to_memory(spark, dedup, "dedup_test", "append")
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
+
+
+def test_watermark_bounds_state(spark, tmp_path):
+    """Watermark contract (empirically verified): dropping of too-late
+    rows is BEST-EFFORT (Spark may still aggregate a straggler arriving
+    after the watermark — the guarantee is only that data within the
+    delay is never dropped), but aggregation STATE older than the
+    watermark is evicted, which is what bounds memory at scale.  Assert
+    the guaranteed parts: state eviction and on-time completeness."""
+    import time as _time
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = str(tmp_path / "late_stream")
+    on_time = ev.filter(F.col("ts") >= F.expr("timestamp '2024-01-10 00:00:00'"))
+    straggler = (
+        ev.filter(F.col("ts") < F.expr("timestamp '2024-01-02 00:00:00'")).limit(5)
+    )
+    on_time.coalesce(1).write.parquet(d)
+    _time.sleep(1.1)  # file-source orders by modification time
+    straggler.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    # update mode: complete mode ignores watermarks entirely (state is
+    # never evicted), so eviction is only observable in update/append
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = q.recentProgress
+    got = spark.table("wm_state_test")
+
+    # guaranteed: every on-time row is aggregated (nothing within the
+    # delay was dropped); update mode re-emits, so take max per window
+    on_time_windows = got.filter(
+        F.col("window.start") >= F.expr("timestamp '2024-01-02 00:00:00'")
+    )
+    w = on_time_windows.groupBy("window").agg(F.max("n").alias("n"))
+    assert w.agg(F.sum("n")).collect()[0][0] == on_time.count()
+
+    # guaranteed: state older than the watermark is evicted — after the
+    # final batch only the tail window(s) newer than the watermark may
+    # remain in the state store
+    final_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    n_windows = got.select("window").distinct().count()
+    assert final_state_rows < n_windows, (
+        f"state not evicted: {final_state_rows} rows vs {n_windows} windows"
+    )
+
+
+def _orders_oracle_counts(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    n = orders.count()
+    n_del = orders.filter((F.col("o_orderkey") % 10).isin(7, 9)).count()
+    return n - n_del
+
+
+@pytest.mark.parametrize("shuffle_files", [False, True])
+def test_cdc_stream_apply(spark, tmp_path, shuffle_files):
+    """Streaming LWW apply: in-order and OUT-OF-ORDER micro-batches must
+    both converge to the oracle state (seq guard + tombstones)."""
+    env = envelope_from_typed(
+        orders_change_stream(spark, SF_SMOKE), db="src", table="orders"
+    )
+    env_dir = str(tmp_path / "envelope")
+    if shuffle_files:
+        env.repartition(3).write.parquet(env_dir)  # random event placement
+    else:
+        env.repartition(3, (F.col("seq") / 2000).cast("int")).write.parquet(env_dir)
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="orders",
+        schema=load_table(spark, SF_SMOKE, "orders").schema,
+        keys=["o_orderkey"],
+        target_path=str(tmp_path / "orders_tbl"),
+    )
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    expected = _orders_oracle_counts(spark)
+    assert route.target.read().count() == expected
+
+    # full redelivery from a fresh checkpoint: idempotent
+    q2 = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert route.target.read().count() == expected
+
+    # tombstone GC keeps visible rows intact
+    route.target.gc_tombstones(10**15)
+    assert route.target.read().count() == expected
+    assert route.target.read_internal().count() == expected
+
+
+def test_cdc_stream_transform_route(spark, tmp_path):
+    """Route with a transform chain: rename applies before the sink
+    (SURVEY §2.A invariant 5)."""
+    from qin_cdc_spark.operators.transforms import RenameColumnTransform, TransformChain
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    changes = cust.select(
+        F.lit("insert").alias("op"), F.col("c_custkey").alias("seq"), *cust.columns
+    )
+    env = envelope_from_typed(changes, db="src", table="customer")
+    env_dir = str(tmp_path / "env")
+    env.write.parquet(env_dir)
+    chain = TransformChain(
+        [RenameColumnTransform("src", "customer", ("c_mktsegment",), ("segment",))]
+    )
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="customer",
+        schema=cust.schema,
+        keys=["c_custkey"],
+        target_path=str(tmp_path / "cust_tbl"),
+        transform=lambda df: chain.apply("src", "customer", df),
+    )
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    out = route.target.read()
+    assert "segment" in out.columns and "c_mktsegment" not in out.columns
+    assert out.count() == cust.count()
+
+
+def test_checkpoint_no_reprocess(spark, tmp_path):
+    """Restarting with the SAME checkpoint does not re-apply old batches
+    (Spark offset log = the reference's position store, A31)."""
+    env = envelope_from_typed(
+        orders_change_stream(spark, SF_SMOKE), db="src", table="orders"
+    )
+    env_dir = str(tmp_path / "env")
+    env.repartition(2).write.parquet(env_dir)
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="orders",
+        schema=load_table(spark, SF_SMOKE, "orders").schema,
+        keys=["o_orderkey"],
+        target_path=str(tmp_path / "tbl"),
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = start_cdc_stream(spark, file_envelope_stream(spark, env_dir), [route], checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+    mtime = max(
+        os.path.getmtime(os.path.join(route.target_path, f))
+        for f in os.listdir(route.target_path)
+    )
+    # restart on same checkpoint: no new data → no merge should run
+    q2 = start_cdc_stream(spark, file_envelope_stream(spark, env_dir), [route], checkpoint_dir=ckpt)
+    q2.awaitTermination(300)
+    mtime2 = max(
+        os.path.getmtime(os.path.join(route.target_path, f))
+        for f in os.listdir(route.target_path)
+    )
+    assert mtime2 == mtime
+    assert route.target.read().count() == _orders_oracle_counts(spark)
