@@ -1,0 +1,120 @@
+"""Pipeline assembly: TOML config → schema registry → routed streaming
+(or batch) CDC apply — the reference's server bootstrap, Spark-first.
+
+Reference parity (SURVEY §3.1, app/server.go:26-166): plugin lookup →
+meta load → router/column-mapper init → transform chain → channel wiring
+→ stage start.  Here: the registry holds schemas, each router becomes a
+CdcStreamRoute (its own decode/transform/merge against its target), and
+Structured Streaming replaces the channel plumbing — one foreachBatch
+fans the batch out to every route (per-table grouping, A21).
+
+The reference's sink zoo maps to:
+- starrocks/doris/mysql → ParquetUpsertTable locally (MERGE-capable
+  table in production) or apply_batch_dbapi for DB-API targets
+- kafka → sinks/kafka.py formatters + write_kafka_stream
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from qin_cdc_spark.cdc.registry import SchemaRegistry
+from qin_cdc_spark.plans.config import PipelineConfig, load_config, parse_config
+from qin_cdc_spark.streaming.cdc_stream import (
+    CdcStreamRoute,
+    file_envelope_stream,
+    start_cdc_stream,
+)
+
+
+class Pipeline:
+    """A compiled pipeline: config + registry + routes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        registry: SchemaRegistry,
+        *,
+        primary_keys: dict[tuple[str, str], list[str]],
+        target_root: str,
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        self.registry = registry
+        self.routes: list[CdcStreamRoute] = []
+        for router in config.routers:
+            db, table = router.source_schema, router.source_table
+            schema = registry.get(db, table)
+            keys = primary_keys[(db, table)]
+            chain = config.transforms
+            target_path = os.path.join(
+                target_root, router.target_schema, router.target_table
+            )
+            self.routes.append(
+                CdcStreamRoute(
+                    spark,
+                    db=db,
+                    table=table,
+                    schema=schema,
+                    keys=keys,
+                    target_path=target_path,
+                    transform=(lambda df, _db=db, _t=table: chain.apply(_db, _t, df)),
+                )
+            )
+
+    def run_stream(
+        self,
+        envelope_stream: DataFrame,
+        *,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+    ):
+        """Start the streaming apply across all routes."""
+        return start_cdc_stream(
+            self.spark,
+            envelope_stream,
+            self.routes,
+            checkpoint_dir=checkpoint_dir,
+            trigger=trigger,
+        )
+
+    def run_batch(self, envelope: DataFrame) -> None:
+        """One-shot batch apply (bootstrap/backfill path)."""
+        for route in self.routes:
+            route.apply_batch(envelope)
+
+    def read_target(self, target_schema: str, target_table: str) -> DataFrame | None:
+        for route, router in zip(self.routes, self.config.routers):
+            if (router.target_schema, router.target_table) == (target_schema, target_table):
+                if route.target is None:
+                    from qin_cdc_spark.streaming.cdc_stream import ParquetUpsertTable
+
+                    route.target = ParquetUpsertTable(self.spark, route.target_path, route.keys)
+                return route.target.read()
+        return None
+
+
+def compile_pipeline(
+    spark: SparkSession,
+    config_text_or_path: str,
+    *,
+    schemas: dict[tuple[str, str], StructType],
+    primary_keys: dict[tuple[str, str], list[str]],
+    target_root: str,
+) -> Pipeline:
+    """Parse config and bind schemas (the engine-side stand-in for the
+    reference's live `show create table` meta load, A8)."""
+    if os.path.exists(config_text_or_path):
+        config = load_config(config_text_or_path)
+    else:
+        config = parse_config(config_text_or_path)
+    registry = SchemaRegistry()
+    for (db, table), schema in schemas.items():
+        registry.add(db, table, schema)
+    return Pipeline(
+        spark, config, registry, primary_keys=primary_keys, target_root=target_root
+    )

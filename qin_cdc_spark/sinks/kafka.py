@@ -1,0 +1,140 @@
+"""Kafka sink formatting + partitioning — SURVEY §2.A A28-A30.
+
+Reference parity:
+- default JSON format `{database, table, type, ts, data, old}`:
+  outputs/kafka/kafka_utils.go:73-94
+- aliyun_dts_canal format (canal-style envelope with stringified
+  values, sqlType/mysqlType maps, pkNames, seq id):
+  outputs/kafka/kafka_utils.go:96-256
+- key/partition = hash of primary-key map:
+  outputs/kafka/kafka.go:161-177, kafka_utils.go:258-276
+
+Everything is column expressions producing the (key, value) pair that
+``df.writeStream.format("kafka")`` expects — formatting is JVM-side
+``to_json`` over structs, so the formatter itself adds no Python cost
+at any scale.  The broker write is exercised in tests against the
+format contract (no broker in this container); wiring is
+``write_kafka_stream`` below.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# JDBC type codes used by the canal format's sqlType map
+# (outputs/kafka/kafka_utils.go maps qin-cdc types → java.sql.Types).
+_JDBC_TYPE_CODES = {
+    "long": -5,  # BIGINT
+    "bigint": -5,
+    "int": 4,  # INTEGER
+    "double": 8,  # DOUBLE
+    "float": 6,
+    "string": 12,  # VARCHAR
+    "timestamp": 93,
+    "date": 91,
+    "boolean": 16,
+    "binary": 2004,
+}
+
+
+def kafka_key(pk_cols: list[str]) -> Column:
+    """Message key = concatenated PK values; partition assignment is
+    hash(key) % partitions, done by the Kafka producer itself — same
+    placement contract as the reference's manual partition computation."""
+    return F.concat_ws("\x01", *[F.col(c).cast("string") for c in pk_cols])
+
+
+def default_json_value(
+    df: DataFrame, *, database: str, table: str, pk_cols: list[str]
+) -> DataFrame:
+    """Default JSON format: {database, table, type, ts, data, old}."""
+    payload = [c for c in df.columns if c not in {"op", "seq", "ts"}]
+    return df.select(
+        kafka_key(pk_cols).alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit(database).alias("database"),
+                F.lit(table).alias("table"),
+                F.col("op").alias("type"),
+                F.unix_timestamp(F.coalesce(F.col("ts"), F.current_timestamp())).alias("ts"),
+                F.struct(*[F.col(c) for c in payload]).alias("data"),
+                F.lit(None).cast("string").alias("old"),
+            )
+        ).alias("value"),
+    )
+
+
+def canal_json_value(
+    df: DataFrame, *, database: str, table: str, pk_cols: list[str], raw_types: dict[str, str] | None = None
+) -> DataFrame:
+    """aliyun_dts_canal format: data/old are 1-element arrays of
+    STRINGIFIED values; sqlType (JDBC codes) and mysqlType maps come
+    from the schema; pkNames from the route; id = seq."""
+    payload = [c for c in df.columns if c not in {"op", "seq", "ts"}]
+    dtypes = dict(df.dtypes)
+    raw_types = raw_types or {}
+    sql_type = F.create_map(
+        *[
+            x
+            for c in payload
+            for x in (F.lit(c), F.lit(_JDBC_TYPE_CODES.get(dtypes[c], 12)))
+        ]
+    )
+    mysql_type = F.create_map(
+        *[
+            x
+            for c in payload
+            for x in (F.lit(c), F.lit(raw_types.get(c, dtypes[c])))
+        ]
+    )
+    data_map = F.create_map(
+        *[x for c in payload for x in (F.lit(c), F.col(c).cast("string"))]
+    )
+    canal_op = (
+        F.when(F.col("op") == "insert", "INSERT")
+        .when(F.col("op") == "replace", "INSERT")
+        .when(F.col("op") == "update", "UPDATE")
+        .otherwise("DELETE")
+    )
+    return df.select(
+        kafka_key(pk_cols).alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("seq").alias("id"),
+                F.lit(database).alias("database"),
+                F.lit(table).alias("table"),
+                F.array(*[F.lit(c) for c in pk_cols]).alias("pkNames"),
+                canal_op.alias("type"),
+                F.lit(False).alias("isDdl"),
+                sql_type.alias("sqlType"),
+                mysql_type.alias("mysqlType"),
+                F.array(data_map).alias("data"),
+                F.lit(None).cast("array<map<string,string>>").alias("old"),
+                F.unix_timestamp(F.coalesce(F.col("ts"), F.current_timestamp())).alias("es"),
+            )
+        ).alias("value"),
+    )
+
+
+def write_kafka_stream(
+    formatted: DataFrame,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Wire a formatted (key, value) stream to a Kafka broker.  Not
+    runnable in this container (no broker / kafka connector jar) — the
+    formatting contract is what tests cover."""
+    writer = (
+        formatted.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,97 @@
+"""End-to-end pipeline test: TOML config → compiled routes → streaming
+apply → query the synced targets (the reference's full server loop)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from qin_cdc_spark.cdc.changestream import orders_change_stream
+from qin_cdc_spark.cdc.envelope import envelope_from_typed
+from qin_cdc_spark.plans.pipeline import compile_pipeline
+from qin_cdc_spark.sources.tables import load_table
+from qin_cdc_spark.streaming.cdc_stream import file_envelope_stream
+from tests.conftest import SF_SMOKE
+
+CONFIG = """
+name = "tpch-sync"
+
+[input]
+type = "mysql"
+
+[[transforms]]
+type = "rename-column"
+[transforms.config]
+match-schema = "src"
+match-table = "orders"
+columns = ["o_orderpriority"]
+rename-as = ["priority"]
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "orders"
+target-schema = "dw"
+target-table = "ods_orders"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "customer"
+target-schema = "dw"
+target-table = "ods_customer"
+"""
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+
+    pipe = compile_pipeline(
+        spark,
+        CONFIG,
+        schemas={("src", "orders"): orders.schema, ("src", "customer"): cust.schema},
+        primary_keys={("src", "orders"): ["o_orderkey"], ("src", "customer"): ["c_custkey"]},
+        target_root=str(tmp_path / "targets"),
+    )
+    assert len(pipe.routes) == 2
+
+    # two tables multiplexed into ONE envelope stream (the reference's
+    # single binlog feed carrying every synced table)
+    env_orders = envelope_from_typed(
+        orders_change_stream(spark, SF_SMOKE), db="src", table="orders"
+    )
+    env_cust = envelope_from_typed(
+        cust.select(
+            F.lit("insert").alias("op"), F.col("c_custkey").alias("seq"), *cust.columns
+        ),
+        db="src",
+        table="customer",
+    )
+    env_dir = str(tmp_path / "envelope")
+    env_orders.unionByName(env_cust).repartition(3).write.parquet(env_dir)
+
+    q = pipe.run_stream(
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    # orders target: LWW-applied, with the rename transform in effect
+    got_orders = pipe.read_target("dw", "ods_orders")
+    assert "priority" in got_orders.columns and "o_orderpriority" not in got_orders.columns
+    n_expected = orders.count() - orders.filter((F.col("o_orderkey") % 10).isin(7, 9)).count()
+    assert got_orders.count() == n_expected
+
+    # customer target: full insert-only sync, untransformed
+    got_cust = pipe.read_target("dw", "ods_customer")
+    assert got_cust.count() == cust.count()
+    assert set(got_cust.columns) == set(cust.columns)
+
+    # the synced tables answer real queries (the reference delegates
+    # querying to StarRocks; here Spark SQL is the query engine)
+    got_orders.createOrReplaceTempView("ods_orders")
+    top = spark.sql(
+        "SELECT priority, count(*) AS n FROM ods_orders GROUP BY priority ORDER BY n DESC"
+    )
+    assert top.count() > 0
