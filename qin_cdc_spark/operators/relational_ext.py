@@ -1,0 +1,380 @@
+"""Extended relational surface: subqueries, HAVING, CASE, casts, pivot,
+more window functions, statistical aggregates, TPC-H-style workloads.
+
+Same contract as operators/relational.py: every query aliased to match
+its DuckDB oracle, built-ins only, Catalyst-optimized.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from qin_cdc_spark.sources.tables import load_table, register_views
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan+filter+agg — the pushdown showcase
+    (predicates reach the parquet reader as PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+Q6_ORACLE = """
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: join + conditional (CASE) aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(1 - high).alias("low_line_count"),
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: broadcast dim join + ratio of conditional sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return joined.agg(
+        (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_revenue_pct")
+    )
+
+
+Q14_ORACLE = """
+SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: agg subquery feeding a semi-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery via SQL (Catalyst rewrites to semi-join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        """
+    )
+
+
+SUBQUERY_IN_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+"""
+
+
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (anti-join rewrite)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+SUBQUERY_EXISTS_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (above-average filter)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+SCALAR_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+"""
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
+AGG_HAVING_ORACLE = """
+SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+"""
+
+
+def fn_case_cast_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN, cast matrix, coalesce/nullif."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+FN_CASE_CAST_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS size_band,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+FROM orders
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (oracle mirrors it as conditional aggregation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in statuses],
+        )
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_F,
+       count(*) FILTER (o_orderstatus = 'O') AS n_O,
+       count(*) FILTER (o_orderstatus = 'P') AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first & last value."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+    )
+
+
+WIN_NTILE_ORACLE = """
+SELECT o_orderstatus, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER wf AS first_key,
+       last_value(o_orderkey) OVER wf AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded to absorb summation-order ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+AGG_STATS_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(var_samp(l_discount), 8) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+    )
+
+
+AGG_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over array<float> (oracle: unnest WITH ORDINALITY)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+EXPLODE_ORACLE = """
+SELECT vec_id, CAST(p AS INTEGER) AS pos, embedding[p] AS val
+FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS p
+      FROM embeddings WHERE vec_id < 20)
+"""
+
+
+def approx_distinct_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — engine-specific sketch values can't
+    hash-match another engine, so this is declared rows-only; the exact
+    companion is agg_distinct.  Sanity (±5% of exact) is asserted in
+    tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_orders": q18_large_orders,
+    "subquery_in": subquery_in,
+    "subquery_exists_correlated": subquery_exists_correlated,
+    "scalar_subquery": scalar_subquery,
+    "agg_having": agg_having,
+    "fn_case_cast_null": fn_case_cast_null,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "win_ntile_percent": win_ntile_percent,
+    "agg_stats": agg_stats,
+    "agg_percentile": agg_percentile,
+    "explode_posexplode": explode_posexplode,
+    "approx_distinct_rows_only": approx_distinct_rows_only,
+}
+
+ORACLES = {
+    "q6_forecast_revenue": Q6_ORACLE,
+    "q12_shipmode_priority": Q12_ORACLE,
+    "q14_promo_effect": Q14_ORACLE,
+    "q18_large_orders": Q18_ORACLE,
+    "subquery_in": SUBQUERY_IN_ORACLE,
+    "subquery_exists_correlated": SUBQUERY_EXISTS_ORACLE,
+    "scalar_subquery": SCALAR_SUBQUERY_ORACLE,
+    "agg_having": AGG_HAVING_ORACLE,
+    "fn_case_cast_null": FN_CASE_CAST_ORACLE,
+    "pivot_status_by_priority": PIVOT_ORACLE,
+    "win_ntile_percent": WIN_NTILE_ORACLE,
+    "agg_stats": AGG_STATS_ORACLE,
+    "agg_percentile": AGG_PERCENTILE_ORACLE,
+    "explode_posexplode": EXPLODE_ORACLE,
+    # approx_distinct_rows_only: intentionally no oracle (HLL sketches
+    # are engine-specific)
+}

@@ -21,8 +21,9 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
 
     import qin_cdc_spark.operators.relational as relational
+    import qin_cdc_spark.operators.relational_ext as relational_ext
 
-    modules = [relational]
+    modules = [relational, relational_ext]
 
     try:
         import qin_cdc_spark.operators.llm_text as llm_text
