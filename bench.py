@@ -43,6 +43,50 @@ HEADLINE = [
 ]
 
 
+def _bench_stream_cdc(spark, sf_dir: str) -> float:
+    """Streaming CDC apply throughput: orders change stream → 4
+    micro-batches → bucketed LWW target (the A1-A27 path end-to-end)."""
+    import shutil
+    import tempfile
+
+    from qin_cdc_spark.cdc.changestream import orders_change_stream
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.sources.tables import load_table
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        env_dir = f"{tmp}/envelope"
+        envelope_from_typed(
+            orders_change_stream(spark, sf_dir), db="src", table="orders"
+        ).repartition(4).write.parquet(env_dir)
+        route = CdcStreamRoute(
+            spark,
+            db="src",
+            table="orders",
+            schema=load_table(spark, sf_dir, "orders").schema,
+            keys=["o_orderkey"],
+            target_path=f"{tmp}/orders_tbl",
+            n_buckets=32,
+        )
+        t0 = time.time()
+        q = start_cdc_stream(
+            spark,
+            file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+            [route],
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        q.awaitTermination(600)
+        route.target.read().write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -58,6 +102,8 @@ def main() -> None:
         t0 = time.time()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["stream_cdc_orders"] = round(_bench_stream_cdc(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -36,19 +36,49 @@ from pyspark.sql.types import StructType
 from qin_cdc_spark.cdc.envelope import OP_DELETE
 
 
-def decode_envelope(env: DataFrame, schema: StructType, *, db: str, table: str) -> DataFrame:
+def decode_envelope(
+    env: DataFrame,
+    schema: StructType,
+    *,
+    db: str,
+    table: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
     """Route + decode: filter one table's events out of the envelope
     stream and parse ``data`` into typed columns (A2-A4/A7 analog).
 
     The filter on (db, table) is the router predicate (A17/A18,
     metas/routers.go:34-75) — Catalyst pushes it down before the JSON
     parse, so only the routed table's rows pay the parse cost.
+
+    When ``keys`` is given, PK-CHANGING updates are handled (SURVEY
+    §4.3.4 — the reference's ON-DUPLICATE-KEY upsert would insert the
+    new key and leak the old row; we fix by intent): an update whose
+    ``old`` image carries a different primary key expands into a delete
+    of the old key (same seq) plus the update at the new key.
     """
-    return (
-        env.filter((F.col("db") == db) & (F.col("table") == table))
-        .withColumn("_row", F.from_json(F.col("data"), schema))
-        .select("op", "seq", "_row.*")
+    routed = env.filter((F.col("db") == db) & (F.col("table") == table))
+    decoded = routed.withColumn("_row", F.from_json(F.col("data"), schema))
+    if not keys:
+        return decoded.select("op", "seq", "_row.*")
+
+    with_old = decoded.withColumn("_old", F.from_json(F.col("old"), schema))
+    pk_moved = F.col("_old").isNotNull() & _any_of(
+        [F.col(f"_old.{k}") != F.col(f"_row.{k}") for k in keys]
     )
+    normal = with_old.select("op", "seq", "_row.*")
+    moves = (
+        with_old.filter((F.col("op") == "update") & pk_moved)
+        .select(F.lit("delete").alias("op"), F.col("seq"), "_old.*")
+    )
+    return normal.unionByName(moves)
+
+
+def _any_of(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 def latest_by_key(df: DataFrame, keys: list[str], *, seq_col: str = "seq") -> DataFrame:

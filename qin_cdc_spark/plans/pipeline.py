@@ -41,6 +41,7 @@ class Pipeline:
         *,
         primary_keys: dict[tuple[str, str], list[str]],
         target_root: str,
+        n_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -63,6 +64,7 @@ class Pipeline:
                     keys=keys,
                     target_path=target_path,
                     transform=(lambda df, _db=db, _t=table: chain.apply(_db, _t, df)),
+                    n_buckets=n_buckets,
                 )
             )
 
@@ -105,6 +107,7 @@ def compile_pipeline(
     schemas: dict[tuple[str, str], StructType],
     primary_keys: dict[tuple[str, str], list[str]],
     target_root: str,
+    n_buckets: int | None = None,
 ) -> Pipeline:
     """Parse config and bind schemas (the engine-side stand-in for the
     reference's live `show create table` meta load, A8)."""
@@ -116,5 +119,10 @@ def compile_pipeline(
     for (db, table), schema in schemas.items():
         registry.add(db, table, schema)
     return Pipeline(
-        spark, config, registry, primary_keys=primary_keys, target_root=target_root
+        spark,
+        config,
+        registry,
+        primary_keys=primary_keys,
+        target_root=target_root,
+        n_buckets=n_buckets,
     )

@@ -103,6 +103,89 @@ class ParquetUpsertTable:
             shutil.rmtree(old)
 
 
+class BucketedUpsertTable(ParquetUpsertTable):
+    """Hash-bucketed variant: rows land in ``bucket=pmod(hash(pk), N)``
+    partitions and a merge rewrites ONLY the buckets touched by the
+    batch — per-batch cost scales with |batch keys| not |table|
+    (PLANS.md gap #1).  This is the parquet stand-in for what Delta/
+    Iceberg MERGE achieves with file-skipping on PK statistics; the
+    same hash-bucket layout also makes target-side joins co-located.
+
+    Dynamic partition overwrite is per-partition, not transactional
+    across buckets (a crash mid-write can leave a batch half-applied);
+    replaying the batch converges because the merge is idempotent —
+    the same at-least-once contract as the rest of the engine.
+    """
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str], *, n_buckets: int = 32):
+        super().__init__(spark, path, keys)
+        self.n_buckets = n_buckets
+
+    def _bucket_expr(self):
+        return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+
+    def read_internal(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def read(self) -> DataFrame | None:
+        full = self.read_internal()
+        if full is None:
+            return None
+        return full.filter(~F.col("_deleted")).drop("_seq", "_deleted")
+
+    def merge(self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq") -> None:
+        incoming = changes.select(
+            *self.keys,
+            *[c for c in changes.columns if c not in {op_col, seq_col, *self.keys}],
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == "delete").alias("_deleted"),
+        ).withColumn(self.BUCKET_COL, self._bucket_expr())
+
+        if not self.exists():
+            merged = latest_by_key(
+                incoming, [*self.keys, self.BUCKET_COL], seq_col="_seq"
+            )
+            merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(self.path)
+            return
+
+        touched = [r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()]
+        current = (
+            self.spark.read.parquet(self.path)
+            # partition pruning: only touched bucket dirs are scanned
+            .filter(F.col(self.BUCKET_COL).isin(touched))
+        )
+        union = current.unionByName(incoming.filter(F.col(self.BUCKET_COL).isin(touched)))
+        merged = latest_by_key(union, [*self.keys, self.BUCKET_COL], seq_col="_seq")
+        # materialize before the in-place dynamic overwrite (the write
+        # would otherwise read the very files it is replacing)
+        merged = merged.persist()
+        merged.count()
+        (
+            merged.write.partitionBy(self.BUCKET_COL)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
+        merged.unpersist()
+
+    def _swap_write(self, df: DataFrame) -> None:
+        # keep the bucket layout on full rewrites (gc_tombstones path)
+        if self.BUCKET_COL not in df.columns:
+            df = df.withColumn(self.BUCKET_COL, self._bucket_expr())
+        stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        df.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(stage)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if self.exists():
+            os.rename(self.path, old)
+        os.rename(stage, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
 class CdcStreamRoute:
     """One route (db.table → target) of a streaming CDC pipeline."""
 
@@ -116,6 +199,7 @@ class CdcStreamRoute:
         keys: list[str],
         target_path: str,
         transform=None,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -125,9 +209,12 @@ class CdcStreamRoute:
         self.target = None  # lazily bound so transform can change columns
         self.target_path = target_path
         self.transform = transform
+        self.n_buckets = n_buckets
 
     def apply_batch(self, env_batch: DataFrame) -> None:
-        decoded = decode_envelope(env_batch, self.schema, db=self.db, table=self.table)
+        decoded = decode_envelope(
+            env_batch, self.schema, db=self.db, table=self.table, keys=self.keys
+        )
         if self.transform is not None:
             decoded = self.transform(decoded)
         # Reduce the batch to its last event per key BEFORE the merge —
@@ -135,7 +222,12 @@ class CdcStreamRoute:
         # ≤|keys in batch| rows regardless of batch size.
         reduced = latest_by_key(decoded, self.keys)
         if self.target is None:
-            self.target = ParquetUpsertTable(self.spark, self.target_path, self.keys)
+            if self.n_buckets:
+                self.target = BucketedUpsertTable(
+                    self.spark, self.target_path, self.keys, n_buckets=self.n_buckets
+                )
+            else:
+                self.target = ParquetUpsertTable(self.spark, self.target_path, self.keys)
         self.target.merge(reduced)
 
 

@@ -100,6 +100,41 @@ def test_latest_by_key_matches_window(spark, orders_env):
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
 
 
+def test_pk_changing_update(spark):
+    """SURVEY §4.3.4: an update that changes the primary key must
+    delete the old key and land the row at the new key (the reference's
+    ON-DUPLICATE-KEY upsert would leak the old row — fixed by intent)."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+
+    def ev(op, seq, data, old=None):
+        return ("db1", "t1", op, seq, None, 1, json.dumps(data), json.dumps(old) if old else None)
+
+    env = spark.createDataFrame(
+        [
+            ev("insert", 1, {"id": 1, "v": "a"}),
+            ev("insert", 2, {"id": 2, "v": "b"}),
+            # PK move: row 1 becomes row 10
+            ev("update", 3, {"id": 10, "v": "a2"}, old={"id": 1, "v": "a"}),
+            # ordinary update (same PK) with old image present
+            ev("update", 4, {"id": 2, "v": "b2"}, old={"id": 2, "v": "b"}),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    decoded = decode_envelope(env, schema, db="db1", table="t1", keys=["id"])
+    final = apply_changes(None, decoded, ["id"]).orderBy("id")
+    assert [(r.id, r.v) for r in final.collect()] == [(2, "b2"), (10, "a2")]
+
+    # idempotent under replay, PK moves included
+    again = apply_changes(final, decoded, ["id"]).orderBy("id")
+    assert [(r.id, r.v) for r in again.collect()] == [(2, "b2"), (10, "a2")]
+
+
 SAMPLE_TOML = """
 name = "mysql2starrocks"
 

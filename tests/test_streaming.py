@@ -198,6 +198,63 @@ def test_cdc_stream_apply(spark, tmp_path, shuffle_files):
     assert route.target.read_internal().count() == expected
 
 
+def test_bucketed_upsert_table(spark, tmp_path):
+    """Bucketed target: same results as the plain table, but an
+    incremental batch rewrites ONLY the touched bucket partitions."""
+    import os as _os
+
+    from qin_cdc_spark.streaming.cdc_stream import BucketedUpsertTable
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    changes = orders.select(
+        F.lit("insert").alias("op"), (F.col("o_orderkey") * 2).alias("seq"), *orders.columns
+    )
+    tbl = BucketedUpsertTable(
+        spark, str(tmp_path / "tbl"), ["o_orderkey"], n_buckets=8
+    )
+    tbl.merge(changes)
+    assert tbl.read().count() == orders.count()
+
+    bucket_dirs = sorted(
+        d for d in _os.listdir(tbl.path) if d.startswith("_bucket=")
+    )
+    assert len(bucket_dirs) == 8
+
+    def dir_mtime(d):
+        p = _os.path.join(tbl.path, d)
+        return max(_os.path.getmtime(_os.path.join(p, f)) for f in _os.listdir(p))
+
+    before = {d: dir_mtime(d) for d in bucket_dirs}
+
+    # a single-key update touches exactly one bucket
+    one = orders.orderBy("o_orderkey").limit(1)
+    upd = one.select(
+        F.lit("update").alias("op"),
+        (F.col("o_orderkey") * 2 + 1).alias("seq"),
+        *[
+            F.lit("U").alias(c) if c == "o_orderstatus" else F.col(c)
+            for c in orders.columns
+        ],
+    )
+    tbl.merge(upd)
+    after = {d: dir_mtime(d) for d in bucket_dirs}
+    changed = [d for d in bucket_dirs if after[d] != before[d]]
+    assert len(changed) == 1, f"expected 1 touched bucket, got {changed}"
+
+    got = tbl.read().filter(F.col("o_orderkey") == one.first().o_orderkey).first()
+    assert got.o_orderstatus == "U"
+    assert tbl.read().count() == orders.count()
+
+    # delete + gc keeps layout and visibility correct
+    dele = one.select(
+        F.lit("delete").alias("op"), (F.col("o_orderkey") * 2 + 2).alias("seq"), *orders.columns
+    )
+    tbl.merge(dele)
+    assert tbl.read().count() == orders.count() - 1
+    tbl.gc_tombstones(10**15)
+    assert tbl.read().count() == orders.count() - 1
+
+
 def test_cdc_stream_transform_route(spark, tmp_path):
     """Route with a transform chain: rename applies before the sink
     (SURVEY §2.A invariant 5)."""
@@ -232,6 +289,43 @@ def test_cdc_stream_transform_route(spark, tmp_path):
     out = route.target.read()
     assert "segment" in out.columns and "c_mktsegment" not in out.columns
     assert out.count() == cust.count()
+
+
+def test_apply_in_pandas_with_state(spark, events_stream_dir):
+    """Custom stateful operator: running per-user stats across
+    micro-batches must converge to the batch groupBy result."""
+    from qin_cdc_spark.streaming.stateful import running_user_stats
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    out = running_user_stats(stream)
+    got_all = _run_stream_to_memory(spark, out, "stateful_test", "update")
+    # update mode re-emits per batch; the final emission per user is the
+    # one with the max n_events (totals are monotone)
+    w = got_all.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "sum_value", "max_value"), "n_events").alias("f")
+    )
+    got = w.select("user_id", "f.n_events", "f.sum_value", "f.max_value")
+    exp = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    # sums accumulate in different order (per-batch then cross-batch)
+    # than the batch agg — compare with float tolerance
+    j = got.alias("g").join(exp.alias("e"), "user_id", "full_outer")
+    bad = j.filter(
+        F.col("g.n_events").isNull()
+        | F.col("e.n_events").isNull()
+        | (F.col("g.n_events") != F.col("e.n_events"))
+        | (F.abs(F.col("g.sum_value") - F.col("e.sum_value")) > 1e-6)
+        | (F.abs(F.col("g.max_value") - F.col("e.max_value")) > 1e-9)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
 
 
 def test_checkpoint_no_reprocess(spark, tmp_path):
