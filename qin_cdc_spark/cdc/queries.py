@@ -146,3 +146,68 @@ ORACLES = {
     "cdc_last_event_per_key": CDC_LAST_EVENT_ORACLE,
     "cdc_transform_rename_drop": CDC_TRANSFORM_ORACLE,
 }
+
+
+def cdc_pk_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-changing updates through the full envelope path (SURVEY
+    §4.3.4): customers with c_custkey % 100 = 7 get an update that moves
+    them to key+1000000 (old image carried in the envelope); the old key
+    must disappear and the row must land at the new key.  The reference
+    would leak the old row (ON DUPLICATE KEY upsert) — fixed by intent.
+    """
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    cols = cust.columns
+
+    def env_row(op, seq, data_cols, old_cols=None):
+        return F.struct(
+            F.lit("src").alias("db"),
+            F.lit("customer").alias("table"),
+            F.lit(op).alias("op"),
+            seq.cast("long").alias("seq"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(1).cast("int").alias("schema_version"),
+            F.to_json(F.struct(*data_cols)).alias("data"),
+            (F.to_json(F.struct(*old_cols)) if old_cols else F.lit(None).cast("string")).alias(
+                "old"
+            ),
+        )
+
+    inserts = cust.select(
+        env_row("insert", F.col("c_custkey") * 2, [F.col(c) for c in cols]).alias("e")
+    ).select("e.*")
+    moved_data = [
+        (F.col("c_custkey") + 1000000).alias("c_custkey")
+        if c == "c_custkey"
+        else (F.concat(F.col("c_name"), F.lit("-moved")).alias("c_name") if c == "c_name" else F.col(c))
+        for c in cols
+    ]
+    moves = (
+        cust.filter(F.col("c_custkey") % 100 == 7)
+        .select(
+            env_row(
+                "update",
+                F.col("c_custkey") * 2 + 1,
+                moved_data,
+                old_cols=[F.col(c) for c in cols],
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+    env = inserts.unionByName(moves)
+    decoded = decode_envelope(env, cust.schema, db="src", table="customer", keys=["c_custkey"])
+    return apply_changes(None, decoded, ["c_custkey"])
+
+
+CDC_PK_MOVE_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 100 <> 7
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, c_name || '-moved' AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 100 = 7
+"""
+
+QUERIES["cdc_pk_move"] = cdc_pk_move
+ORACLES["cdc_pk_move"] = CDC_PK_MOVE_ORACLE

@@ -283,3 +283,30 @@ ORACLES = {
     "text_language_id": TEXT_LANGUAGE_ID_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
 }
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over word hashes:
+    fold h = (h*31 + hash60(w) % M) % M, M = 2^31-1 — order-sensitive
+    (unlike a bag-of-words md5), so token transpositions change it.
+    Both engines fold left-to-right from the first element."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.transform(words(F.col("text")), lambda w: hash60(w) % F.lit(2147483647))
+    rolled = F.aggregate(
+        F.slice(hs, 2, F.greatest(F.lit(0), F.size(hs) - 1)),
+        F.element_at(hs, 1),
+        lambda acc, h: (acc * 31 + h) % F.lit(2147483647),
+    )
+    return docs.select("doc_id", rolled.alias("rolling_fp"))
+
+
+TEXT_ROLLING_HASH_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform({WORDS_SQL}, w -> {HASH60_SQL.format(x='w')} % 2147483647),
+         (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+FROM documents
+"""
+
+QUERIES["text_rolling_hash"] = text_rolling_hash
+ORACLES["text_rolling_hash"] = TEXT_ROLLING_HASH_ORACLE

@@ -378,3 +378,85 @@ ORACLES = {
     # approx_distinct_rows_only: intentionally no oracle (HLL sketches
     # are engine-specific)
 }
+
+
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'error' event, the user's most recent
+    'purchase' at-or-before it (ASOF >=).
+
+    Spark lacks a native ASOF JOIN; a range-join would explode to a
+    broadcast-nested-loop at scale.  This is the scalable re-expression
+    (SURVEY custom-operator path (a)): union both sides tagged, one
+    window per user ordered by (ts, side), carry the last non-null
+    purchase forward — ONE shuffle on user_id, linear scan, no pair
+    blow-up.  Ordering puts the purchase before the error at equal ts,
+    matching ASOF's inclusive bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("p_eid"),
+        F.col("value").alias("p_val"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("p_eid"),
+        F.lit(None).cast("double").alias("p_val"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("p_eid").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    combined = p.unionByName(e).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("p_eid", ignorenulls=True).over(w).alias("purch_event_id"),
+        F.last("p_val", ignorenulls=True).over(w).alias("purch_value"),
+    )
+    return combined.filter(F.col("side") == 1).select(
+        "user_id", "event_id", F.col("ts").alias("err_ts"), "purch_event_id", "purch_value"
+    )
+
+
+ASOF_ORACLE = """
+SELECT e.user_id, e.event_id, e.ts AS err_ts,
+       p.event_id AS purch_event_id, p.value AS purch_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source scan (§2.B scans row): round-trips the nation
+    table through a JSONL file and reads it back with an explicit
+    schema (schema-on-read; no inference job at scale)."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="jsonl_scan_") + "/nation"
+    nation.coalesce(1).write.mode("overwrite").json(path)
+    return (
+        spark.read.schema(nation.schema)
+        .json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+SCAN_JSONL_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+QUERIES["asof_join_last_purchase"] = asof_join_last_purchase
+QUERIES["scan_jsonl"] = scan_jsonl
+ORACLES["asof_join_last_purchase"] = ASOF_ORACLE
+ORACLES["scan_jsonl"] = SCAN_JSONL_ORACLE

@@ -401,3 +401,42 @@ ORACLES = {
     "sim_cosine_topk": SIM_COSINE_TOPK_ORACLE,
     "sim_ann_lsh": _ann_oracle(),
 }
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ 0.4.
+
+    Brute-force block form (broadcast one side) as the verifiable
+    baseline; at 100 TB the candidate set comes from the sign-LSH
+    buckets of sim_ann_lsh instead of the cross join — the verify
+    expression is identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= 0.4)
+    )
+
+
+DEDUP_EMB_COS_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+         / (sqrt({_DOT_SQL.format(a="a.embedding", b="a.embedding")})
+            * sqrt({_DOT_SQL.format(a="b.embedding", b="b.embedding")})), 9) AS cos_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+         / (sqrt({_DOT_SQL.format(a="a.embedding", b="a.embedding")})
+            * sqrt({_DOT_SQL.format(a="b.embedding", b="b.embedding")})), 9) >= 0.4
+"""
+
+QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
+ORACLES["dedup_embedding_cosine"] = DEDUP_EMB_COS_ORACLE
