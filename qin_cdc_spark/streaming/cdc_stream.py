@@ -160,17 +160,29 @@ class BucketedUpsertTable(ParquetUpsertTable):
         )
         union = current.unionByName(incoming.filter(F.col(self.BUCKET_COL).isin(touched)))
         merged = latest_by_key(union, [*self.keys, self.BUCKET_COL], seq_col="_seq")
-        # materialize before the in-place dynamic overwrite (the write
-        # would otherwise read the very files it is replacing)
-        merged = merged.persist()
-        merged.count()
-        (
-            merged.write.partitionBy(self.BUCKET_COL)
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.path)
-        )
-        merged.unpersist()
+        # co-locate each bucket into one output file (otherwise every
+        # shuffle partition writes a sliver of every bucket — 32×32
+        # small files per batch and metadata blowup over time)
+        merged = merged.repartition(max(1, len(touched)), F.col(self.BUCKET_COL))
+        # one job: write merged buckets to a staging dir (target untouched,
+        # so the lazy read of `current` is safe), then swap only the
+        # touched bucket directories in — no persist/count materialization
+        # pass and no in-place dynamic overwrite hazard
+        stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        merged.write.partitionBy(self.BUCKET_COL).parquet(stage)
+        for b in touched:
+            src = os.path.join(stage, f"{self.BUCKET_COL}={b}")
+            dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+            old = f"{dst}.old-{uuid.uuid4().hex[:6]}"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)  # bucket emptied by the merge
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def _swap_write(self, df: DataFrame) -> None:
         # keep the bucket layout on full rewrites (gc_tombstones path)
@@ -217,10 +229,10 @@ class CdcStreamRoute:
         )
         if self.transform is not None:
             decoded = self.transform(decoded)
-        # Reduce the batch to its last event per key BEFORE the merge —
-        # the A27 run-splitting analog; keeps the merge input at
-        # ≤|keys in batch| rows regardless of batch size.
-        reduced = latest_by_key(decoded, self.keys)
+        # The merge itself reduces last-event-per-key (A27 analog) over
+        # (current ∪ batch) — feeding it the raw decoded batch costs one
+        # shuffle total instead of reduce-then-merge's two.
+        reduced = decoded
         if self.target is None:
             if self.n_buckets:
                 self.target = BucketedUpsertTable(
