@@ -460,3 +460,68 @@ QUERIES["asof_join_last_purchase"] = asof_join_last_purchase
 QUERIES["scan_jsonl"] = scan_jsonl
 ORACLES["asof_join_last_purchase"] = ASOF_ORACLE
 ORACLES["scan_jsonl"] = SCAN_JSONL_ORACLE
+
+
+def fn_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/rpad/replace/translate/instr/repeat/reverse."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_mktsegment"), 12, "*").alias("seg_lpad"),
+        F.rpad(F.col("c_mktsegment"), 12, "-").alias("seg_rpad"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_repl"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_trans"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+FN_STRING_EXTRAS_ORACLE = """
+SELECT c_custkey,
+       lpad(c_mktsegment, 12, '*') AS seg_lpad,
+       rpad(c_mktsegment, 12, '-') AS seg_rpad,
+       replace(c_name, 'Customer', 'Cust') AS name_repl,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_trans,
+       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+       repeat(c_mktsegment, 2) AS seg_twice,
+       reverse(c_mktsegment) AS seg_rev
+FROM customer
+"""
+
+
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_arrays / map_keys / map_values / element access.
+
+    Both engines preserve map insertion order, so keys/values arrays
+    compare deterministically.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("region")),
+        F.array(F.col("n_nationkey").cast("long"), F.col("n_regionkey").cast("long")),
+    )
+    return nation.select(
+        "n_name",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, F.lit("region")).alias("region_val"),
+    )
+
+
+FN_MAP_ORACLE = """
+SELECT n_name,
+       map_keys(map(['key','region'],
+                    [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])) AS mkeys,
+       map_values(map(['key','region'],
+                      [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])) AS mvals,
+       map(['key','region'],
+           [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])['region'][1]
+         AS region_val
+FROM nation
+"""
+
+QUERIES["fn_string_extras"] = fn_string_extras
+QUERIES["fn_map_ops"] = fn_map_ops
+ORACLES["fn_string_extras"] = FN_STRING_EXTRAS_ORACLE
+ORACLES["fn_map_ops"] = FN_MAP_ORACLE

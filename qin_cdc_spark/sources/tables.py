@@ -43,9 +43,19 @@ PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Runtime-settable session invariants the engine depends on, applied
+    defensively because the correctness driver supplies its own session:
+    UTC timestamps (DuckDB-oracle parity) and Arrow-batched pandas UDFs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    ensure_session_defaults(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
