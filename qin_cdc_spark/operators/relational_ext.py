@@ -525,3 +525,73 @@ QUERIES["fn_string_extras"] = fn_string_extras
 QUERIES["fn_map_ops"] = fn_map_ops
 ORACLES["fn_string_extras"] = FN_STRING_EXTRAS_ORACLE
 ORACLES["fn_map_ops"] = FN_MAP_ORACLE
+
+
+def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table scan with partition pruning: orders written
+    partitioned by o_orderstatus, read back with a partition filter —
+    the layout/pruning pattern that bounds scan cost at 100 TB (the
+    plan shows PartitionFilters, and non-matching directories are never
+    opened).  tests assert the pruning in the physical plan."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="part_scan_") + "/orders_by_status"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+
+
+SCAN_PARTITIONED_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS sum_price
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+"""
+
+
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source scan with explicit schema + header."""
+    import tempfile
+
+    region = load_table(spark, sf_dir, "region")
+    path = tempfile.mkdtemp(prefix="csv_scan_") + "/region"
+    region.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema(region.schema)
+        .option("header", True)
+        .csv(path)
+        .select("r_regionkey", "r_name")
+    )
+
+
+SCAN_CSV_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+def sql_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface broadcast hint (/*+ BROADCAST */)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+SQL_HINT_ORACLE = """
+SELECT n_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+QUERIES["scan_partitioned_pruned"] = scan_partitioned_pruned
+QUERIES["scan_csv"] = scan_csv
+QUERIES["sql_hint_broadcast"] = sql_hint_broadcast
+ORACLES["scan_partitioned_pruned"] = SCAN_PARTITIONED_ORACLE
+ORACLES["scan_csv"] = SCAN_CSV_ORACLE
+ORACLES["sql_hint_broadcast"] = SQL_HINT_ORACLE

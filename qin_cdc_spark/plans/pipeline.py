@@ -68,6 +68,24 @@ class Pipeline:
                 )
             )
 
+    def trigger_config(self) -> dict | None:
+        """Map the reference's micro-batch knobs (A20: ``batch-size`` /
+        ``batch-interval-ms`` under [output.config.target.options],
+        defaults 10240 rows / 3000 ms per BASELINE.md) to a Structured
+        Streaming trigger.  batch-size itself is a SOURCE rate limit
+        (maxFilesPerTrigger / maxOffsetsPerTrigger) — exposed via
+        ``batch_size()`` for the source builder."""
+        opts = self.config.output_config.get("target", {}).get("options", {})
+        interval_ms = opts.get("batch-interval-ms")
+        if interval_ms is None:
+            return None
+        return {"processingTime": f"{int(interval_ms)} milliseconds"}
+
+    def batch_size(self) -> int | None:
+        opts = self.config.output_config.get("target", {}).get("options", {})
+        size = opts.get("batch-size")
+        return int(size) if size is not None else None
+
     def run_stream(
         self,
         envelope_stream: DataFrame,
@@ -75,7 +93,11 @@ class Pipeline:
         checkpoint_dir: str,
         trigger: dict | None = None,
     ):
-        """Start the streaming apply across all routes."""
+        """Start the streaming apply across all routes.  With no
+        explicit trigger, the config's batch-interval-ms applies
+        (availableNow fallback when the config sets none)."""
+        if trigger is None:
+            trigger = self.trigger_config()
         return start_cdc_stream(
             self.spark,
             envelope_stream,

@@ -212,6 +212,7 @@ class CdcStreamRoute:
         target_path: str,
         transform=None,
         n_buckets: int | None = None,
+        dlq_path: str | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -222,8 +223,30 @@ class CdcStreamRoute:
         self.target_path = target_path
         self.transform = transform
         self.n_buckets = n_buckets
+        self.dlq_path = dlq_path
 
     def apply_batch(self, env_batch: DataFrame) -> None:
+        # Dead-letter quarantine: rows whose `data` fails to parse are
+        # appended to the DLQ instead of killing the stream (the
+        # reference log.Fatalfs on decode errors,
+        # inputs/mysql/mysql_replication.go:89 — we keep flowing and
+        # preserve the evidence).
+        if self.dlq_path is not None:
+            parsed = F.from_json(F.col("data"), self.schema)
+            # PERMISSIVE parsing turns partially-broken JSON into an
+            # all-null struct (not a null struct) — a null primary key
+            # is equally malformed for a CDC row
+            null_key = parsed.isNull()
+            for k in self.keys:
+                null_key = null_key | parsed.getField(k).isNull()
+            malformed = F.col("data").isNotNull() & null_key
+            routed = env_batch.filter(
+                (F.col("db") == self.db) & (F.col("table") == self.table)
+            )
+            bad = routed.filter(malformed)
+            if bad.limit(1).count() > 0:
+                bad.write.mode("append").parquet(self.dlq_path)
+            env_batch = routed.filter(~malformed)
         decoded = decode_envelope(
             env_batch, self.schema, db=self.db, table=self.table, keys=self.keys
         )

@@ -43,6 +43,26 @@ target-table = "ods_customer"
 """
 
 
+def test_trigger_from_reference_config(spark, tmp_path):
+    """batch-interval-ms / batch-size (A20 knobs) map to the streaming
+    trigger and source rate limit."""
+    cfg = CONFIG.replace(
+        'type = "starrocks"',
+        'type = "starrocks"\n\n[output.config.target.options]\n'
+        "batch-size = 10240\nbatch-interval-ms = 3000",
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    pipe = compile_pipeline(
+        spark,
+        cfg,
+        schemas={("src", "orders"): orders.schema, ("src", "customer"): orders.schema},
+        primary_keys={("src", "orders"): ["o_orderkey"], ("src", "customer"): ["c_custkey"]},
+        target_root=str(tmp_path / "t"),
+    )
+    assert pipe.trigger_config() == {"processingTime": "3000 milliseconds"}
+    assert pipe.batch_size() == 10240
+
+
 def test_pipeline_end_to_end(spark, tmp_path):
     orders = load_table(spark, SF_SMOKE, "orders")
     cust = load_table(spark, SF_SMOKE, "customer")

@@ -328,6 +328,53 @@ def test_apply_in_pandas_with_state(spark, events_stream_dir):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+def test_dead_letter_queue(spark, tmp_path):
+    """Malformed envelope rows are quarantined to the DLQ; good rows
+    still apply (the reference would crash the whole pipeline)."""
+    import json
+
+    cust = load_table(spark, SF_SMOKE, "customer").limit(50)
+    good = envelope_from_typed(
+        cust.select(
+            F.lit("insert").alias("op"), F.col("c_custkey").alias("seq"), *cust.columns
+        ),
+        db="src",
+        table="customer",
+    )
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    bad = spark.createDataFrame(
+        [
+            ("src", "customer", "insert", 9001, None, 1, "{not json at all", None),
+            ("src", "customer", "insert", 9002, None, 1, "also broken}", None),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    env_dir = str(tmp_path / "env")
+    good.unionByName(bad).write.parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="customer",
+        schema=cust.schema,
+        keys=["c_custkey"],
+        target_path=str(tmp_path / "tbl"),
+        dlq_path=str(tmp_path / "dlq"),
+    )
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    assert route.target.read().count() == 50
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.count() == 2
+    assert {r.seq for r in dlq.collect()} == {9001, 9002}
+
+
 def test_checkpoint_no_reprocess(spark, tmp_path):
     """Restarting with the SAME checkpoint does not re-apply old batches
     (Spark offset log = the reference's position store, A31)."""
