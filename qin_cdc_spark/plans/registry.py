@@ -44,6 +44,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.ivf as ivf
+
+        modules.append(ivf)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.cdc.queries as cdc_queries
 
         modules.append(cdc_queries)

@@ -44,6 +44,20 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF (k-means inverted lists, nprobe=4/16) top-5 recall on the
+    worst-case uniform corpus — clusters carry little signal there, so
+    the bar is moderate; clustered real embeddings do far better."""
+    from qin_cdc_spark.operators.ivf import sim_ann_ivf
+
+    exact = sim_cosine_topk(spark, SF_SMOKE).filter(F.col("rn") <= 5)
+    ivf = sim_ann_ivf(spark, SF_SMOKE)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in ivf.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.4, f"IVF recall {recall}"
+
+
 def test_language_id_on_genuine_sentences(spark):
     """The fixture's lang label is decorative (same word soup for every
     language), so accuracy is asserted on constructed sentences."""
