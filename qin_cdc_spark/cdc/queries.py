@@ -211,3 +211,40 @@ FROM customer WHERE c_custkey % 100 = 7
 
 QUERIES["cdc_pk_move"] = cdc_pk_move
 ORACLES["cdc_pk_move"] = CDC_PK_MOVE_ORACLE
+
+
+def kafka_default_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka default-JSON sink format (A29,
+    outputs/kafka/kafka_utils.go:73-94) as an oracle-checked value: the
+    (key, value) pair is byte-identical to DuckDB's JSON construction,
+    proving the wire format, not just its parse."""
+    from pyspark.sql import functions as F
+
+    from qin_cdc_spark.sinks.kafka import default_json_value
+
+    cust = load_table(spark, sf_dir, "customer")
+    changes = cust.select(
+        F.lit("insert").alias("op"),
+        F.col("c_custkey").alias("seq"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        *cust.columns,
+    )
+    return default_json_value(changes, database="src", table="customer", pk_cols=["c_custkey"])
+
+
+KAFKA_DEFAULT_FORMAT_ORACLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS key,
+       to_json(struct_pack(
+         database := 'src',
+         "table" := 'customer',
+         type := 'insert',
+         ts := 1704067200,
+         data := struct_pack(c_custkey := c_custkey, c_name := c_name,
+                             c_nationkey := c_nationkey, c_acctbal := c_acctbal,
+                             c_mktsegment := c_mktsegment),
+         old := CAST(NULL AS VARCHAR)))::VARCHAR AS value
+FROM customer
+"""
+
+QUERIES["kafka_default_format"] = kafka_default_format
+ORACLES["kafka_default_format"] = KAFKA_DEFAULT_FORMAT_ORACLE

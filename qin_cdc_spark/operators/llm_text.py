@@ -205,23 +205,36 @@ FROM s
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5.
+MAX_DF_FRAC = 0.2  # shingles in > this fraction of docs are dropped
 
-    Scale path: explode distinct shingles → self-join on shingle →
-    count co-occurrences = |A∩B| (one shuffle on the shingle key), then
-    |A∪B| = |A|+|B|−|A∩B|.  All-pairs comparison never materializes; at
-    100 TB hot shingles would additionally be df-filtered (drop
-    shingles appearing in >p% of docs — they only create candidate
-    noise), which is a cheap pre-count.
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 over df-filtered
+    shingle sets.
+
+    Scale path: explode distinct shingles → drop HOT shingles (document
+    frequency > 20% of the corpus — they contribute candidate noise
+    quadratic in their df, the classic stop-shingle blowup at 100 TB) →
+    self-join on shingle → count co-occurrences = |A∩B| (one shuffle on
+    the shingle key), then |A∪B| = |A|+|B|−|A∩B| over the FILTERED
+    sets.  All-pairs comparison never materializes.  The oracle applies
+    the identical cut.
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = docs.select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    n_docs = docs.count()
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    exploded_all = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        exploded_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_DF_FRAC * n_docs)
+        .select("shingle")
+    )
+    filtered = exploded_all.join(rare, "shingle")
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exploded = filtered.join(sizes, "doc_id")
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -250,8 +263,19 @@ WITH sh AS (
   SELECT doc_id, {SHINGLES_SQL.format(w=WORDS_SQL)} AS shingles
   FROM documents
 ),
+ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM ex_all GROUP BY shingle
+  HAVING count(*) <= {MAX_DF_FRAC} * (SELECT count(*) FROM documents)
+),
+filtered AS (
+  SELECT e.doc_id, e.shingle FROM ex_all e JOIN rare r ON e.shingle = r.shingle
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM filtered GROUP BY doc_id),
 ex AS (
-  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+  SELECT f.doc_id, s.n_sh, f.shingle FROM filtered f JOIN sizes s ON f.doc_id = s.doc_id
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,

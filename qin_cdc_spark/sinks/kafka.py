@@ -60,7 +60,8 @@ def default_json_value(
                 F.unix_timestamp(F.coalesce(F.col("ts"), F.current_timestamp())).alias("ts"),
                 F.struct(*[F.col(c) for c in payload]).alias("data"),
                 F.lit(None).cast("string").alias("old"),
-            )
+            ),
+            {"ignoreNullFields": "false"},  # reference format always carries old
         ).alias("value"),
     )
 
