@@ -1,0 +1,301 @@
+"""LLM-pipeline extensions (north star, SURVEY §2.C continued): PII
+redaction, canonical text cleaning, TF-IDF term scoring, deterministic
+corpus sampling (Bernoulli + stratified), and duplicate-CLUSTER
+resolution (connected components over verified near-dup pairs).
+
+Everything row-local is a JVM expression; the only shuffles are the
+token df aggregation (TF-IDF), the per-stratum window (stratified
+sample), and the label-propagation joins (connected components).
+Oracles mirror the arithmetic in DuckDB (shared md5-based hashing);
+the connected-components oracle is a recursive CTE, so even the
+iterative operator is fully hash-checked.
+
+Reference parity: qin-cdc has none of these (SURVEY §2 scope note —
+it is a CDC pipeline); they are the BASELINE.json-mandated
+training-data operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from qin_cdc_spark.functions.text import hash60, words
+from qin_cdc_spark.operators.llm_text import HASH60_SQL
+from qin_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+# --------------------------------------------------------------------------
+# PII redaction: regex scrub of emails / phone numbers.  The fixture corpus
+# contains no PII, so the query injects a deterministic synthetic email +
+# phone per document and then redacts — the redaction regexes are generic,
+# the oracle mirrors both steps.
+# --------------------------------------------------------------------------
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}"
+
+PII_REDACT_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@mail.example.com or +1-555-',
+                lpad(CAST(doc_id AS VARCHAR), 4, '0')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM dirty
+"""
+
+
+@_q("text_pii_redact", PII_REDACT_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
+
+
+# --------------------------------------------------------------------------
+# Canonical cleaning: lowercase, strip non-alphanumerics (keep spaces),
+# collapse whitespace — the standard pre-tokenization normalization pass.
+# --------------------------------------------------------------------------
+
+CLEAN_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS clean,
+       len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               '\\s+', ' ', 'g'))) AS n_chars_clean
+FROM documents
+"""
+
+
+@_q("text_clean_canonical", CLEAN_ORACLE)
+def text_clean_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id", clean.alias("clean"), F.length(clean).alias("n_chars_clean")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top-3 terms per document.  tf = in-doc term count, idf =
+# ln(N/df) over the corpus; ranking on the 6-dp-rounded score (kills
+# libm ULP skew between JVM and DuckDB) with term as tiebreak.
+# Scale shape: one explode + two hash aggs + one per-doc window; df is
+# a broadcast-sized table (|vocabulary|), joined to tf without shuffle.
+# --------------------------------------------------------------------------
+
+TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf_r
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf_r
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_r DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+@_q("text_tfidf_topk", TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf_r",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_r").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf_r")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Bernoulli sample: keep ~5% of the corpus by content-free
+# key hash.  Unlike rand()-based sampling this is reproducible across
+# engines, retries, and cluster sizes — the property a training-data
+# pipeline actually needs.
+# --------------------------------------------------------------------------
+
+SAMPLE_HASH_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {HASH60_SQL.format(x="concat('sample:', CAST(doc_id AS VARCHAR))")} % 20 = 0
+"""
+
+
+@_q("sample_hash_bernoulli", SAMPLE_HASH_ORACLE)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    return docs.filter(key % 20 == 0).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Stratified sample: fixed N per stratum (lang), selected by hash order —
+# deterministic, single window per stratum, no driver-side loops.
+# --------------------------------------------------------------------------
+
+SAMPLE_STRAT_ORACLE = f"""
+SELECT lang, doc_id, source
+FROM (SELECT lang, doc_id, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {HASH60_SQL.format(x="concat('strat:', CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+"""
+
+
+@_q("sample_stratified_topn", SAMPLE_STRAT_ORACLE)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over the verified
+# MinHash-LSH near-dup pairs.  Spark side is DataFrame label propagation
+# (min-label to fixpoint — O(log diameter) rounds, each one join + one
+# agg); the oracle walks the same edges with a recursive CTE, so this
+# iterative operator is still fully hash-checked.
+# --------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list (cols doc_a,
+    doc_b) → (doc_id, component) with component = min doc_id reachable.
+
+    Each round: label[v] = min(label[v], min over neighbors' labels).
+    Convergence is checked with one scalar agg per round (sum of labels
+    strictly decreases until fixpoint).  At 100 TB scale the same loop
+    holds: every round is a shuffle on doc_id, and near-dup components
+    are shallow (pairs, triangles), so rounds ≈ 2-4; checkpointing via
+    persist() keeps lineage flat.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+def _cc_oracle() -> str:
+    from qin_cdc_spark.operators.similarity import _minhash_oracle
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.operators.similarity import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+QUERIES["dedup_cluster_cc"] = dedup_cluster_cc
+ORACLES["dedup_cluster_cc"] = _cc_oracle()

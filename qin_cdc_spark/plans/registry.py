@@ -23,12 +23,20 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     import qin_cdc_spark.operators.relational as relational
     import qin_cdc_spark.operators.relational_ext as relational_ext
 
-    modules = [relational, relational_ext]
+    import qin_cdc_spark.operators.tpch_ext as tpch_ext
+
+    modules = [relational, relational_ext, tpch_ext]
 
     try:
         import qin_cdc_spark.operators.llm_text as llm_text
 
         modules.append(llm_text)
+    except ImportError:
+        pass
+    try:
+        import qin_cdc_spark.operators.llm_ext as llm_ext
+
+        modules.append(llm_ext)
     except ImportError:
         pass
     try:
