@@ -143,7 +143,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived from tf (one row per (doc,term) already) — avoids a
+    # second scan+explode of the corpus; countDistinct collapses to a
+    # plain count because tf rows are unique per (doc,term).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")

@@ -24,7 +24,7 @@ this module is part of the §2.B query surface mandated by BASELINE.json.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from qin_cdc_spark.sources.tables import load_table
@@ -570,9 +570,12 @@ GROUP BY s_name
 
 @_q("q21_sole_late_shipper", Q21_ORACLE)
 def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated double-EXISTS decorrelated into ONE per-order aggregate:
-    n_suppliers / n_late_suppliers via countDistinct, then a filter — two
-    shuffles on l_orderkey total, no repeated correlated scans.
+    """Correlated double-EXISTS decorrelated into per-order window
+    aggregates (distinct-supplier / distinct-late-supplier counts via
+    collect_set over the order partition): ONE scan of lineitem⋈orders
+    and ONE shuffle on l_orderkey — no correlated re-scans, no
+    agg-then-join-back second shuffle.  Set sizes are bounded by
+    suppliers-per-order (single digits), so window state stays tiny.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -583,17 +586,19 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
     )
-    per_order = tagged.groupBy(F.col("l_orderkey").alias("ord_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late"),
+    w = Window.partitionBy("l_orderkey")
+    per_order = tagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_suppliers"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
     )
     return (
-        tagged.filter(F.col("is_late") == 1)
-        .join(
-            per_order,
-            (F.col("l_orderkey") == F.col("ord_key"))
-            & (F.col("n_suppliers") >= 2)
-            & (F.col("n_late") == 1),
+        per_order.filter(
+            (F.col("is_late") == 1) & (F.col("n_suppliers") >= 2) & (F.col("n_late") == 1)
         )
         .join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey, "left_semi")
