@@ -1,0 +1,176 @@
+"""Scale-path join strategies, expressed as oracle-checked operators:
+
+- ``join_salted_skew``: explicit key-salting for skewed fact-fact joins —
+  the manual fallback when AQE skew splitting can't help (e.g. a single
+  hot key inside one task after AQE's split floor).
+- ``join_bucketed_colocated``: bucketed storage on both sides so the
+  join needs NO shuffle at read time — the bucketing/co-location story
+  for repeated 100 TB joins (write once, join many times shuffle-free).
+- ``scan_sorted_zonemap``: range-repartitioned + sorted parquet layout,
+  so point/range predicates prune via row-group min/max stats.
+
+Each returns the same rows as a plain formulation, so the DuckDB oracle
+is the plain SQL — correctness of the *strategy*, not just the plan
+shape, is hash-checked; plan-shape assertions (no Exchange over the
+bucketed join, salt distribution) live in tests/test_scale_joins.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from qin_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+N_SALT = 8
+
+SALTED_ORACLE = """
+SELECT o_orderstatus, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """Generic salted equi-join: the fact side gets a deterministic salt
+    in [0, n_salt); the dim side is exploded n_salt× so every
+    (key, salt) pair finds its match.  The shuffle key becomes
+    (key, salt) — a hot key now spreads over n_salt reducers at the cost
+    of replicating the smaller side n_salt×.
+
+    Deterministic salt (hash of the full row's key + a per-row uniform
+    column via xxhash64 of monotonically varying inputs would be
+    non-reproducible; instead we hash the fact row's OTHER columns) is
+    not required for correctness — any distribution works — so we use
+    pmod(xxhash64(all fact columns), n_salt): stable for a given row,
+    uniform across rows.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    cond = (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["_salt"] == dim_s["_salt"])
+    return fact_s.join(dim_s, cond).drop("_salt")
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+QUERIES["join_salted_skew"] = join_salted_skew
+ORACLES["join_salted_skew"] = SALTED_ORACLE
+
+
+BUCKETED_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       sum(agg_qty) AS sum_qty, count(*) AS n_orders
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS agg_qty
+      FROM lineitem GROUP BY l_orderkey) li
+  ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+_BUCKET_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
+    """Write orders and the per-order lineitem rollup as bucketed+sorted
+    tables (hash(key) % n_buckets files, sorted by key within bucket).
+    One-time shuffle at write; every later join on the bucket key reads
+    both sides co-located — zero Exchange in the join plan.  Cached per
+    (session, sf_dir) like a real warehouse layout would be.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKET_TABLES:
+        return _BUCKET_TABLES[key]
+    suffix = abs(hash(key)) % 10**8
+    o_name, l_name = f"orders_b{suffix}", f"li_rollup_b{suffix}"
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    orders = load_table(spark, sf_dir, "orders")
+    li_rollup = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("agg_qty"))
+    )
+    (
+        orders.write.bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{o_name}")
+        .mode("overwrite")
+        .saveAsTable(o_name)
+    )
+    (
+        li_rollup.write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/{l_name}")
+        .mode("overwrite")
+        .saveAsTable(l_name)
+    )
+    _BUCKET_TABLES[key] = (o_name, l_name)
+    return o_name, l_name
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_name, l_name = bucketed_tables(spark, sf_dir)
+    orders = spark.table(o_name)
+    li = spark.table(l_name)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("agg_qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+QUERIES["join_bucketed_colocated"] = join_bucketed_colocated
+ORACLES["join_bucketed_colocated"] = BUCKETED_ORACLE
+
+
+ZONEMAP_ORACLE = """
+SELECT count(*) AS n_rows, sum(o_totalprice) AS sum_price
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 2000
+"""
+
+
+def scan_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-repartition + in-partition sort before writing: each output
+    file covers a disjoint key range, so a key-range predicate prunes to
+    ~one file via parquet min/max stats (and row-group stats inside it).
+    The 100 TB pattern for append-only fact tables queried by range.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="zonemap_") + "/orders_sorted"
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderkey").between(1000, 2000))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("o_totalprice").alias("sum_price")
+    )
+
+
+QUERIES["scan_sorted_zonemap"] = scan_sorted_zonemap
+ORACLES["scan_sorted_zonemap"] = ZONEMAP_ORACLE

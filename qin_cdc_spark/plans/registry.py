@@ -40,6 +40,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.scale_joins as scale_joins
+
+        modules.append(scale_joins)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.operators.similarity as similarity
 
         modules.append(similarity)

@@ -1,0 +1,83 @@
+"""Plan-shape and distribution assertions for operators/scale_joins.py
+(result correctness is covered by the oracle gate)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from qin_cdc_spark.operators.scale_joins import bucketed_tables
+
+    o_name, l_name = bucketed_tables(spark, SF_SMOKE)
+    orders = spark.table(o_name)
+    li = spark.table(l_name)
+    # At fixture scale AQE would just broadcast the tiny side (and skip
+    # bucketed reading entirely); disable it to expose the plan shape
+    # that matters at 100 TB, where neither side broadcasts.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # Bucketed co-location: the join itself must not introduce a shuffle.
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_bucketed_scan_reports_selected_buckets(spark):
+    from qin_cdc_spark.operators.scale_joins import bucketed_tables
+
+    o_name, _ = bucketed_tables(spark, SF_SMOKE)
+    # autoBucketedScan disables bucketed reading when no join/agg
+    # benefits; turn it off so the point filter shows bucket pruning.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = _plan(spark.table(o_name).filter(F.col("o_orderkey") == 7))
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from qin_cdc_spark.operators.scale_joins import N_SALT, salted_join
+
+    # one hot key (0) with 10k rows + a long tail
+    fact = spark.range(0, 10_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    ).unionByName(
+        spark.range(1, 1_000).select(F.col("id").alias("k"), F.col("id").alias("payload"))
+    )
+    dim = spark.range(0, 1_000).select(F.col("id").alias("dk"), (F.col("id") * 2).alias("dval"))
+    out = salted_join(fact, dim, "k", "dk")
+    assert out.count() == 10_000 + 999
+    # the hot key's rows must occupy every salt bucket
+    salt = F.pmod(F.xxhash64(F.col("k"), F.col("payload")), F.lit(N_SALT))
+    n_buckets = (
+        fact.filter(F.col("k") == 0).select(salt.alias("s")).distinct().count()
+    )
+    assert n_buckets == N_SALT
+
+
+def test_zonemap_scan_prunes_files(spark):
+    from qin_cdc_spark.operators.scale_joins import scan_sorted_zonemap
+
+    out = scan_sorted_zonemap(spark, SF_SMOKE)
+    row = out.collect()[0]
+    assert row["n_rows"] > 0
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "o_orderkey" in plan
