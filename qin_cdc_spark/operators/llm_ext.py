@@ -302,3 +302,61 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_cluster_cc"] = dedup_cluster_cc
 ORACLES["dedup_cluster_cc"] = _cc_oracle()
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring: per-document mean conditional log-prob
+# ln P(w_i | w_{i-1}) under the corpus's own bigram counts — the classic
+# cheap fluency/perplexity proxy for corpus filtering.  Counts are two
+# hash aggs; the per-doc score is one join + one avg; ranking on the
+# 6-dp-rounded score for cross-engine determinism.
+# --------------------------------------------------------------------------
+
+BIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+  FROM tok WHERE len(w) >= 2
+),
+pairs AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big),
+bigram_counts AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+unigram_counts AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+SELECT doc_id,
+       round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 6) AS mean_logprob,
+       count(*) AS n_bigrams
+FROM pairs JOIN bigram_counts USING (w1, w2) JOIN unigram_counts USING (w1)
+GROUP BY doc_id
+"""
+
+
+@_q("text_bigram_logprob", BIGRAM_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.lower(F.col("text")))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+        ),
+    )
+    pairs = (
+        docs.filter(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    unigram_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        pairs.join(F.broadcast(bigram_counts), ["w1", "w2"])
+        .join(F.broadcast(unigram_counts), ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))), 6).alias(
+                "mean_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

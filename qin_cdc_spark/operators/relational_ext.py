@@ -595,3 +595,94 @@ QUERIES["sql_hint_broadcast"] = sql_hint_broadcast
 ORACLES["scan_partitioned_pruned"] = SCAN_PARTITIONED_ORACLE
 ORACLES["scan_csv"] = SCAN_CSV_ORACLE
 ORACLES["sql_hint_broadcast"] = SQL_HINT_ORACLE
+
+
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source scan (columnar alternative to parquet; same pushdown/
+    pruning properties through the same DataFrame surface)."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="orc_scan_") + "/nation"
+    nation.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .filter(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+SCAN_ORC_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 2
+"""
+
+
+def setop_union_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns — schema-evolution-tolerant
+    append (new files carry extra columns; old rows take NULLs)."""
+    region = load_table(spark, sf_dir, "region")
+    old = region.select(F.col("r_regionkey").alias("key"), F.col("r_name").alias("name"))
+    new = region.select(
+        F.col("r_regionkey").alias("key"),
+        F.col("r_name").alias("name"),
+        F.length("r_name").alias("name_len"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+SETOP_UNION_MISSING_ORACLE = """
+SELECT r_regionkey AS key, r_name AS name, NULL::BIGINT AS name_len FROM region
+UNION ALL
+SELECT r_regionkey, r_name, length(r_name) FROM region
+"""
+
+
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() / median() aggregates (order statistics family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linenumber").alias("mode_line"),
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_MODE_MEDIAN_ORACLE = """
+SELECT l_returnflag, mode(l_linenumber) AS mode_line,
+       median(l_quantity) AS median_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a running frame (2nd order's price seen so far per
+    status, in date order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+WIN_NTH_VALUE_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       nth_value(o_totalprice, 2) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+FROM orders
+"""
+
+QUERIES["scan_orc"] = scan_orc
+QUERIES["setop_union_missing"] = setop_union_missing
+QUERIES["agg_mode_median"] = agg_mode_median
+QUERIES["win_nth_value"] = win_nth_value
+ORACLES["scan_orc"] = SCAN_ORC_ORACLE
+ORACLES["setop_union_missing"] = SETOP_UNION_MISSING_ORACLE
+ORACLES["agg_mode_median"] = AGG_MODE_MEDIAN_ORACLE
+ORACLES["win_nth_value"] = WIN_NTH_VALUE_ORACLE

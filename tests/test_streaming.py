@@ -407,3 +407,73 @@ def test_checkpoint_no_reprocess(spark, tmp_path):
     )
     assert mtime2 == mtime
     assert route.target.read().count() == _orders_oracle_counts(spark)
+
+
+def test_stream_static_join_equals_batch(spark, events_stream_dir):
+    """Stateless stream⋈static-dim enrichment (the CDC 'lookup table'
+    pattern): append-mode result must equal the batch join exactly."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 10).alias("segment")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "segment", "value"
+    )
+    got = _run_stream_to_memory(spark, enriched, "ss_static_join", "append")
+    exp = ev.join(dim, "user_id").select("event_id", "user_id", "segment", "value")
+    assert got.subtract(exp).count() == 0
+    assert exp.subtract(got).count() == 0
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream_dir):
+    """Stream-stream inner join (click↔purchase style): two substreams of
+    the same source joined on user_id within a ±1h event-time band.
+    Watermark delay (30 days) exceeds the fixture's whole time span, so
+    no state is evicted and the result must equal the batch join."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_stream_dir)
+    )
+    left = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 days")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+    )
+    right = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 days")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = left.join(right, cond).select("l_id", "r_id")
+    got = _run_stream_to_memory(spark, joined, "ss_ss_join", "append")
+
+    bl = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    br = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    exp = bl.join(br, cond).select("l_id", "r_id")
+    assert exp.count() > 0
+    assert got.subtract(exp).count() == 0
+    assert exp.subtract(got).count() == 0
