@@ -136,3 +136,121 @@ FROM b
 
 QUERIES = {"mm_decode_meta": mm_decode_meta}
 ORACLES = {"mm_decode_meta": MM_DECODE_ORACLE}
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_w", IntegerType()),
+        StructField("new_h", IntegerType()),
+    ]
+)
+
+TARGET_BOX = 224
+
+
+def fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving fit into a 224×224 box, integer arithmetic only
+    (so the oracle is exact): new_dim = dim * 224 // max(w, h).  A real
+    deployment swaps in PIL's Image.thumbnail here — the batch contract
+    (decoded dims in, resized dims out) is identical."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+        w = (64 + n_bytes % 512).astype("int64")
+        h = (64 + (n_bytes * 7 + first) % 512).astype("int64")
+        m = w.combine(h, max)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "new_w": (w * TARGET_BOX // m).astype("int32"),
+                "new_h": (h * TARGET_BOX // m).astype("int32"),
+            }
+        )
+
+
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode→resize plumbing via mapInPandas (dims derived
+    from the payload, resized with integer box-fit arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_resize_batch, schema=RESIZED_SCHEMA)
+
+
+MM_RESIZE_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS nb,
+         CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INTEGER) AS fb
+  FROM documents
+),
+d AS (
+  SELECT doc_id, 64 + nb % 512 AS w, 64 + (nb * 7 + fb) % 512 AS h FROM b
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(w * 224 // greatest(w, h) AS INTEGER) AS new_w,
+       CAST(h * 224 // greatest(w, h) AS INTEGER) AS new_h
+FROM d
+"""
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_off", IntegerType()),
+    ]
+)
+
+FRAME_SIZE = 100
+FRAME_STRIDE = 10
+
+
+def fake_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video frame sampling stand-in: payload = n_bytes//100 'frames',
+    keep every 10th — demonstrates the 1-row-in/N-rows-out mapInPandas
+    shape (a real kernel emits decoded frame tensors the same way)."""
+    for pdf in batches:
+        out_doc, out_idx = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_SIZE
+            for i in range(0, n_frames, FRAME_STRIDE):
+                out_doc.append(doc_id)
+                out_idx.append(i)
+        idx = pd.Series(out_idx, dtype="int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": idx,
+                "frame_off": (idx * FRAME_SIZE).astype("int32"),
+            }
+        )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: strided frame sampling over 'video' payloads — the
+    row-expanding mapInPandas contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_payload(docs)
+    return media.mapInPandas(fake_frame_sample_batch, schema=FRAMES_SCHEMA)
+
+
+MM_FRAME_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS frame_idx,
+       CAST(unnest(range(0, n_frames, 10)) * 100 AS INTEGER) AS frame_off
+FROM b WHERE n_frames > 0
+"""
+
+
+QUERIES["mm_resize_meta"] = mm_resize_meta
+QUERIES["mm_frame_sample"] = mm_frame_sample
+ORACLES["mm_resize_meta"] = MM_RESIZE_ORACLE
+ORACLES["mm_frame_sample"] = MM_FRAME_SAMPLE_ORACLE

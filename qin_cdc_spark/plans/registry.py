@@ -58,6 +58,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.udf_surface as udf_surface
+
+        modules.append(udf_surface)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.operators.ivf as ivf
 
         modules.append(ivf)
