@@ -26,6 +26,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q10_returned_items",
+    "q21_sole_late_shipper",
+    "join_salted_skew",
+    "text_tfidf_topk",
     "join_range_nonequi",
     "agg_distinct",
     "win_running_sum",

@@ -360,3 +360,50 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation: the composed keep/drop decision a training-data
+# pipeline actually ships — language gate ∧ quality gate ∧ length gate
+# in ONE pass (all row-local expressions, so Catalyst fuses the whole
+# filter stack into the scan).
+# --------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from qin_cdc_spark.operators.llm_text import (
+        TEXT_LANGUAGE_ID_ORACLE,
+        TEXT_QUALITY_ORACLE,
+    )
+
+    return f"""
+WITH lang_pred AS ({TEXT_LANGUAGE_ID_ORACLE}),
+q AS ({TEXT_QUALITY_ORACLE})
+SELECT q.doc_id, q.n_words, q.quality_score, lang_pred.pred_lang
+FROM q JOIN lang_pred ON q.doc_id = lang_pred.doc_id
+WHERE lang_pred.pred_lang = 'en'
+  AND q.quality_score >= 0.5
+  AND q.n_words BETWEEN 20 AND 1000
+"""
+
+
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.operators.llm_text import predict_language, text_quality_score
+
+    quality = text_quality_score(spark, sf_dir)
+    lang = predict_language(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang"
+    )
+    return (
+        quality.join(lang, "doc_id")
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality_score") >= 0.5)
+            & (F.col("n_words").between(20, 1000))
+        )
+        .select("doc_id", "n_words", "quality_score", "pred_lang")
+    )
+
+
+QUERIES["pipeline_corpus_curation"] = pipeline_corpus_curation
+ORACLES["pipeline_corpus_curation"] = _curation_oracle()

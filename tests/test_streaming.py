@@ -477,3 +477,47 @@ def test_stream_stream_join_equals_batch(spark, events_stream_dir):
     assert exp.count() > 0
     assert got.subtract(exp).count() == 0
     assert exp.subtract(got).count() == 0
+
+
+def test_streaming_dedup_store_cross_batch(spark, tmp_path):
+    """Incremental fingerprint-store dedup: streamed corpus (with forced
+    duplicates) admits exactly the batch-mode distinct fingerprints,
+    and a replay from a fresh checkpoint admits nothing new."""
+    from qin_cdc_spark.functions.text import md5_fingerprint, normalize_text
+    from qin_cdc_spark.streaming.dedup_store import (
+        FingerprintStore,
+        start_streaming_dedup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # force cross-file duplicates: union the corpus with itself, spread
+    # over 4 files so copies land in different micro-batches
+    doubled = docs.union(docs)
+    src = str(tmp_path / "docs_stream")
+    doubled.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = FingerprintStore(spark, str(tmp_path / "fp_store"))
+    q = start_streaming_dedup(spark, stream, store, str(tmp_path / "ckpt1"))
+    q.awaitTermination(300)
+
+    expected_fps = {
+        r["fp"]
+        for r in docs.select(
+            md5_fingerprint(normalize_text(F.col("text"))).alias("fp")
+        ).collect()
+    }
+    admitted = store.read()
+    got_fps = {r["fp"] for r in admitted.select("fp").collect()}
+    assert got_fps == expected_fps
+    assert admitted.count() == len(expected_fps)  # exactly one winner per fp
+
+    # replay everything from a fresh checkpoint → nothing new admitted
+    stream2 = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    q2 = start_streaming_dedup(spark, stream2, store, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(300)
+    assert store.read().count() == len(expected_fps)
