@@ -80,7 +80,15 @@ class ParquetUpsertTable:
             (F.col(op_col) == "delete").alias("_deleted"),
         )
         current = self.read_internal()
-        union = incoming if current is None else current.unionByName(incoming)
+        # allowMissingColumns: schema evolution support — a batch decoded
+        # under a NEWER schema version (added column) merges into an older
+        # table (old rows take NULL), and vice versa for dropped columns
+        # (A12 DDL-apply semantics at the sink).
+        union = (
+            incoming
+            if current is None
+            else current.unionByName(incoming, allowMissingColumns=True)
+        )
         merged = latest_by_key(union, self.keys, seq_col="_seq")
         self._swap_write(merged)
 

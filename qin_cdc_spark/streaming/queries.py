@@ -173,3 +173,99 @@ ORACLES = {
     "ev_dedup_first_by_key": EV_DEDUP_ORACLE,
     "ev_watermark_late_drop": EV_WATERMARK_ORACLE,
 }
+
+
+def ev_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable sessionization: new session when the per-user gap
+    exceeds 30 min (lag + cumulative sum of boundary flags) — the
+    window-function formulation that, unlike ``session_window``, leaves
+    per-event rows available for downstream ops.  One shuffle on
+    user_id; session stats per (user, session)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "value", F.sum(is_new).over(w).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+EV_SESSIONIZE_GAP_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       sum(value) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first 'view' precedes their first
+    'click' precedes their first 'purchase' — conditional min-timestamp
+    aggregation (one shuffle on user_id), the standard conversion
+    query."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return per_user.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("converted"),
+    )
+
+
+EV_FUNNEL_ORACLE = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase,
+       coalesce(
+         min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+         AND min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+         AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+         AND min(CASE WHEN event_type = 'view' THEN ts END)
+             < min(CASE WHEN event_type = 'click' THEN ts END)
+         AND min(CASE WHEN event_type = 'click' THEN ts END)
+             < min(CASE WHEN event_type = 'purchase' THEN ts END), false)
+         AS converted
+FROM events GROUP BY user_id
+"""
+
+QUERIES["ev_sessionize_gap"] = ev_sessionize_gap
+QUERIES["ev_funnel_conversion"] = ev_funnel_conversion
+ORACLES["ev_sessionize_gap"] = EV_SESSIONIZE_GAP_ORACLE
+ORACLES["ev_funnel_conversion"] = EV_FUNNEL_ORACLE

@@ -521,3 +521,89 @@ def test_streaming_dedup_store_cross_batch(spark, tmp_path):
     q2 = start_streaming_dedup(spark, stream2, store, str(tmp_path / "ckpt2"))
     q2.awaitTermination(300)
     assert store.read().count() == len(expected_fps)
+
+
+def test_cdc_stream_schema_evolution(spark, tmp_path):
+    """Mid-stream DDL add-column (A10-A12 + sink evolution): phase 1
+    streams rows under schema v1; a DDL bumps the registry to v2 (added
+    column); phase 2 restarts the stream with the v2 schema over new
+    envelope files.  The target ends with the merged schema — v1 rows
+    carry NULL in the new column, v2 rows carry values — and LWW still
+    holds across the versions."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from qin_cdc_spark.cdc.registry import DdlOp, SchemaRegistry
+
+    v1 = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    reg = SchemaRegistry()
+    reg.add("src", "acct", v1)
+
+    rows_v1 = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 2), (3, "c", "insert", 3)],
+        ["id", "name", "op", "seq"],
+    )
+    env_dir = str(tmp_path / "env")
+    envelope_from_typed(rows_v1, db="src", table="acct").coalesce(1).write.mode(
+        "append"
+    ).parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="acct",
+        schema=reg.get("src", "acct"),
+        keys=["id"],
+        target_path=str(tmp_path / "acct_tbl"),
+    )
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    assert route.target.read().count() == 3
+
+    # DDL: ALTER TABLE acct ADD COLUMN tier STRING
+    new_version = reg.apply_ddl(
+        "src", "acct", DdlOp(action="add-column", column="tier", dtype=StringType())
+    )
+    assert new_version == 2
+    v2 = reg.get("src", "acct")
+    assert "tier" in v2.fieldNames()
+
+    # phase 2: new envelopes under v2 — an update to an existing key and
+    # a fresh insert, both carrying the new column
+    rows_v2 = spark.createDataFrame(
+        [(2, "b2", "gold", "update", 4), (9, "z", "silver", "insert", 5)],
+        ["id", "name", "tier", "op", "seq"],
+    )
+    envelope_from_typed(rows_v2, db="src", table="acct").coalesce(1).write.mode(
+        "append"
+    ).parquet(env_dir)
+
+    route2 = CdcStreamRoute(
+        spark,
+        db="src",
+        table="acct",
+        schema=v2,
+        keys=["id"],
+        target_path=str(tmp_path / "acct_tbl"),
+    )
+    q2 = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        [route2],
+        checkpoint_dir=str(tmp_path / "ckpt"),  # SAME checkpoint: resume
+    )
+    q2.awaitTermination(300)
+
+    got = {r["id"]: (r["name"], r["tier"]) for r in route2.target.read().collect()}
+    assert got == {
+        1: ("a", None),
+        2: ("b2", "gold"),
+        3: ("c", None),
+        9: ("z", "silver"),
+    }
