@@ -135,3 +135,103 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"sim_ann_ivf": sim_ann_ivf}
 ORACLES: dict[str, str] = {}  # iterative k-means: rows-only by design
+
+
+class IvfIndex:
+    """Persisted IVF index: centroids (JSON) + cluster-assigned corpus
+    (parquet, partitioned by cluster so a probe reads only its lists).
+    Closes the PLANS.md gap 'IVF centroids retrain per query call' —
+    build once, search many times; at 100 TB the assigned corpus is the
+    big artifact and lives partitioned on the cluster key."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def build(self, spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS) -> None:
+        import json
+        import os
+
+        emb = load_table(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        centroids = train_kmeans(emb, k)
+        os.makedirs(self.path, exist_ok=True)
+        with open(f"{self.path}/centroids.json", "w") as f:
+            json.dump(centroids, f)
+        emb.select(
+            "vec_id", "embedding", _assign_expr(centroids).alias("cluster")
+        ).write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{self.path}/corpus"
+        )
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(f"{self.path}/centroids.json")
+
+    def centroids(self) -> list[list[float]]:
+        import json
+
+        with open(f"{self.path}/centroids.json") as f:
+            return json.load(f)
+
+    def corpus(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/corpus")
+
+
+def ivf_search(
+    spark: SparkSession,
+    index: IvfIndex,
+    queries_df: DataFrame,
+    *,
+    n_probe: int = N_PROBE,
+    top_k: int = 5,
+) -> DataFrame:
+    """Search a persisted index: probe the n_probe nearest lists per
+    query (cluster-partition pruning at scan time), exact-cosine
+    re-rank.  queries_df: (query_id, q_emb)."""
+    centroids = index.centroids()
+    cents = _centroid_lits(centroids)
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("q_emb"), c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    probes = (
+        queries_df.select("query_id", "q_emb", dists.alias("cdists"))
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(F.slice(F.array_sort(F.col("cdists")), 1, n_probe)).alias(
+                "probe_dist"
+            ),
+            F.col("cdists"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            (F.array_position(F.col("cdists"), F.col("probe_dist")) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        .distinct()
+    )
+    cand = index.corpus(spark).join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 9).alias("cos_r"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "cand_id", "cos_r", "rn")
+    )

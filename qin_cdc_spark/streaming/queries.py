@@ -269,3 +269,39 @@ QUERIES["ev_sessionize_gap"] = ev_sessionize_gap
 QUERIES["ev_funnel_conversion"] = ev_funnel_conversion
 ORACLES["ev_sessionize_gap"] = EV_SESSIONIZE_GAP_ORACLE
 ORACLES["ev_funnel_conversion"] = EV_FUNNEL_ORACLE
+
+
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day (cohort),
+    counted as retained in each later day they return.  Two shuffles
+    (first-seen agg on user_id, then cohort-cell agg) — the standard
+    growth-analytics rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.to_date(F.col("ts")), F.col("cohort_day")),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+EV_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT cohort_day,
+       datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["ev_cohort_retention"] = ev_cohort_retention
+ORACLES["ev_cohort_retention"] = EV_COHORT_ORACLE

@@ -119,3 +119,25 @@ def test_multimodal_batch_shape(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         next(real_decode_batch(iter([])))
+
+
+def test_ivf_persisted_index_matches_fresh_search(spark, tmp_path):
+    """Build→save→load→search returns exactly the per-query-call result
+    (PLANS.md gap closed: centroids persist instead of retraining)."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.ivf import IvfIndex, ivf_search, sim_ann_ivf
+    from qin_cdc_spark.sources.tables import load_table
+
+    idx = IvfIndex(str(tmp_path / "ivf_idx"))
+    idx.build(spark, SF_SMOKE)
+    assert idx.exists()
+
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    got = sorted(map(tuple, ivf_search(spark, idx, queries).collect()))
+    fresh = sorted(map(tuple, sim_ann_ivf(spark, SF_SMOKE).collect()))
+    assert got == fresh
