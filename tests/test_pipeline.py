@@ -115,3 +115,61 @@ def test_pipeline_end_to_end(spark, tmp_path):
         "SELECT priority, count(*) AS n FROM ods_orders GROUP BY priority ORDER BY n DESC"
     )
     assert top.count() > 0
+
+
+def test_cli_batch_mode(spark, tmp_path, capsys):
+    """python -m qin_cdc_spark end-to-end in batch mode: TOML config +
+    parquet-inferred schema + CLI flags → applied target table."""
+    from qin_cdc_spark.__main__ import main
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        """
+name = "cli-sync"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "accounts"
+target-schema = "dw"
+target-table = "ods_accounts"
+"""
+    )
+    rows = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 2), (1, "a2", "update", 3)],
+        ["id", "name", "op", "seq"],
+    )
+    sample = str(tmp_path / "sample_accounts")
+    rows.select("id", "name").limit(1).write.parquet(sample)
+    env_dir = str(tmp_path / "env")
+    envelope_from_typed(rows, db="src", table="accounts").write.parquet(env_dir)
+
+    assert main([
+        "--config", str(cfg),
+        "--schema", f"src.accounts={sample}",
+        "--primary-key", "src.accounts=id",
+        "--envelope-dir", env_dir,
+        "--target-root", str(tmp_path / "targets"),
+        "--mode", "batch",
+    ]) == 0
+
+    got = {
+        r["id"]: r["name"]
+        for r in spark.read.parquet(
+            str(tmp_path / "targets" / "dw" / "ods_accounts")
+        ).collect()
+    }
+    assert got == {1: "a2", 2: "b"}
+
+
+def test_cli_version(capsys):
+    from qin_cdc_spark.__main__ import main
+
+    assert main(["--version"]) == 0
+    assert "qin_cdc_spark" in capsys.readouterr().out
