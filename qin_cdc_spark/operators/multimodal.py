@@ -105,11 +105,21 @@ def decode_media(df: DataFrame, kernel=fake_decode_batch) -> DataFrame:
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: full multimodal path — synthesize payloads, decode
     via mapInPandas, join decoded features back to metadata."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition: fixture is one file → one partition → ONE Python
+    # worker for the decode; spread it (no-op on a many-split input).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media = with_payload(docs)
     decoded = decode_media(media)
+    # metadata side is (doc_id, int) — broadcast it so the join adds no
+    # shuffle over the decoded stream.
     return decoded.join(
-        media.select("doc_id", F.col("media_meta.declared_size").alias("declared_size")),
+        F.broadcast(
+            media.select(
+                "doc_id", F.col("media_meta.declared_size").alias("declared_size")
+            )
+        ),
         "doc_id",
     ).select("doc_id", "n_bytes", "width", "height", "first_byte", "format", "declared_size")
 

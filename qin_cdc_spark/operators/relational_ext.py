@@ -686,3 +686,74 @@ ORACLES["scan_orc"] = SCAN_ORC_ORACLE
 ORACLES["setop_union_missing"] = SETOP_UNION_MISSING_ORACLE
 ORACLES["agg_mode_median"] = AGG_MODE_MEDIAN_ORACLE
 ORACLES["win_nth_value"] = WIN_NTH_VALUE_ORACLE
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic order (collect_list is
+    unordered by contract — array_sort pins it, matching DuckDB's
+    list(x ORDER BY x))."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_COLLECT_SORTED_ORACLE = """
+SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations, count(*) AS n
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def fn_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar function family: add_months, last_day, quarter,
+    dayofweek, day-of-year."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_q"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
+FN_DATE_EXTRAS_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_q,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       quarter(o_orderdate) AS q,
+       dayofweek(o_orderdate) + 1 AS dow,
+       dayofyear(o_orderdate) AS doy
+FROM orders
+"""
+
+
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL(18,2) money aggregation — no float accumulation
+    drift by construction, the fixed-point path for financial rollups."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(price).alias("sum_price_dec"),
+        F.max(price).alias("max_price_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_DECIMAL_EXACT_ORACLE = """
+SELECT o_orderstatus,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_dec,
+       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price_dec,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["agg_collect_sorted"] = agg_collect_sorted
+QUERIES["fn_date_extras"] = fn_date_extras
+QUERIES["agg_decimal_exact"] = agg_decimal_exact
+ORACLES["agg_collect_sorted"] = AGG_COLLECT_SORTED_ORACLE
+ORACLES["fn_date_extras"] = FN_DATE_EXTRAS_ORACLE
+ORACLES["agg_decimal_exact"] = AGG_DECIMAL_EXACT_ORACLE
