@@ -757,3 +757,77 @@ QUERIES["agg_decimal_exact"] = agg_decimal_exact
 ORACLES["agg_collect_sorted"] = AGG_COLLECT_SORTED_ORACLE
 ORACLES["fn_date_extras"] = FN_DATE_EXTRAS_ORACLE
 ORACLES["agg_decimal_exact"] = AGG_DECIMAL_EXACT_ORACLE
+
+
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value(... IGNORE NULLS) gap-fill: carry the last non-null
+    'purchase' value forward over each user's event history — the
+    canonical forward-fill."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+WIN_IGNORE_NULLS_ORACLE = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+"""
+
+
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: extract, extract-all, count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([a-z]+)ing\b", 1).alias("first_ing_stem"),
+        F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{3}\b"), 0).alias("three_letter"),
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b")).alias("n_the"),
+    )
+
+
+FN_REGEXP_ORACLE = """
+SELECT doc_id,
+       coalesce(regexp_extract(text, '([a-z]+)ing\\b', 1), '') AS first_ing_stem,
+       regexp_extract_all(text, '\\b[a-z]{3}\\b') AS three_letter,
+       len(regexp_extract_all(text, '\\bthe\\b')) AS n_the
+FROM documents
+"""
+
+
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id over a cube — distinguishing real NULL
+    group keys from superaggregate rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+    )
+
+
+AGG_GROUPING_ID_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_prio
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["win_ignore_nulls"] = win_ignore_nulls
+QUERIES["fn_regexp"] = fn_regexp
+QUERIES["agg_grouping_id"] = agg_grouping_id
+ORACLES["win_ignore_nulls"] = WIN_IGNORE_NULLS_ORACLE
+ORACLES["fn_regexp"] = FN_REGEXP_ORACLE
+ORACLES["agg_grouping_id"] = AGG_GROUPING_ID_ORACLE
