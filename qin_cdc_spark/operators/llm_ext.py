@@ -407,3 +407,78 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["pipeline_corpus_curation"] = pipeline_corpus_curation
 ORACLES["pipeline_corpus_curation"] = _curation_oracle()
+
+
+# --------------------------------------------------------------------------
+# Repetition ratio (Gopher-style quality signal): fraction of 3-gram
+# occurrences that are repeats — high values flag boilerplate/spam.
+# Row-local (no shuffle at all): total vs distinct shingle counts.
+# --------------------------------------------------------------------------
+
+REPETITION_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, len(w) - 2) + 1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+)
+SELECT doc_id, len(grams) AS n_grams,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         AS repetition_ratio
+FROM s WHERE len(grams) > 0
+"""
+
+
+@_q("text_repetition_ratio", REPETITION_ORACLE)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.lower(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - 2)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+    )
+    out = docs.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
+    return out.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"),
+            6,
+        ).alias("repetition_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Word entropy (vocabulary-diversity quality signal): Shannon entropy of
+# the in-doc word distribution.  One explode + per-doc agg.
+# --------------------------------------------------------------------------
+
+WORD_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)
+SELECT doc_id,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+         AS word_entropy
+FROM tf JOIN n USING (doc_id)
+GROUP BY doc_id
+"""
+
+
+@_q("text_word_entropy", WORD_ENTROPY_ORACLE)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("word_entropy"))
+    )
