@@ -98,8 +98,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # JVM/codegen warmup (not counted)
+    # JVM/codegen warmup + Python-worker warmup (not counted): the first
+    # mapInPandas call pays ~3 s of worker startup per executor slot.
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
