@@ -607,3 +607,43 @@ def test_cdc_stream_schema_evolution(spark, tmp_path):
         3: ("c", None),
         9: ("z", "silver"),
     }
+
+
+def test_pipeline_metrics_listener(spark, events_stream_dir):
+    """A33 metrics surface: listener counts rows/batches across a
+    streaming query and survives termination."""
+    import time as _time
+
+    from qin_cdc_spark.streaming.metrics import attach_metrics
+
+    m = attach_metrics(spark)
+    try:
+        ev_schema = load_table(spark, SF_SMOKE, "events").schema
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(events_stream_dir)
+        )
+        q = (
+            stream.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener callbacks are async — allow them to drain
+        deadline = _time.time() + 30
+        snap = m.snapshot()
+        n_events = load_table(spark, SF_SMOKE, "events").count()
+        while _time.time() < deadline and snap["rows_processed"] < n_events:
+            _time.sleep(0.5)
+            snap = m.snapshot()
+        assert snap["rows_processed"] == n_events
+        assert snap["batches_processed"] >= 2  # 4 files / 2 per trigger
+        assert any(v["rows"] == n_events for v in snap["queries"].values())
+        assert snap["uptime_s"] > 0
+    finally:
+        spark.streams.removeListener(m)
