@@ -1,0 +1,81 @@
+"""Property-based hardening (hypothesis) for the hand-built operators:
+salted join ≡ plain join, and DataFrame connected components ≡ a pure
+Python union-find, on randomized inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact_keys=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=25),
+    dim_keys=st.sets(st.integers(min_value=0, max_value=6), max_size=7),
+)
+def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys):
+    from qin_cdc_spark.operators.scale_joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)] or [(None, None)],
+        "k long, payload long",
+    ).filter("k is not null")
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in dim_keys] or [(None, None)], "dk long, dval long"
+    ).filter("dk is not null")
+    got = sorted(
+        (r["k"], r["payload"], r["dval"])
+        for r in salted_join(fact, dim, "k", "dk").collect()
+    )
+    want = sorted(
+        (k, i, k * 10) for i, k in enumerate(fact_keys) if k in dim_keys
+    )
+    assert got == want
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    from qin_cdc_spark.operators.llm_ext import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == _union_find_components(edges)
