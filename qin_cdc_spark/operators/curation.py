@@ -1,0 +1,364 @@
+"""Corpus-curation operators: the training-data pipeline surface beyond
+dedup/similarity (SURVEY §2.C) — per-source caps, benchmark
+decontamination, cluster-representative selection, corpus statistics,
+embedding quantization, kNN label voting.
+
+The reference (qin-cdc) has no analytics surface at all; these are the
+north-star extensions mandated by BASELINE.json, designed Spark-first:
+every op is a declarative DataFrame plan (shuffle-by-key joins,
+window ranking, broadcastable small sides), no driver-side loops.
+
+Same contract as the other operator modules: each query has a DuckDB
+oracle with identical column aliases; floats that feed a ranking are
+rounded to 9dp first so summation order can never flip results.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from qin_cdc_spark.functions.text import word_shingles, words
+from qin_cdc_spark.functions.vectors import cosine
+from qin_cdc_spark.operators.llm_text import SHINGLES_SQL, WORDS_SQL
+from qin_cdc_spark.operators.similarity import _DOT_SQL
+from qin_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: the per-language dashboard every curation run starts
+# with.  One hash-agg pass; all signals computed inline (no second scan).
+
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc count, word totals, char
+    percentiles.  Single groupBy ⇒ one shuffle on a low-cardinality key;
+    partial aggregation makes the map side do all the work at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(words(F.col("text"))).cast("double")
+    return (
+        docs.select("lang", "n_chars", n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        )
+    )
+
+
+CORPUS_STATS_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CAST(len({WORDS_SQL}) AS DOUBLE)) AS total_words,
+       avg(n_chars) AS avg_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES["corpus_stats_by_lang"] = corpus_stats_by_lang
+ORACLES["corpus_stats_by_lang"] = CORPUS_STATS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap: web-scale corpora cap documents per domain so one
+# crawl host can't dominate the training mix (the C4/RefinedWeb move).
+
+SOURCE_CAP = 50
+
+
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most SOURCE_CAP docs per source, preferring longer docs
+    (doc_id tie-break).  Window ranking = one shuffle on `source`; at
+    100 TB a skewed source is bounded by the cap itself, and AQE
+    handles the pre-rank skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+SOURCE_CAP_ORACLE = f"""
+SELECT source, doc_id, n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rk
+  FROM documents)
+WHERE rk <= {SOURCE_CAP}
+"""
+
+QUERIES["curation_source_cap"] = curation_source_cap
+ORACLES["curation_source_cap"] = SOURCE_CAP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop training docs sharing any word
+# 3-gram with a held-out benchmark set (the GPT-3/Gopher n-gram
+# overlap check).  Benchmark set here: doc_id % 97 == 0.
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated train docs + how many distinct benchmark shingles
+    they share.  The benchmark shingle set is tiny relative to the
+    corpus, so it broadcasts: the 100 TB train side streams through a
+    broadcast-hash join with zero shuffle, then one groupBy(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    bench = (
+        ex.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    train = ex.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_contaminated"))
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL.format(w=WORDS_SQL)} AS shingles FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0)
+SELECT e.doc_id AS doc_id, count(DISTINCT e.shingle) AS n_contaminated
+FROM ex e JOIN bench b ON e.shingle = b.shingle
+WHERE e.doc_id % 97 <> 0
+GROUP BY e.doc_id
+"""
+
+QUERIES["decontaminate_ngram"] = decontaminate_ngram
+ORACLES["decontaminate_ngram"] = DECONTAMINATE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection: after near-dup clustering, keep the
+# best doc per cluster (longest, doc_id tie-break) — composes
+# dedup_cluster_cc with a window rank.
+
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative per near-dup cluster.  Membership is tiny
+    (only docs with a verified dup), so it broadcasts into the join
+    with documents; ranking shuffles only the clustered docs."""
+    from qin_cdc_spark.operators.llm_ext import dedup_cluster_cc
+
+    members = dedup_cluster_cc(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = docs.join(broadcast(members), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    from qin_cdc_spark.operators.llm_ext import _cc_oracle
+
+    return f"""
+WITH cc AS ({_cc_oracle()}),
+ranked AS (
+  SELECT cc.component, cc.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY cc.component
+                            ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rk
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+SELECT component,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS rep_doc_id,
+       count(*) AS n_members
+FROM ranked GROUP BY component
+"""
+
+
+QUERIES["dedup_cluster_keep_best"] = dedup_cluster_keep_best
+ORACLES["dedup_cluster_keep_best"] = _keep_best_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: the storage/serving compression step for
+# 100 TB embedding stores (4× smaller than float32, SIMD-friendly).
+# floor(x*127/maxabs + 0.5) is used instead of round() so Spark and the
+# oracle share one exactly-reproducible double formula.
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = maxabs/127,
+    q_i = floor(x_i/scale + 0.5).  Pure narrow ops (transform/aggregate
+    higher-order functions) — zero shuffle, whole-stage codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.greatest(
+        F.array_max(F.transform(xd, F.abs)), F.lit(1e-30)
+    )
+    quant = F.transform(
+        xd, lambda x: F.floor(x * 127.0 / maxabs + 0.5).cast("int")
+    )
+    return emb.select(
+        "vec_id",
+        (maxabs / 127.0).alias("scale"),
+        quant.alias("q"),
+    )
+
+
+EMB_QUANTIZE_ORACLE = """
+SELECT vec_id,
+       greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)
+         / 127.0 AS scale,
+       list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                / greatest(list_max(list_transform(embedding, x2 -> abs(CAST(x2 AS DOUBLE)))), 1e-30)
+                + 0.5) AS INTEGER)) AS q
+FROM embeddings
+"""
+
+QUERIES["emb_quantize_int8"] = emb_quantize_int8
+ORACLES["emb_quantize_int8"] = EMB_QUANTIZE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# kNN label vote: majority label of the 5 nearest neighbours — the
+# classic embedding-space classifier used for quality/domain tagging of
+# web corpora.  Query set: vec_id % 20 == 0.
+
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 5-NN (broadcast query block, corpus streams once)
+    then a two-stage deterministic vote: count per label among the
+    top-5, winner by (votes DESC, label ASC).  Cosines are rounded to
+    9dp before ranking so float summation order can't flip neighbours;
+    both rank and vote carry total tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 9).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("cand_id").asc()
+    )
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "cand_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("cand_label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+_KNN_COS_SQL = (
+    _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    + " / (sqrt(" + _DOT_SQL.format(a="q.embedding", b="q.embedding") + ")"
+    + " * sqrt(" + _DOT_SQL.format(a="c.embedding", b="c.embedding") + "))"
+)
+
+KNN_VOTE_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+         round({_KNN_COS_SQL}, 9) AS cos_r
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+top5 AS (
+  SELECT query_id, cand_label FROM (
+    SELECT query_id, cand_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_r DESC, cand_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= 5),
+votes AS (
+  SELECT query_id, cand_label, count(*) AS n_votes
+  FROM top5 GROUP BY query_id, cand_label)
+SELECT query_id AS vec_id, cand_label AS pred_label, n_votes FROM (
+  SELECT query_id, cand_label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, cand_label ASC) AS vr
+  FROM votes)
+WHERE vr = 1
+"""
+
+QUERIES["sim_knn_label_vote"] = sim_knn_label_vote
+ORACLES["sim_knn_label_vote"] = KNN_VOTE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Character-level dup verification: Levenshtein over LSH candidate
+# pairs — the strictest (and most expensive) dedup verifier, made
+# tractable by running it only on the already-banded candidates.
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate pairs re-verified by edit distance: keep pairs
+    whose levenshtein ≤ 20% of the longer text.  The quadratic-cost
+    kernel touches only LSH survivors (tiny), never the corpus — the
+    only scalable place for an O(n·m) string metric at 100 TB."""
+    from qin_cdc_spark.operators.similarity import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    withtext = pairs.join(a, "doc_a").join(b, "doc_b")
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        withtext.select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            F.round(dist.cast("double") / maxlen.cast("double"), 9).alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= 0.2)
+    )
+
+
+def _edit_distance_oracle() -> str:
+    from qin_cdc_spark.operators.similarity import _minhash_oracle
+
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+wt AS (
+  SELECT p.doc_a, p.doc_b,
+         levenshtein(da.text, db.text) AS edit_dist,
+         round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+               / greatest(length(da.text), length(db.text)), 9) AS edit_ratio
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id)
+SELECT doc_a, doc_b, edit_dist, edit_ratio FROM wt WHERE edit_ratio <= 0.2
+"""
+
+
+QUERIES["dedup_edit_distance"] = dedup_edit_distance
+ORACLES["dedup_edit_distance"] = _edit_distance_oracle()

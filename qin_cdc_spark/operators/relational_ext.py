@@ -831,3 +831,158 @@ QUERIES["agg_grouping_id"] = agg_grouping_id
 ORACLES["win_ignore_nulls"] = WIN_IGNORE_NULLS_ORACLE
 ORACLES["fn_regexp"] = FN_REGEXP_ORACLE
 ORACLES["agg_grouping_id"] = AGG_GROUPING_ID_ORACLE
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): per-status order metrics pivoted into
+    (metric, value) rows — the DataFrame.unpivot surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+    )
+    return wide.unpivot(
+        "o_orderstatus", ["n_orders", "sum_price", "avg_price"], "metric", "value"
+    )
+
+
+UNPIVOT_METRICS_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,
+         sum(o_totalprice) AS sum_price, avg(o_totalprice) AS avg_price
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+"""
+
+
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation family over tokenized text: distinct+sort,
+    slice, contains, position, except (stopword strip), join-to-string.
+    All narrow higher-order functions — zero shuffle, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(w)).alias("sorted_unique"),
+        F.slice(w, 1, 5).alias("first5"),
+        F.array_contains(w, "the").alias("has_the"),
+        F.coalesce(F.array_position(w, "the"), F.lit(0)).cast("long").alias("the_pos"),
+        F.sort_array(F.array_except(w, F.array(F.lit("the"), F.lit("a"), F.lit("of")))).alias(
+            "minus_stop"
+        ),
+        F.array_join(F.slice(w, 1, 5), " ").alias("first5_text"),
+    )
+
+
+FN_ARRAY_SETOPS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+SELECT doc_id,
+       list_sort(list_distinct(w)) AS sorted_unique,
+       w[1:5] AS first5,
+       list_contains(w, 'the') AS has_the,
+       CAST(coalesce(list_position(w, 'the'), 0) AS BIGINT) AS the_pos,
+       list_sort(list_distinct(list_filter(w, x -> x NOT IN ('the','a','of'))))
+         AS minus_stop,
+       array_to_string(w[1:5], ' ') AS first5_text
+FROM t
+"""
+
+
+def date_spine_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine + zero-fill: sequence() of every day in the order
+    range, left-joined to daily counts — the gaps-in-time-series
+    pattern.  The spine is one row exploded (broadcast side); daily
+    counts are one shuffle on date."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select("d", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+    )
+
+
+DATE_SPINE_ORACLE = """
+WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                  max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+          FROM orders GROUP BY 1)
+SELECT spine.d AS d, coalesce(daily.n, 0) AS n_orders
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+
+def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic: a NULL probe never qualifies
+    (NULL NOT IN (...) is NULL, not TRUE) — Catalyst plans the
+    null-aware anti-join; rows with nullified priority drop out."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE nullif(o_orderpriority, '1-URGENT') NOT IN
+              (SELECT o_orderpriority FROM orders
+               WHERE o_orderpriority IN ('2-HIGH', '5-LOW'))
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SUBQUERY_NOT_IN_NULL_ORACLE = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE nullif(o_orderpriority, '1-URGENT') NOT IN
+      (SELECT o_orderpriority FROM orders
+       WHERE o_orderpriority IN ('2-HIGH', '5-LOW'))
+GROUP BY o_orderpriority
+"""
+
+QUERIES["unpivot_metrics"] = unpivot_metrics
+QUERIES["fn_array_setops"] = fn_array_setops
+QUERIES["date_spine_zerofill"] = date_spine_zerofill
+QUERIES["subquery_not_in_null"] = subquery_not_in_null
+ORACLES["unpivot_metrics"] = UNPIVOT_METRICS_ORACLE
+ORACLES["fn_array_setops"] = FN_ARRAY_SETOPS_ORACLE
+ORACLES["date_spine_zerofill"] = DATE_SPINE_ORACLE
+ORACLES["subquery_not_in_null"] = SUBQUERY_NOT_IN_NULL_ORACLE
+
+
+def fn_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/ordered aggregate family: count_if, bool_and/bool_or,
+    max_by/min_by (keyed on the globally-unique o_orderkey so ties
+    cannot make the result nondeterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("prio_of_last_key"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("prio_of_first_key"),
+    )
+
+
+FN_AGG_EXTRAS_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_pos,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       arg_max(o_orderpriority, o_orderkey) AS prio_of_last_key,
+       arg_min(o_orderpriority, o_orderkey) AS prio_of_first_key
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["fn_agg_extras"] = fn_agg_extras
+ORACLES["fn_agg_extras"] = FN_AGG_EXTRAS_ORACLE

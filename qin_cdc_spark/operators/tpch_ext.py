@@ -642,3 +642,39 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 adaptation: min-cost-per-group join-back (fixture has no partsupp,
+# so "min supplycost per part/region" becomes "min retailprice per
+# p_type") — the correlated-scalar-subquery shape of TPC-H Q2.
+# --------------------------------------------------------------------------
+
+Q2_ORACLE = """
+SELECT p_type, p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_type = part.p_type)
+"""
+
+
+@_q("q2_min_price_part", Q2_ORACLE)
+def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery as a broadcast join-back: the
+    per-type minimum is a tiny aggregate (one row per p_type), so it
+    broadcasts and the big side streams through — no second shuffle of
+    `part` at 100 TB."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_type").alias("mt")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        part.join(
+            _bc(mins),
+            (F.col("p_type") == F.col("mt"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )

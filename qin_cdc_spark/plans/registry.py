@@ -52,6 +52,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.curation as curation
+
+        modules.append(curation)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.operators.multimodal as multimodal
 
         modules.append(multimodal)

@@ -1,0 +1,98 @@
+"""Plan-shape and semantic assertions for operators/curation.py
+(value correctness is covered by the oracle gate sweep)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast: the train side (100 TB
+    at scale) streams through with no shuffle for the join itself."""
+    from qin_cdc_spark.operators.curation import decontaminate_ngram
+
+    plan = _plan(decontaminate_ngram(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_no_benchmark_doc_in_output(spark):
+    from qin_cdc_spark.operators.curation import decontaminate_ngram
+
+    out = decontaminate_ngram(spark, SF_SMOKE).collect()
+    assert all(r.doc_id % 97 != 0 for r in out)
+    assert all(r.n_contaminated >= 1 for r in out)
+
+
+def test_source_cap_bounds_every_source(spark):
+    from qin_cdc_spark.operators.curation import SOURCE_CAP, curation_source_cap
+
+    counts = (
+        curation_source_cap(spark, SF_SMOKE)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert counts and all(r.n <= SOURCE_CAP for r in counts)
+
+
+def test_emb_quantize_roundtrip_error_bounded(spark):
+    """Dequantized values must be within half a quantization step of the
+    original — the invariant that makes int8 storage usable."""
+    from qin_cdc_spark.operators.curation import emb_quantize_int8
+    from qin_cdc_spark.sources.tables import load_table
+
+    q = emb_quantize_int8(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    joined = q.join(emb, "vec_id")
+    bad = joined.select(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "q",
+                lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale"))
+                > F.col("scale") * 0.5 + 1e-12,
+            ),
+            F.lit(False),
+            lambda acc, v: acc | v,
+        ).alias("bad")
+    ).filter(F.col("bad"))
+    assert bad.count() == 0
+    # int8 range respected
+    rng = joined.select(
+        F.array_max("q").alias("mx"), F.array_min("q").alias("mn")
+    ).agg(F.max("mx").alias("mx"), F.min("mn").alias("mn")).first()
+    assert rng.mx <= 127 and rng.mn >= -127
+
+
+def test_knn_vote_query_side_broadcast(spark):
+    from qin_cdc_spark.operators.curation import sim_knn_label_vote
+
+    plan = _plan(sim_knn_label_vote(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cluster_keep_best_rep_is_member(spark):
+    from qin_cdc_spark.operators.curation import dedup_cluster_keep_best
+    from qin_cdc_spark.operators.llm_ext import dedup_cluster_cc
+
+    best = dedup_cluster_keep_best(spark, SF_SMOKE)
+    members = dedup_cluster_cc(spark, SF_SMOKE)
+    # every representative belongs to its own cluster
+    dangling = best.join(
+        members,
+        (best.rep_doc_id == members.doc_id) & (best.component == members.component),
+        "left_anti",
+    )
+    assert dangling.count() == 0
