@@ -25,31 +25,55 @@ from pyspark.sql import functions as F
 from qin_cdc_spark.sources.tables import load_table
 
 
+def _event_struct(op: str, seq, cols: list[str], **override):
+    return F.struct(
+        F.lit(op).alias("op"),
+        seq.alias("seq"),
+        *[override.get(c, F.col(c)).alias(c) for c in cols],
+    )
+
+
+def _explode_events(df: DataFrame, events) -> DataFrame:
+    """Single-pass event generation: per input row build the array of
+    change events and explode it.  One scan / one upstream plan instead
+    of a union of per-op branches (which re-executes the source plan —
+    including any dedupe window — once per branch)."""
+    return df.select(F.explode(F.concat(*events)).alias("_e")).select("_e.*")
+
+
 def orders_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed change rows (op, seq, <orders columns>) in envelope-ready form."""
     o = load_table(spark, sf_dir, "orders")
+    cols = o.columns
     k = F.col("o_orderkey") % 10
     base_seq = F.col("o_orderkey") * 4
 
-    inserts = o.select(
-        F.lit("insert").alias("op"), base_seq.alias("seq"), *o.columns
+    insert_ev = _event_struct("insert", base_seq, cols)
+    upd1_ev = _event_struct(
+        "update",
+        base_seq + 1,
+        cols,
+        o_totalprice=F.round(F.col("o_totalprice") * 1.1, 2),
+        o_orderstatus=F.lit("U"),
     )
-    upd1 = (
-        o.filter(k.isin(1, 3, 5))
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
-        .withColumn("o_orderstatus", F.lit("U"))
-        .select(F.lit("update").alias("op"), (base_seq + 1).alias("seq"), *o.columns)
+    upd2_ev = _event_struct(
+        "update",
+        base_seq + 2,
+        cols,
+        o_totalprice=F.round(F.col("o_totalprice") * 1.2, 2),
+        o_orderstatus=F.lit("V"),
     )
-    upd2 = (
-        o.filter(k == 5)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.2, 2))
-        .withColumn("o_orderstatus", F.lit("V"))
-        .select(F.lit("update").alias("op"), (base_seq + 2).alias("seq"), *o.columns)
+    del_ev = _event_struct("delete", base_seq + 3, cols)
+    empty = F.slice(F.array(insert_ev), 1, 0)
+    return _explode_events(
+        o,
+        [
+            F.array(insert_ev),
+            F.when(k.isin(1, 3, 5), F.array(upd1_ev)).otherwise(empty),
+            F.when(k == 5, F.array(upd2_ev)).otherwise(empty),
+            F.when(k.isin(7, 9), F.array(del_ev)).otherwise(empty),
+        ],
     )
-    dels = o.filter(k.isin(7, 9)).select(
-        F.lit("delete").alias("op"), (base_seq + 3).alias("seq"), *o.columns
-    )
-    return inserts.unionByName(upd1).unionByName(upd2).unionByName(dels)
 
 
 # DuckDB mirror of orders_change_stream, used as a CTE in the oracles.
@@ -84,19 +108,26 @@ def lineitem_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie_cols = [c for c in li.columns if c not in ("l_orderkey", "l_linenumber")]
     w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(*[F.col(c) for c in tie_cols])
     li = li.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    cols = li.columns
     k = F.col("l_orderkey") % 7
     base_seq = (F.col("l_orderkey") * 100 + F.col("l_linenumber")) * 2
 
-    inserts = li.select(F.lit("insert").alias("op"), base_seq.alias("seq"), *li.columns)
-    upds = (
-        li.filter(k == 0)
-        .withColumn("l_quantity", F.col("l_quantity") + 5)
-        .select(F.lit("update").alias("op"), (base_seq + 1).alias("seq"), *li.columns)
+    insert_ev = _event_struct("insert", base_seq, cols)
+    upd_ev = _event_struct(
+        "update", base_seq + 1, cols, l_quantity=F.col("l_quantity") + 5
     )
-    dels = li.filter(k == 3).select(
-        F.lit("delete").alias("op"), (base_seq + 1).alias("seq"), *li.columns
+    del_ev = _event_struct("delete", base_seq + 1, cols)
+    empty = F.slice(F.array(insert_ev), 1, 0)
+    # Single pass: the PK-dedupe window above runs once, not once per
+    # op branch (a 3-branch union re-executes it three times).
+    return _explode_events(
+        li,
+        [
+            F.array(insert_ev),
+            F.when(k == 0, F.array(upd_ev)).otherwise(empty),
+            F.when(k == 3, F.array(del_ev)).otherwise(empty),
+        ],
     )
-    return inserts.unionByName(upds).unionByName(dels)
 
 
 LINEITEM_STREAM_SQL = """

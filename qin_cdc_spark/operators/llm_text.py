@@ -225,30 +225,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.count()
     sh = docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
-    exploded_all = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Join/agg on a 64-bit shingle hash, not the shingle string: the
+    # self-join shuffle carries 8-byte keys instead of ~30-byte text.
+    # persist() is a materialization barrier — without it the shingle
+    # generation re-executes for the df-count AND each join side.
+    exploded_all = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .persist()
+    )
     rare = (
-        exploded_all.groupBy("shingle")
+        exploded_all.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_DF_FRAC * n_docs)
-        .select("shingle")
+        .select("h")
     )
-    filtered = exploded_all.join(rare, "shingle")
+    filtered = exploded_all.join(rare, "h")
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    exploded = filtered.join(sizes, "doc_id")
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
-    )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
-    )
+    a = filtered.select(F.col("doc_id").alias("doc_a"), "h")
+    b = filtered.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # Set sizes attach AFTER pair aggregation: two broadcast joins on
+    # the (tiny) pair set, instead of shuffling n_sh through the full
+    # exploded corpus.
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.withColumn(
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),

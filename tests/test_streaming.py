@@ -647,3 +647,49 @@ def test_pipeline_metrics_listener(spark, events_stream_dir):
         assert snap["uptime_s"] > 0
     finally:
         spark.streams.removeListener(m)
+
+
+def test_incremental_rollup_equals_batch(spark, events_stream_dir, tmp_path):
+    """Continuous aggregate maintained across micro-batches == one-shot
+    batch aggregation; replayed batch_id is a no-op; checkpoint resume
+    adds nothing."""
+    from qin_cdc_spark.streaming.rollup import RollupStore, start_incremental_rollup
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    store = RollupStore(
+        spark, str(tmp_path / "rollup"), keys=["event_type"], window_duration="1 hour"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    q = start_incremental_rollup(spark, stream, store, checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+    got = store.read().select("window_start", "event_type", "cnt", "sum_value")
+    assert got.subtract(exp).count() == 0 and exp.subtract(got).count() == 0
+
+    # at-least-once redelivery: re-merging an already-applied batch_id no-ops
+    before = store.read().collect()
+    store.merge_batch(ev, batch_id=store.last_batch_id())
+    assert sorted(map(str, store.read().collect())) == sorted(map(str, before))
+
+    # checkpoint resume: no new files, no state change
+    q2 = start_incremental_rollup(
+        spark,
+        spark.readStream.schema(ev.schema).parquet(events_stream_dir),
+        store,
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(300)
+    assert sorted(map(str, store.read().collect())) == sorted(map(str, before))
