@@ -362,3 +362,45 @@ SELECT doc_a, doc_b, edit_dist, edit_ratio FROM wt WHERE edit_ratio <= 0.2
 
 QUERIES["dedup_edit_distance"] = dedup_edit_distance
 ORACLES["dedup_edit_distance"] = _edit_distance_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign docs to fixed-token-budget training bins by
+# sequential fill — the deterministic, shuffle-once packing used to
+# batch documents for training (true first-fit is inherently serial;
+# per-group sequential fill is the scalable standard).
+
+PACK_BUDGET = 2048
+
+
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sequential packing: docs in doc_id order fill bins
+    of PACK_BUDGET whitespace tokens; bin = floor((cumsum - tok) /
+    budget).  One window shuffle on lang; each 100 TB language
+    partition packs independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.size(words(F.col("text"))).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(tok).over(w)
+    return docs.select(
+        "lang",
+        "doc_id",
+        tok.alias("n_tokens"),
+        F.floor((cum - tok) / F.lit(PACK_BUDGET)).alias("bin_id"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+SELECT lang, doc_id,
+       CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(floor((sum(CAST(len({WORDS_SQL}) AS BIGINT)) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - CAST(len({WORDS_SQL}) AS BIGINT)) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM documents
+"""
+
+QUERIES["pack_sequences_bins"] = pack_sequences_bins
+ORACLES["pack_sequences_bins"] = PACK_SEQUENCES_ORACLE

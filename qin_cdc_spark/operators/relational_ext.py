@@ -986,3 +986,53 @@ FROM orders GROUP BY o_orderstatus
 
 QUERIES["fn_agg_extras"] = fn_agg_extras
 ORACLES["fn_agg_extras"] = FN_AGG_EXTRAS_ORACLE
+
+
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (DataSketches): one sketch per source
+    group, unioned into a global distinct-customer estimate — the
+    two-level pattern that makes distinct counts shuffle sketch bytes
+    (KB) instead of values at 100 TB.  Rows-only gate: DuckDB's HLL is
+    a different implementation, so the estimate has no exact oracle;
+    the ±5%-of-exact bound is asserted in tests."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_distinct_cust"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+
+
+QUERIES["sketch_hll_mergeable"] = sketch_hll_mergeable
+
+
+def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: ntile(10) buckets over o_totalprice with
+    per-bucket bounds and mass — the optimizer-statistics shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+HIST_EQUI_DEPTH_ORACLE = """
+SELECT bucket, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM (SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                  AS INTEGER) AS bucket
+      FROM orders)
+GROUP BY bucket
+"""
+
+QUERIES["hist_equi_depth"] = hist_equi_depth
+ORACLES["hist_equi_depth"] = HIST_EQUI_DEPTH_ORACLE

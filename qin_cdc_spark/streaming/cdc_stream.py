@@ -160,6 +160,9 @@ class BucketedUpsertTable(ParquetUpsertTable):
             merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(self.path)
             return
 
+        # The batch is consumed twice (touched-bucket probe + merge
+        # union); persist so the envelope decode runs once per batch.
+        incoming = incoming.persist()
         touched = [r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()]
         current = (
             self.spark.read.parquet(self.path)
@@ -191,6 +194,7 @@ class BucketedUpsertTable(ParquetUpsertTable):
             if os.path.exists(old):
                 shutil.rmtree(old)
         shutil.rmtree(stage, ignore_errors=True)
+        incoming.unpersist()
 
     def _swap_write(self, df: DataFrame) -> None:
         # keep the bucket layout on full rewrites (gc_tombstones path)

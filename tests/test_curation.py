@@ -96,3 +96,20 @@ def test_cluster_keep_best_rep_is_member(spark):
         "left_anti",
     )
     assert dangling.count() == 0
+
+
+def test_hll_sketch_union_within_tolerance(spark):
+    """Grouped sketches unioned == global estimate within 5% of exact."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.relational_ext import sketch_hll_mergeable
+    from qin_cdc_spark.sources.tables import load_table
+
+    est = sketch_hll_mergeable(spark, SF_SMOKE).first().est_distinct_cust
+    exact = (
+        load_table(spark, SF_SMOKE, "orders")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .first()
+        .n
+    )
+    assert abs(est - exact) <= 0.05 * exact
