@@ -12,9 +12,9 @@ Reference parity (SURVEY §2.A A10-A13):
   decoded with the right schema (core/msg.go:46, kafka.go:135-141) —
   here: ``schema_for(db, table, version)`` at apply time.
 
-DDL here is a structured op (the shape a Debezium-style feed provides);
-parsing raw SQL DDL is out of scope for the engine core (SURVEY A11
-note: use sqlglot in driver code if a raw-SQL feed must be supported).
+DDL arrives either as a structured op (the shape a Debezium-style feed
+provides) or as raw MySQL DDL text parsed by ``cdc/ddl_parse.py``
+(reference TableDdlParser analog, metas/mysql_ddl_parse.go:378-505).
 """
 
 from __future__ import annotations

@@ -1,0 +1,129 @@
+"""Raw MySQL DDL parsing (reference A11: metas/mysql_ddl_parse.go
+TableDdlParser) and end-to-end registry application."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DateType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from qin_cdc_spark.cdc.ddl_parse import apply_raw_ddl, mysql_type_to_spark, parse_ddl
+from qin_cdc_spark.cdc.registry import SchemaRegistry
+
+
+def _registry_with_orders() -> SchemaRegistry:
+    reg = SchemaRegistry()
+    reg.add(
+        "shop",
+        "orders",
+        StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("status", StringType(), True),
+                StructField("price", DecimalType(10, 2), True),
+            ]
+        ),
+    )
+    return reg
+
+
+def test_type_mapping_matches_reference_enum():
+    # metas/mysql_ddl_parse.go:29-60 / SURVEY §1.2
+    assert isinstance(mysql_type_to_spark("tinyint(1)"), ShortType)
+    assert isinstance(mysql_type_to_spark("int unsigned"), IntegerType)
+    assert isinstance(mysql_type_to_spark("bigint(20)"), LongType)
+    assert mysql_type_to_spark("decimal(12,3)") == DecimalType(12, 3)
+    assert isinstance(mysql_type_to_spark("datetime(6)"), TimestampType)
+    assert isinstance(mysql_type_to_spark("date"), DateType)
+    assert isinstance(mysql_type_to_spark("varchar(255)"), StringType)
+    assert isinstance(mysql_type_to_spark("enum('a','b')"), StringType)
+    assert isinstance(mysql_type_to_spark("json"), StringType)
+
+
+def test_alter_add_with_position_and_backticks():
+    [p] = parse_ddl(
+        "ALTER TABLE `shop`.`orders` ADD COLUMN `note` varchar(64) AFTER `status`",
+        "ignored",
+    )
+    assert (p.db, p.table) == ("shop", "orders")
+    [op] = p.ops
+    assert op.action == "add-column" and op.column == "note"
+    assert op.position == "after:status"
+
+
+def test_alter_multi_spec_and_registry_apply():
+    reg = _registry_with_orders()
+    apply_raw_ddl(
+        reg,
+        "ALTER TABLE orders ADD discount decimal(5,2) FIRST, "
+        "DROP COLUMN status, "
+        "CHANGE price total_price decimal(12,2)",
+        "shop",
+    )
+    cur = reg.get("shop", "orders")
+    assert cur.fieldNames() == ["discount", "id", "total_price"]
+    assert cur["total_price"].dataType == DecimalType(12, 2)
+    # CHANGE decomposed into modify+rename ⇒ two version bumps + add/drop
+    assert reg.current_version("shop", "orders") == 5
+
+
+def test_rename_table_statement_and_alter_rename():
+    reg = _registry_with_orders()
+    apply_raw_ddl(reg, "RENAME TABLE orders TO orders_v2", "shop")
+    assert reg.get("shop", "orders_v2").fieldNames() == ["id", "status", "price"]
+    apply_raw_ddl(reg, "ALTER TABLE orders_v2 RENAME TO orders_v3", "shop")
+    assert reg.get("shop", "orders_v3").fieldNames() == ["id", "status", "price"]
+
+
+def test_create_table_parses_columns_skips_keys():
+    [p] = parse_ddl(
+        """CREATE TABLE IF NOT EXISTS shop.items (
+             id bigint NOT NULL AUTO_INCREMENT,
+             name varchar(100) NOT NULL DEFAULT 'x',
+             qty int,
+             created datetime DEFAULT CURRENT_TIMESTAMP,
+             PRIMARY KEY (id),
+             KEY idx_name (name)
+           ) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4""",
+        "shop",
+    )
+    [op] = p.ops
+    assert op.action == "create-table"
+    assert op.schema.fieldNames() == ["id", "name", "qty", "created"]
+    assert not op.schema["id"].nullable and op.schema["qty"].nullable
+    assert isinstance(op.schema["created"].dataType, TimestampType)
+
+
+def test_create_table_like_copies_schema():
+    reg = _registry_with_orders()
+    apply_raw_ddl(reg, "CREATE TABLE orders_copy LIKE orders", "shop")
+    assert reg.get("shop", "orders_copy") == reg.get("shop", "orders")
+
+
+def test_drop_truncate_and_multi_statement():
+    reg = _registry_with_orders()
+    touched = apply_raw_ddl(
+        reg, "TRUNCATE TABLE orders; DROP TABLE IF EXISTS orders", "shop"
+    )
+    assert touched == [("shop", "orders"), ("shop", "orders")]
+    assert ("shop", "orders") not in reg._tables
+
+
+def test_online_ddl_shadow_ddl_is_ignored():
+    reg = _registry_with_orders()
+    reg.add("shop", "_orders_gho", reg.get("shop", "orders"))
+    apply_raw_ddl(reg, "ALTER TABLE _orders_gho ADD x int", "shop")
+    assert reg.get("shop", "_orders_gho").fieldNames() == ["id", "status", "price"]
+
+
+def test_schema_neutral_specs_ignored():
+    [p] = parse_ddl("ALTER TABLE orders ADD INDEX idx_s (status), ADD flag tinyint", "shop")
+    assert len(p.ops) == 1 and p.ops[0].column == "flag"
