@@ -321,3 +321,28 @@ def file_envelope_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
+
+
+def handle_ddl_rows(batch_df: DataFrame, registry, *, sql_field: str = "data") -> DataFrame:
+    """Split ``op='ddl'`` control rows out of an envelope batch: their
+    raw SQL (carried in ``data``) is applied to the schema registry in
+    seq order, and only DML rows flow on — the reference's
+    handleDDLEvent contract (inputs/mysql/mysql_replication.go:132-228:
+    DDL is a metadata side effect, never a data row; shadow-table DDL
+    is ignored inside apply_raw_ddl's registry guard).  DDL rows are
+    collected to the driver deliberately — schema changes are rare and
+    the registry is driver-side state, exactly like the reference's
+    meta maps."""
+    from qin_cdc_spark.cdc.ddl_parse import apply_raw_ddl
+
+    ddl_rows = (
+        batch_df.filter(F.col("op") == "ddl")
+        .select("db", "seq", sql_field)
+        .orderBy("seq")
+        .collect()
+    )
+    for r in ddl_rows:
+        apply_raw_ddl(registry, r[sql_field], r["db"])
+    if not ddl_rows:
+        return batch_df
+    return batch_df.filter(F.col("op") != "ddl")

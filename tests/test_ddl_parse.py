@@ -127,3 +127,31 @@ def test_online_ddl_shadow_ddl_is_ignored():
 def test_schema_neutral_specs_ignored():
     [p] = parse_ddl("ALTER TABLE orders ADD INDEX idx_s (status), ADD flag tinyint", "shop")
     assert len(p.ops) == 1 and p.ops[0].column == "flag"
+
+
+def test_handle_ddl_rows_in_envelope_batch(spark):
+    """op='ddl' envelope rows mutate the registry in seq order and are
+    filtered from the DML flow (reference handleDDLEvent contract)."""
+    from qin_cdc_spark.streaming.cdc_stream import handle_ddl_rows
+
+    reg = _registry_with_orders()
+    batch = spark.createDataFrame(
+        [
+            ("shop", "orders", "insert", 1, '{"id": 1}'),
+            ("shop", "orders", "ddl", 2, "ALTER TABLE orders ADD note varchar(20)"),
+            ("shop", "orders", "insert", 3, '{"id": 2}'),
+            ("shop", "orders", "ddl", 4, "ALTER TABLE orders DROP COLUMN note"),
+        ],
+        "db string, table string, op string, seq long, data string",
+    )
+    out = handle_ddl_rows(batch, reg)
+    assert sorted(r.seq for r in out.collect()) == [1, 3]
+    # both DDLs applied, in order: add bumped to v2, drop to v3
+    assert reg.current_version("shop", "orders") == 3
+    assert reg.get("shop", "orders").fieldNames() == ["id", "status", "price"]
+    assert reg.get_version("shop", "orders", 2).fieldNames() == [
+        "id",
+        "status",
+        "price",
+        "note",
+    ]
