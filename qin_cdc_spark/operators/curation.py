@@ -404,3 +404,116 @@ FROM documents
 
 QUERIES["pack_sequences_bins"] = pack_sequences_bins
 ORACLES["pack_sequences_bins"] = PACK_SEQUENCES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 3-way split: hash-assign every doc to train/val/test so
+# the split is reproducible across runs, engines, and (at 100 TB)
+# executors — no RNG state, no shuffle beyond the final count.
+
+def sample_split_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split on a portable md5-derived hash of doc_id; returns
+    per-(lang, split) counts.  Assignment is a narrow op; the only
+    shuffle is the count agg."""
+    from qin_cdc_spark.functions.text import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _split_oracle() -> str:
+    from qin_cdc_spark.operators.llm_text import HASH60_SQL
+
+    h = HASH60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT lang,
+       CASE WHEN ({h}) % 100 < 90 THEN 'train'
+            WHEN ({h}) % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+QUERIES["sample_split_3way"] = sample_split_3way
+ORACLES["sample_split_3way"] = _split_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster the embedding space (k-means),
+# then find near-identical pairs ONLY within each cluster — the O(n²/k)
+# scale path for embedding dedup at 100 TB (global brute force is O(n²)).
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def _topm_clusters(centroids: list, m: int):
+    """Array of the m nearest centroid ids (squared L2), row-local."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("embedding"), c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                F.element_at(dists, i + 1).alias("d"), i.cast("int").alias("c")
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, m), lambda s: s["c"])
+
+
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster cosine near-dup pairs (threshold matches
+    dedup_embedding_cosine so recall vs the global operator is
+    measurable).  The pair join is keyed on cluster id — each cluster's
+    block never leaves its partition; skewed clusters are AQE-split.
+    Rows-only gate (k-means is iterative); recall vs the oracle-checked
+    global operator is asserted in tests."""
+    from qin_cdc_spark.operators.ivf import train_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    centroids = train_kmeans(emb)
+    # top-2 soft assignment (multi-probe): a pair straddling a cluster
+    # boundary still co-occurs in one of the two nearest clusters —
+    # recall recovered for ~2x join volume, still O(n^2/k) per cluster.
+    assigned = emb.select(
+        "vec_id", "embedding", F.explode(_topm_clusters(centroids, 2)).alias("cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos_r"))
+        .filter(F.col("cos_r") >= SEMDEDUP_THRESHOLD)
+        # a pair can co-occur in both probed clusters
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+QUERIES["dedup_semantic_clustered"] = dedup_semantic_clustered

@@ -1036,3 +1036,45 @@ GROUP BY bucket
 
 QUERIES["hist_equi_depth"] = hist_equi_depth
 ORACLES["hist_equi_depth"] = HIST_EQUI_DEPTH_ORACLE
+
+
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (&, |, ^, shifts, popcount) + bit_and/
+    bit_or aggregates — all codegen'd JVM expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        orders.select(
+            "o_orderstatus",
+            k.bitwiseAND(F.lit(255)).alias("and255"),
+            k.bitwiseOR(F.lit(16)).alias("or16"),
+            k.bitwiseXOR(F.lit(99)).alias("xor99"),
+            F.shiftleft(k, 2).alias("shl2"),
+            F.shiftright(k, 3).alias("shr3"),
+            F.bit_count(k).alias("pop"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("and255").alias("agg_and"),
+            F.bit_or("or16").alias("agg_or"),
+            F.sum("xor99").alias("sum_xor"),
+            F.sum("shl2").alias("sum_shl"),
+            F.sum("shr3").alias("sum_shr"),
+            F.sum("pop").alias("sum_pop"),
+        )
+    )
+
+
+FN_BITWISE_ORACLE = """
+SELECT o_orderstatus,
+       bit_and(o_orderkey & 255) AS agg_and,
+       bit_or(o_orderkey | 16) AS agg_or,
+       sum(xor(o_orderkey, 99)) AS sum_xor,
+       sum(o_orderkey << 2) AS sum_shl,
+       sum(o_orderkey >> 3) AS sum_shr,
+       sum(bit_count(o_orderkey)) AS sum_pop
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["fn_bitwise"] = fn_bitwise
+ORACLES["fn_bitwise"] = FN_BITWISE_ORACLE

@@ -113,3 +113,22 @@ def test_hll_sketch_union_within_tolerance(spark):
         .n
     )
     assert abs(est - exact) <= 0.05 * exact
+
+
+def test_semantic_clustered_dedup_recall_vs_global(spark):
+    """Cluster-scoped pairs are a subset of the global brute-force pairs
+    with usable recall (near-dups land in the same cluster)."""
+    from qin_cdc_spark.operators.curation import dedup_semantic_clustered
+    from qin_cdc_spark.operators.similarity import dedup_embedding_cosine
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_semantic_clustered(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
+        for r in dedup_embedding_cosine(spark, SF_SMOKE).collect()
+    }
+    assert got <= want  # no false pairs: same threshold, same metric
+    if want:
+        assert len(got) / len(want) >= 0.6
