@@ -264,3 +264,35 @@ QUERIES["mm_resize_meta"] = mm_resize_meta
 QUERIES["mm_frame_sample"] = mm_frame_sample
 ORACLES["mm_resize_meta"] = MM_RESIZE_ORACLE
 ORACLES["mm_frame_sample"] = MM_FRAME_SAMPLE_ORACLE
+
+
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload audit without decoding: byte size, magic-bytes prefix
+    (format sniffing), content digest, declared-vs-actual size mismatch
+    (multibyte text makes n_chars != octet length — the synthetic
+    analog of a corrupt/truncated media payload).  All JVM binary
+    expressions: the 100 TB integrity sweep never crosses into Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_payload(docs)
+    return media.select(
+        "doc_id",
+        F.length(F.col("payload")).alias("n_bytes"),
+        F.upper(F.substring(F.hex(F.col("payload")), 1, 8)).alias("magic_hex"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        (F.length(F.col("payload")) != F.col("media_meta.declared_size")).alias(
+            "size_mismatch"
+        ),
+    )
+
+
+MM_PAYLOAD_STATS_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       upper(substring(hex(encode(text)), 1, 8)) AS magic_hex,
+       md5(text) AS payload_md5,
+       octet_length(encode(text)) <> CAST(n_chars AS INTEGER) AS size_mismatch
+FROM documents
+"""
+
+QUERIES["mm_payload_stats"] = mm_payload_stats
+ORACLES["mm_payload_stats"] = MM_PAYLOAD_STATS_ORACLE
