@@ -1078,3 +1078,65 @@ FROM orders GROUP BY o_orderstatus
 
 QUERIES["fn_bitwise"] = fn_bitwise
 ORACLES["fn_bitwise"] = FN_BITWISE_ORACLE
+
+
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys match each other —
+    unlike plain equi-join where NULL = NULL is NULL.  Keys are
+    nullified deterministically ('P' status → NULL) on both sides to
+    exercise the semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("ka")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    b = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("kb")
+    ).agg(F.sum("o_totalprice").alias("sb"))
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .select(F.col("ka").alias("k"), "na", F.round("sb", 2).alias("sb_r"))
+    )
+
+
+JOIN_NULL_SAFE_EQ_ORACLE = """
+WITH a AS (SELECT nullif(o_orderstatus, 'P') AS ka, count(*) AS na
+           FROM orders GROUP BY 1),
+b AS (SELECT nullif(o_orderstatus, 'P') AS kb, sum(o_totalprice) AS sb
+      FROM orders GROUP BY 1)
+SELECT ka AS k, na, round(sb, 2) AS sb_r
+FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+"""
+
+
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-range window: per event, activity in the user's
+    preceding hour (rangeBetween on event-time seconds) — the
+    rate-limiter / rolling-activity shape, computed with ONE shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )
+
+
+WIN_TIME_RANGE_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 6) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["join_null_safe_eq"] = join_null_safe_eq
+QUERIES["win_time_range"] = win_time_range
+ORACLES["join_null_safe_eq"] = JOIN_NULL_SAFE_EQ_ORACLE
+ORACLES["win_time_range"] = WIN_TIME_RANGE_ORACLE
