@@ -240,7 +240,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_DF_FRAC * n_docs)
         .select("h")
     )
-    filtered = exploded_all.join(rare, "h")
+    # filtered feeds three consumers (sizes + both self-join sides);
+    # persist so the ex⋈rare join runs once, not three times.
+    filtered = exploded_all.join(rare, "h").persist()
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = filtered.select(F.col("doc_id").alias("doc_a"), "h")
     b = filtered.select(F.col("doc_id").alias("doc_b"), "h")
