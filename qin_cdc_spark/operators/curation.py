@@ -350,7 +350,7 @@ def _edit_distance_oracle() -> str:
 WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
 wt AS (
   SELECT p.doc_a, p.doc_b,
-         levenshtein(da.text, db.text) AS edit_dist,
+         CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
          round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
                / greatest(length(da.text), length(db.text)), 9) AS edit_ratio
   FROM pairs p

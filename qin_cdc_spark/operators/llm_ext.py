@@ -88,8 +88,8 @@ CLEAN_ORACLE = """
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                            '\\s+', ' ', 'g')) AS clean,
-       len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                               '\\s+', ' ', 'g'))) AS n_chars_clean
+       CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                    '\\s+', ' ', 'g'))) AS INTEGER) AS n_chars_clean
 FROM documents
 """
 
@@ -423,7 +423,7 @@ WITH s AS (
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
         FROM documents)
 )
-SELECT doc_id, len(grams) AS n_grams,
+SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
        round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          AS repetition_ratio
 FROM s WHERE len(grams) > 0

@@ -287,7 +287,7 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_PAYLOAD_STATS_ORACLE = """
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
        upper(substring(hex(encode(text)), 1, 8)) AS magic_hex,
        md5(text) AS payload_md5,
        octet_length(encode(text)) <> CAST(n_chars AS INTEGER) AS size_mismatch

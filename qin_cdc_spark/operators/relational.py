@@ -457,8 +457,11 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_ROW_NUMBER_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice,
-       row_number() OVER (PARTITION BY o_custkey
-                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+       -- INTEGER casts throughout these oracles: DuckDB window/rank/length
+       -- functions return BIGINT where Spark's are int — align the driver hash
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS rn
 FROM orders
 """
 
@@ -478,8 +481,10 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_RANK_ORACLE = """
 SELECT p_brand, p_partkey, p_size,
-       rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC) AS rnk,
-       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC) AS drnk
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC)
+            AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC)
+            AS INTEGER) AS drnk
 FROM part
 """
 
@@ -561,7 +566,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOPK_PER_GROUP_ORACLE = """
-SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -672,8 +677,8 @@ SELECT c_custkey,
        concat(c_name, '@', c_mktsegment) AS tagged,
        upper(c_mktsegment) AS segment_uc,
        substring(c_name, 1, 8) AS name_prefix,
-       len(string_split(c_name, '#')) AS name_parts,
-       length(c_name) AS name_len
+       CAST(len(string_split(c_name, '#')) AS INTEGER) AS name_parts,
+       CAST(length(c_name) AS INTEGER) AS name_len
 FROM customer
 """
 

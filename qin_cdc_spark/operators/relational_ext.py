@@ -57,10 +57,12 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_ORACLE = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       -- CAST AS BIGINT: DuckDB sum(int) is HUGEINT (→ float64 in pandas),
+       -- Spark's is bigint — the round-1 driver hash-fail was exactly this.
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -202,7 +204,10 @@ def fn_case_cast_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_band"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").alias("order_date"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        # decimal → string: exact fixed-scale text on both engines.  A bare
+        # DECIMAL output hash-fails on the driver (DuckDB→pandas turns it
+        # into float64, dropping trailing-zero cents; Spark keeps Decimal).
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
             "status_or_open"
         ),
@@ -216,7 +221,7 @@ SELECT o_orderkey,
             ELSE 'small' END AS size_band,
        CAST(o_orderkey AS VARCHAR) AS key_str,
        CAST(o_orderdate AS DATE) AS order_date,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
        coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
 FROM orders
 """
@@ -266,7 +271,7 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_NTILE_ORACLE = """
 SELECT o_orderstatus, o_orderkey,
-       ntile(4) OVER w AS quartile,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
        percent_rank() OVER w AS pct_rank,
        cume_dist() OVER w AS cume,
        first_value(o_orderkey) OVER wf AS first_key,
@@ -631,9 +636,9 @@ def setop_union_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SETOP_UNION_MISSING_ORACLE = """
-SELECT r_regionkey AS key, r_name AS name, NULL::BIGINT AS name_len FROM region
+SELECT r_regionkey AS key, r_name AS name, NULL::INTEGER AS name_len FROM region
 UNION ALL
-SELECT r_regionkey, r_name, length(r_name) FROM region
+SELECT r_regionkey, r_name, CAST(length(r_name) AS INTEGER) FROM region
 """
 
 
@@ -724,9 +729,9 @@ FN_DATE_EXTRAS_ORACLE = """
 SELECT o_orderkey,
        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_q,
        last_day(CAST(o_orderdate AS DATE)) AS month_end,
-       quarter(o_orderdate) AS q,
-       dayofweek(o_orderdate) + 1 AS dow,
-       dayofyear(o_orderdate) AS doy
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
 FROM orders
 """
 
@@ -736,17 +741,22 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift by construction, the fixed-point path for financial rollups."""
     orders = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
+    # Accumulate in exact decimal, publish as fixed-scale text: a DECIMAL
+    # output column hash-fails on the driver (DuckDB→pandas float64 vs
+    # Spark Decimal), while the string form is canon-proof on any hasher
+    # and still shows the exact cents the decimal accumulation preserved.
     return orders.groupBy("o_orderstatus").agg(
-        F.sum(price).alias("sum_price_dec"),
-        F.max(price).alias("max_price_dec"),
+        F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price_dec"),
+        F.max(price).cast("string").alias("max_price_dec"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 AGG_DECIMAL_EXACT_ORACLE = """
 SELECT o_orderstatus,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_dec,
-       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price_dec,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+         AS sum_price_dec,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price_dec,
        count(*) AS n
 FROM orders GROUP BY o_orderstatus
 """
@@ -802,7 +812,7 @@ FN_REGEXP_ORACLE = """
 SELECT doc_id,
        coalesce(regexp_extract(text, '([a-z]+)ing\\b', 1), '') AS first_ing_stem,
        regexp_extract_all(text, '\\b[a-z]{3}\\b') AS three_letter,
-       len(regexp_extract_all(text, '\\bthe\\b')) AS n_the
+       CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS INTEGER) AS n_the
 FROM documents
 """
 
@@ -813,15 +823,16 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.grouping("o_orderstatus").alias("g_status"),
-        F.grouping("o_orderpriority").alias("g_prio"),
+        # int on both sides: Spark grouping() is tinyint, DuckDB's is bigint
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
     )
 
 
 AGG_GROUPING_ID_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       grouping(o_orderstatus) AS g_status,
-       grouping(o_orderpriority) AS g_prio
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -1069,10 +1080,10 @@ FN_BITWISE_ORACLE = """
 SELECT o_orderstatus,
        bit_and(o_orderkey & 255) AS agg_and,
        bit_or(o_orderkey | 16) AS agg_or,
-       sum(xor(o_orderkey, 99)) AS sum_xor,
-       sum(o_orderkey << 2) AS sum_shl,
-       sum(o_orderkey >> 3) AS sum_shr,
-       sum(bit_count(o_orderkey)) AS sum_pop
+       CAST(sum(xor(o_orderkey, 99)) AS BIGINT) AS sum_xor,
+       CAST(sum(o_orderkey << 2) AS BIGINT) AS sum_shl,
+       CAST(sum(o_orderkey >> 3) AS BIGINT) AS sum_shr,
+       CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS sum_pop
 FROM orders GROUP BY o_orderstatus
 """
 

@@ -84,7 +84,7 @@ Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         year(l_shipdate) AS l_year,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
          l_extendedprice * (1 - l_discount) AS volume
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
@@ -142,7 +142,7 @@ SELECT o_year,
        sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0.0 END) / sum(volume)
          AS mkt_share
 FROM (
-  SELECT year(o_orderdate) AS o_year,
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
          n2.n_name AS nation
   FROM part
@@ -207,7 +207,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_ORACLE = """
 SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
 FROM (
-  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount)
            - 0.5 * p_retailprice * l_quantity AS amount
   FROM lineitem

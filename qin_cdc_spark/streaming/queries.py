@@ -207,9 +207,10 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         -- BIGINT: DuckDB's windowed sum(int) is HUGEINT, Spark's is bigint
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -297,7 +298,7 @@ WITH first_seen AS (
   FROM events GROUP BY user_id
 )
 SELECT cohort_day,
-       datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+       CAST(datediff('day', cohort_day, CAST(ts AS DATE)) AS INTEGER) AS day_offset,
        count(DISTINCT e.user_id) AS n_active
 FROM events e JOIN first_seen USING (user_id)
 GROUP BY 1, 2

@@ -119,7 +119,7 @@ def test_semantic_clustered_dedup_recall_vs_global(spark):
     """Cluster-scoped pairs are a subset of the global brute-force pairs
     with usable recall (near-dups land in the same cluster)."""
     from qin_cdc_spark.operators.curation import dedup_semantic_clustered
-    from qin_cdc_spark.operators.similarity import dedup_embedding_cosine
+    from qin_cdc_spark.operators.similarity import dedup_embedding_cosine_bruteforce
 
     got = {
         (r.vec_a, r.vec_b)
@@ -127,7 +127,7 @@ def test_semantic_clustered_dedup_recall_vs_global(spark):
     }
     want = {
         (min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
-        for r in dedup_embedding_cosine(spark, SF_SMOKE).collect()
+        for r in dedup_embedding_cosine_bruteforce(spark, SF_SMOKE).collect()
     }
     assert got <= want  # no false pairs: same threshold, same metric
     if want:

@@ -44,6 +44,26 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_embedding_cosine_lsh_recall_vs_brute_force(spark):
+    """The LSH-gated near-dup pair set must be a subset of the all-pairs
+    brute force (identical verify threshold → precision 1) with high
+    recall (8×2 sign-LSH bands at cos ≥ 0.4 → ~98% theoretical)."""
+    from qin_cdc_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_bruteforce,
+    )
+
+    got = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, SF_SMOKE).collect()}
+    want = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine_bruteforce(spark, SF_SMOKE).collect()
+    }
+    assert got <= want  # same threshold, same metric — no invented pairs
+    if want:
+        recall = len(got) / len(want)
+        assert recall >= 0.9, f"LSH-gated recall {recall} over {len(want)} pairs"
+
+
 def test_ann_ivf_recall_vs_brute_force(spark):
     """IVF (k-means inverted lists, nprobe=4/16) top-5 recall on the
     worst-case uniform corpus — clusters carry little signal there, so
