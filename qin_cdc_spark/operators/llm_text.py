@@ -252,14 +252,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    # Set sizes attach AFTER pair aggregation: two broadcast joins on
-    # the (tiny) pair set, instead of shuffling n_sh through the full
-    # exploded corpus.
+    # Set sizes attach AFTER pair aggregation, via plain equi-joins on the
+    # pair set.  No broadcast hint: `sizes` is O(|docs|) — per-doc, not
+    # bounded — so forcing it into every executor's memory is exactly the
+    # wrong call at 100 TB; AQE broadcasts dynamically iff the measured
+    # side is actually small.
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -267,7 +269,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .persist()
     )
+    # Materialize the (tiny) pair result while the heavy intermediates are
+    # cached, then release them — round 1 leaked both caches across the
+    # whole 149-query gate sweep.
+    try:
+        out.count()
+    finally:
+        filtered.unpersist()
+        exploded_all.unpersist()
+    return out
 
 
 DEDUP_NGRAM_JACCARD_ORACLE = f"""

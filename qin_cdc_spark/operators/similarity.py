@@ -114,7 +114,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+    out = verified.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).persist()
+    # materialize the small pair set, then release the heavy caches
+    try:
+        out.count()
+    finally:
+        sig.unpersist()
+        hashed.unpersist()
+    return out
 
 
 def _minhash_oracle() -> str:

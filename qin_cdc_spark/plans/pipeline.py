@@ -24,6 +24,7 @@ from pyspark.sql.types import StructType
 from qin_cdc_spark.cdc.registry import SchemaRegistry
 from qin_cdc_spark.plans.config import PipelineConfig, load_config, parse_config
 from qin_cdc_spark.streaming.cdc_stream import (
+    DEFAULT_N_BUCKETS,
     CdcStreamRoute,
     file_envelope_stream,
     start_cdc_stream,
@@ -41,7 +42,7 @@ class Pipeline:
         *,
         primary_keys: dict[tuple[str, str], list[str]],
         target_root: str,
-        n_buckets: int | None = None,
+        n_buckets: int | None = DEFAULT_N_BUCKETS,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -114,11 +115,7 @@ class Pipeline:
     def read_target(self, target_schema: str, target_table: str) -> DataFrame | None:
         for route, router in zip(self.routes, self.config.routers):
             if (router.target_schema, router.target_table) == (target_schema, target_table):
-                if route.target is None:
-                    from qin_cdc_spark.streaming.cdc_stream import ParquetUpsertTable
-
-                    route.target = ParquetUpsertTable(self.spark, route.target_path, route.keys)
-                return route.target.read()
+                return route.bind_target().read()
         return None
 
 
@@ -129,7 +126,7 @@ def compile_pipeline(
     schemas: dict[tuple[str, str], StructType],
     primary_keys: dict[tuple[str, str], list[str]],
     target_root: str,
-    n_buckets: int | None = None,
+    n_buckets: int | None = DEFAULT_N_BUCKETS,
 ) -> Pipeline:
     """Parse config and bind schemas (the engine-side stand-in for the
     reference's live `show create table` meta load, A8)."""

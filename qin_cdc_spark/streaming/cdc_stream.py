@@ -33,6 +33,11 @@ from pyspark.sql.types import StructType
 
 from qin_cdc_spark.cdc.apply import decode_envelope, latest_by_key
 
+# Routes default to the bucketed target: per-batch merge cost must scale
+# with |batch keys|, not |table| — the flat full-rewrite table is the
+# explicit opt-out (n_buckets=0) for tiny reference/dimension tables.
+DEFAULT_N_BUCKETS = 32
+
 
 class ParquetUpsertTable:
     """A primary-keyed table materialized as a parquet directory with
@@ -169,7 +174,13 @@ class BucketedUpsertTable(ParquetUpsertTable):
             # partition pruning: only touched bucket dirs are scanned
             .filter(F.col(self.BUCKET_COL).isin(touched))
         )
-        union = current.unionByName(incoming.filter(F.col(self.BUCKET_COL).isin(touched)))
+        # allowMissingColumns: same schema-evolution contract as the flat
+        # table — a batch decoded under a newer schema merges into an
+        # older table (old rows take NULL for added columns)
+        union = current.unionByName(
+            incoming.filter(F.col(self.BUCKET_COL).isin(touched)),
+            allowMissingColumns=True,
+        )
         merged = latest_by_key(union, [*self.keys, self.BUCKET_COL], seq_col="_seq")
         # co-locate each bucket into one output file (otherwise every
         # shuffle partition writes a sliver of every bucket — 32×32
@@ -223,7 +234,7 @@ class CdcStreamRoute:
         keys: list[str],
         target_path: str,
         transform=None,
-        n_buckets: int | None = None,
+        n_buckets: int | None = DEFAULT_N_BUCKETS,
         dlq_path: str | None = None,
     ):
         self.spark = spark
@@ -256,8 +267,11 @@ class CdcStreamRoute:
                 (F.col("db") == self.db) & (F.col("table") == self.table)
             )
             bad = routed.filter(malformed)
-            if bad.limit(1).count() > 0:
-                bad.write.mode("append").parquet(self.dlq_path)
+            # Unconditional append: a clean batch writes an empty file in
+            # the same single job a dirty one uses — the round-1
+            # `bad.limit(1).count()` probe cost an EXTRA Spark job per
+            # route per batch even when every batch was clean.
+            bad.write.mode("append").parquet(self.dlq_path)
             env_batch = routed.filter(~malformed)
         decoded = decode_envelope(
             env_batch, self.schema, db=self.db, table=self.table, keys=self.keys
@@ -268,6 +282,13 @@ class CdcStreamRoute:
         # (current ∪ batch) — feeding it the raw decoded batch costs one
         # shuffle total instead of reduce-then-merge's two.
         reduced = decoded
+        self.bind_target()
+        self.target.merge(reduced)
+
+    def bind_target(self):
+        """Bind the target table lazily (so a transform can change the
+        column set first).  One binding rule for apply AND read paths —
+        a bucketed target must never be read through the flat class."""
         if self.target is None:
             if self.n_buckets:
                 self.target = BucketedUpsertTable(
@@ -275,7 +296,7 @@ class CdcStreamRoute:
                 )
             else:
                 self.target = ParquetUpsertTable(self.spark, self.target_path, self.keys)
-        self.target.merge(reduced)
+        return self.target
 
 
 def start_cdc_stream(
@@ -323,17 +344,35 @@ def file_envelope_stream(
     return reader.parquet(path)
 
 
-def handle_ddl_rows(batch_df: DataFrame, registry, *, sql_field: str = "data") -> DataFrame:
+def handle_ddl_rows(
+    batch_df: DataFrame, registry, *, sql_field: str = "data", batch_id: int | None = None
+) -> DataFrame:
     """Split ``op='ddl'`` control rows out of an envelope batch: their
     raw SQL (carried in ``data``) is applied to the schema registry in
     seq order, and only DML rows flow on — the reference's
     handleDDLEvent contract (inputs/mysql/mysql_replication.go:132-228:
-    DDL is a metadata side effect, never a data row; shadow-table DDL
-    is ignored inside apply_raw_ddl's registry guard).  DDL rows are
+    DDL is a metadata side effect, never a data row).  DDL rows are
     collected to the driver deliberately — schema changes are rare and
     the registry is driver-side state, exactly like the reference's
-    meta maps."""
+    meta maps.
+
+    ``batch_id`` (the foreachBatch id) makes redelivery safe: a replayed
+    batch must not re-apply its DDL (duplicate add-column fields,
+    KeyError on re-run renames, version drift vs the versions already
+    stamped into DML rows) — the same idempotence guard the upsert and
+    rollup paths carry.  The guard is in-memory because the registry
+    itself is in-memory driver state, rebuilt (with its DDL re-applied)
+    on restart."""
     from qin_cdc_spark.cdc.ddl_parse import apply_raw_ddl
+
+    if batch_id is not None:
+        applied = getattr(registry, "_applied_ddl_batches", None)
+        if applied is None:
+            applied = set()
+            registry._applied_ddl_batches = applied
+        if batch_id in applied:
+            return batch_df.filter(F.col("op") != "ddl")
+        applied.add(batch_id)
 
     ddl_rows = (
         batch_df.filter(F.col("op") == "ddl")

@@ -693,3 +693,56 @@ def test_incremental_rollup_equals_batch(spark, events_stream_dir, tmp_path):
     )
     q2.awaitTermination(300)
     assert sorted(map(str, store.read().collect())) == sorted(map(str, before))
+
+
+def test_rollup_snapshot_store_guards(spark, tmp_path):
+    """Snapshot-pointer store invariants: month-partitioned data dirs,
+    orphan GC, atomic pointer, and the new-checkpoint run guard (a
+    fresh checkpoint restarts batch ids — must raise, not silently
+    skip or re-apply)."""
+    import pytest as _pytest
+
+    from qin_cdc_spark.streaming.rollup import RollupStore
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    store = RollupStore(
+        spark, str(tmp_path / "r2"), keys=["event_type"], window_duration="1 hour"
+    )
+    store.merge_batch(ev, batch_id=0, run_id="ckpt-A")
+    n0 = store.read().count()
+    assert n0 > 0
+
+    # month-partitioned layout: one live dir per month, all meta-referenced
+    months = {
+        r[0]
+        for r in ev.select(F.date_format("ts", "yyyy-MM")).distinct().collect()
+    }
+    live = [d for d in os.listdir(store.path) if d.startswith("m-")]
+    assert len(live) == len(months)
+
+    # replayed batch under the same run no-ops; a later batch merges only
+    # its touched months (untouched month dirs must keep their identity)
+    before_dirs = set(live)
+    store.merge_batch(ev.limit(0), batch_id=0, run_id="ckpt-A")
+    store.merge_batch(ev.limit(0), batch_id=1, run_id="ckpt-A")  # empty: guard advances
+    assert store.last_batch_id() == 1
+    assert set(d for d in os.listdir(store.path) if d.startswith("m-")) == before_dirs
+
+    # a DIFFERENT run (new checkpoint, batch ids restart) must raise
+    with _pytest.raises(ValueError, match="adopt_run"):
+        store.merge_batch(ev, batch_id=0, run_id="ckpt-B")
+
+    # explicit adoption re-homes the store and resets the replay guard
+    store.adopt_run("ckpt-B")
+    store.merge_batch(ev, batch_id=0, run_id="ckpt-B")
+    assert store.read().count() == n0  # same windows/keys, counts doubled
+    got = store.read().agg(F.sum("cnt")).first()[0]
+    assert got == 2 * ev.count()
+
+    # orphaned (crashed-write) dirs are ignored by readers and GC'd on
+    # the next publish
+    orphan = os.path.join(store.path, "m-2099-01-deadbeef")
+    os.makedirs(orphan)
+    assert store.read().agg(F.sum("cnt")).first()[0] == 2 * ev.count()
+    store.merge_batch(ev.limit(0), batch_id=1, run_id="ckpt-B")
+    assert not os.path.exists(orphan)
