@@ -85,13 +85,26 @@ def mysql_type_to_spark(raw: str) -> DataType:
     return StringType()
 
 
-_TYPE_RE = (
-    r"(?P<dtype>\w+(?:\s*\([^)]*\))?"
-    r"(?:\s+unsigned)?(?:\s+zerofill)?"
-    r"(?:\s+character\s+set\s+\S+)?(?:\s+collate\s+\S+)?"
-    r"(?:\s+(?:not\s+)?null)?(?:\s+default\s+(?:'[^']*'|\S+))?"
-    r"(?:\s+auto_increment)?(?:\s+comment\s+'[^']*')?)"
+# Column attributes may appear in ANY order after the type (MySQL accepts
+# `INT DEFAULT 0 NOT NULL` as readily as `INT NOT NULL DEFAULT 0`) — round
+# 1's fixed-order chain silently dropped legal specs, diverging the
+# registry from the stream.  One alternation, starred.
+_ATTR_RE = (
+    r"(?:\s+(?:"
+    r"unsigned|zerofill|"
+    r"character\s+set\s+\S+|charset\s+\S+|collate\s+\S+|"
+    r"(?:not\s+)?null|"
+    r"default\s+(?:'[^']*'|\"[^\"]*\"|\([^)]*\)|[\w.+-]+(?:\(\d*\))?)|"
+    r"on\s+update\s+\w+(?:\(\d*\))?|"
+    r"auto_increment|"
+    r"comment\s+(?:'[^']*'|\"[^\"]*\")|"
+    r"(?:primary\s+)?key|unique(?:\s+key)?|"
+    r"references\s+\S+\s*\([^)]*\)(?:\s+on\s+(?:delete|update)\s+\w+(?:\s+\w+)?)*|"
+    r"column_format\s+\w+|storage\s+\w+|invisible|visible|srid\s+\d+|"
+    r"(?:generated\s+always\s+)?as\s+\([^)]*\)(?:\s+(?:virtual|stored))?"
+    r"))*"
 )
+_TYPE_RE = r"(?P<dtype>\w+(?:\s*\([^)]*\))?" + _ATTR_RE + r")"
 _POS_RE = r"(?:\s+(?P<first>first)|\s+after\s+(?P<after>\S+))?"
 
 
@@ -108,68 +121,103 @@ def _base_dtype(m: re.Match) -> DataType:
 
 
 _ALTER_SKIP = re.compile(
-    r"^(add\s+(index|key|unique|fulltext|spatial|constraint|primary\s+key|foreign\s+key)|"
-    r"drop\s+(index|key|primary\s+key|foreign\s+key|constraint)|"
+    r"^(add\s+(index|key|unique|fulltext|spatial|constraint|primary\s+key|foreign\s+key|"
+    r"check|partition)|"
+    r"drop\s+(index|key|primary\s+key|foreign\s+key|constraint|check|partition)|"
+    r"(truncate|reorganize|coalesce|analyze|optimize|rebuild|repair|exchange|discard|"
+    r"import)\s+partition|"
     r"alter\s+(column\s+)?\S+\s+(set|drop)\s+default|"
+    r"alter\s+(index|check)\s+|"
     r"(enable|disable)\s+keys|engine\s*=|auto_increment\s*=|comment\s*=|"
-    r"convert\s+to|character\s+set|collate|order\s+by|algorithm\s*=|lock\s*=)",
+    r"convert\s+to|character\s+set|collate|order\s+by|algorithm\s*=|lock\s*=|"
+    r"force\s*$|(with|without)\s+validation)",
     re.I,
 )
 
 
-def _parse_alter_spec(spec: str) -> DdlOp | None:
+def _parse_alter_spec(spec: str) -> list[DdlOp]:
+    """Parse one ALTER spec into zero or more ops.
+
+    Returns ``[]`` only for KNOWN schema-neutral spec classes (index /
+    constraint / table-option churn).  A spec that starts like a
+    column-changing op but fails to parse RAISES — the reference
+    hard-fails on DDL parse errors (mysql_replication.go:140), and a
+    silently dropped ALTER leaves the registry diverged from the stream,
+    corrupting every subsequent row decode.
+    """
     s = spec.strip()
     low = s.lower()
     if _ALTER_SKIP.match(low):
-        return None
+        return []
+    # parenthesized multi-add: ADD [COLUMN] (a INT, b INT NOT NULL)
+    m = re.match(r"^add\s+(?:column\s+)?\((?P<body>.+)\)\s*$", low, re.S)
+    if m:
+        schema = _parse_create_columns(s[m.start("body") : m.end("body")])
+        return [
+            DdlOp(action="add-column", column=f.name, dtype=f.dataType)
+            for f in schema.fields
+        ]
     m = re.match(
         rf"^add\s+(?:column\s+)?(?P<col>\S+)\s+{_TYPE_RE}{_POS_RE}\s*$", low, re.S
     )
     if m:
-        return DdlOp(
-            action="add-column",
-            column=_ident(s[m.start("col") : m.end("col")]),
-            dtype=_base_dtype(m),
-            position=_position(m),
-        )
+        return [
+            DdlOp(
+                action="add-column",
+                column=_ident(s[m.start("col") : m.end("col")]),
+                dtype=_base_dtype(m),
+                position=_position(m),
+            )
+        ]
     m = re.match(r"^drop\s+(?:column\s+)?(?P<col>\S+)\s*$", low)
     if m:
-        return DdlOp(action="drop-column", column=_ident(s[m.start("col") : m.end("col")]))
+        return [DdlOp(action="drop-column", column=_ident(s[m.start("col") : m.end("col")]))]
     m = re.match(
         rf"^modify\s+(?:column\s+)?(?P<col>\S+)\s+{_TYPE_RE}{_POS_RE}\s*$", low, re.S
     )
     if m:
-        return DdlOp(
-            action="modify-column",
-            column=_ident(s[m.start("col") : m.end("col")]),
-            dtype=_base_dtype(m),
-            position=_position(m),
-        )
+        return [
+            DdlOp(
+                action="modify-column",
+                column=_ident(s[m.start("col") : m.end("col")]),
+                dtype=_base_dtype(m),
+                position=_position(m),
+            )
+        ]
     m = re.match(
         rf"^change\s+(?:column\s+)?(?P<col>\S+)\s+(?P<new>\S+)\s+{_TYPE_RE}{_POS_RE}\s*$",
         low,
         re.S,
     )
     if m:
-        return DdlOp(
-            action="change-column",
-            column=_ident(s[m.start("col") : m.end("col")]),
-            new_name=_ident(s[m.start("new") : m.end("new")]),
-            dtype=_base_dtype(m),
-            position=_position(m),
-        )
+        return [
+            DdlOp(
+                action="change-column",
+                column=_ident(s[m.start("col") : m.end("col")]),
+                new_name=_ident(s[m.start("new") : m.end("new")]),
+                dtype=_base_dtype(m),
+                position=_position(m),
+            )
+        ]
     m = re.match(r"^rename\s+column\s+(?P<a>\S+)\s+to\s+(?P<b>\S+)\s*$", low)
     if m:
-        return DdlOp(
-            action="rename-column",
-            column=_ident(s[m.start("a") : m.end("a")]),
-            new_name=_ident(s[m.start("b") : m.end("b")]),
-        )
+        return [
+            DdlOp(
+                action="rename-column",
+                column=_ident(s[m.start("a") : m.end("a")]),
+                new_name=_ident(s[m.start("b") : m.end("b")]),
+            )
+        ]
+    m = re.match(r"^rename\s+(?:index|key)\s+", low)
+    if m:
+        return []  # index rename: schema-neutral
     m = re.match(r"^rename\s+(?:to\s+|as\s+)?(?P<t>\S+)\s*$", low)
     if m:
-        return DdlOp(action="rename-table", new_table=_ident(s[m.start("t") : m.end("t")]))
-    # index/constraint/engine specs are schema-neutral for the registry
-    return None
+        return [DdlOp(action="rename-table", new_table=_ident(s[m.start("t") : m.end("t")]))]
+    if re.match(r"^(add|drop|modify|change)\b", low):
+        raise ValueError(f"unparseable column-changing ALTER spec: {spec!r}")
+    # anything else (engine/partition/tablespace noise) is schema-neutral
+    return []
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -245,9 +293,7 @@ def parse_ddl(sql: str, default_db: str) -> list[ParsedDdl]:
             ops = []
             offset = m.start("specs")
             for raw_spec in _split_top_level(stmt[offset:]):
-                op = _parse_alter_spec(raw_spec)
-                if op is not None:
-                    ops.append(op)
+                ops.extend(_parse_alter_spec(raw_spec))
             results.append(ParsedDdl(db, table, ops))
             continue
 

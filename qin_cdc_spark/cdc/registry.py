@@ -60,6 +60,10 @@ class SchemaRegistry:
     def __init__(self) -> None:
         self._tables: dict[tuple[str, str], dict[int, StructType]] = {}
         self._current: dict[tuple[str, str], int] = {}
+        # breadcrumbs for online-DDL cutovers: real tables renamed ONTO a
+        # shadow name (gh-ost step 1, `t -> _t_del`) keep their history
+        # here so step 2 (`_t_gho -> t`) continues the version sequence
+        self._retired: dict[tuple[str, str], tuple[dict[int, StructType], int]] = {}
 
     # -- A10 surface -------------------------------------------------------
     def add(self, db: str, table: str, schema: StructType, *, version: int = 1) -> None:
@@ -91,19 +95,26 @@ class SchemaRegistry:
 
     # -- A12 DDL apply -----------------------------------------------------
     def apply_ddl(self, db: str, table: str, op: DdlOp) -> int | None:
-        """Apply a DDL op; returns the new version (None for drops).
+        """Apply a DDL op; returns the new version (None for drops or
+        untracked tables).
 
-        Shadow tables of online-DDL tools are ignored, mirroring the
-        reference's routing guard (A13) — their DDL churn must not
-        version the real table's schema.
+        Shadow tables of online-DDL tools are TRACKED, not ignored — the
+        reference applies DDL to both synced and online-DDL tables
+        (isSyncTable || isOnlineDdlTable, mysql_replication.go:187-226),
+        because a gh-ost run ALTERs the `_t_gho` shadow and then lands it
+        under the real name via the cutover
+        ``RENAME TABLE t TO _t_del, _t_gho TO t``; dropping the shadow's
+        DDL would lose the evolved schema at cutover.  DDL for a table
+        this registry has never seen (neither synced nor shadow) is a
+        no-op, mirroring the reference's routing guard.
         """
-        if is_online_ddl_shadow(table):
-            return None
         if op.action == "create-table":
             if op.schema is None:
                 raise ValueError("create-table needs a schema")
             self.add(db, table, op.schema)
             return 1
+        if (db, table) not in self._tables:
+            return None  # untracked table: not synced, not a known shadow
         if op.action == "drop-table":
             self.delete(db, table)
             return None
@@ -115,6 +126,27 @@ class SchemaRegistry:
                 raise ValueError("rename-table needs new_table")
             versions = self._tables.pop((db, table))
             cur = self._current.pop((db, table))
+            src_shadow = is_online_ddl_shadow(table)
+            dst_shadow = is_online_ddl_shadow(op.new_table)
+            if dst_shadow and not src_shadow:
+                # cutover step 1 (`t -> _t_del`): retire the real table but
+                # keep a breadcrumb under the REAL name so step 2 can
+                # continue its version history
+                self._retired[(db, table)] = (dict(versions), cur)
+            if src_shadow and not dst_shadow:
+                # cutover step 2 (`_t_gho -> t`): the shadow's evolved
+                # schema lands under the real name as the retired
+                # table's next version — in-flight DML rows stamped with
+                # pre-cutover versions still decode (history retained)
+                retired = self._retired.pop((db, op.new_table), None)
+                if retired is not None:
+                    r_versions, r_cur = retired
+                    merged = dict(r_versions)
+                    new_v = r_cur + 1
+                    merged[new_v] = versions[cur]
+                    self._tables[(db, op.new_table)] = merged
+                    self._current[(db, op.new_table)] = new_v
+                    return new_v
             self._tables[(db, op.new_table)] = versions
             self._current[(db, op.new_table)] = cur
             return cur

@@ -117,11 +117,79 @@ def test_drop_truncate_and_multi_statement():
     assert ("shop", "orders") not in reg._tables
 
 
-def test_online_ddl_shadow_ddl_is_ignored():
+def test_online_ddl_shadow_tracked_and_cutover_lands_schema():
+    """The reference applies DDL to online-DDL shadow tables
+    (isSyncTable || isOnlineDdlTable, mysql_replication.go:187-226): a
+    gh-ost run ALTERs `_t_gho` and the cutover RENAME must land the
+    evolved schema under the real name, continuing its version history."""
     reg = _registry_with_orders()
-    reg.add("shop", "_orders_gho", reg.get("shop", "orders"))
+    v_before = reg.current_version("shop", "orders")
+    # gh-ost: create shadow like real, alter the shadow
+    apply_raw_ddl(reg, "CREATE TABLE _orders_gho LIKE orders", "shop")
     apply_raw_ddl(reg, "ALTER TABLE _orders_gho ADD x int", "shop")
-    assert reg.get("shop", "_orders_gho").fieldNames() == ["id", "status", "price"]
+    assert reg.get("shop", "_orders_gho").fieldNames() == ["id", "status", "price", "x"]
+    # real table untouched so far
+    assert reg.get("shop", "orders").fieldNames() == ["id", "status", "price"]
+    # cutover: the evolved shadow becomes the real table, version bumped
+    apply_raw_ddl(
+        reg, "RENAME TABLE orders TO _orders_del, _orders_gho TO orders", "shop"
+    )
+    assert reg.get("shop", "orders").fieldNames() == ["id", "status", "price", "x"]
+    assert reg.current_version("shop", "orders") == v_before + 1
+    # in-flight DML stamped with the pre-cutover version still decodes
+    assert reg.get_version("shop", "orders", v_before).fieldNames() == [
+        "id",
+        "status",
+        "price",
+    ]
+
+
+def test_ddl_for_untracked_table_is_noop():
+    reg = _registry_with_orders()
+    from qin_cdc_spark.cdc.registry import DdlOp
+
+    assert reg.apply_ddl("shop", "never_seen", DdlOp("add-column")) is None
+    assert reg.apply_ddl("shop", "_other_gho", DdlOp("drop-table")) is None
+
+
+def test_alter_attributes_any_order_and_on_update():
+    """Round-1 gap: legal attribute orders that the fixed-order regex
+    silently dropped must parse (ADVICE r1)."""
+    [p] = parse_ddl(
+        "ALTER TABLE orders ADD COLUMN c int DEFAULT 0 NOT NULL, "
+        'ADD d varchar(10) DEFAULT "x" COMMENT "why", '
+        "ADD ts datetime DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP AFTER id",
+        "shop",
+    )
+    assert [op.column for op in p.ops] == ["c", "d", "ts"]
+    assert p.ops[2].position == "after:id"
+    assert isinstance(p.ops[2].dtype, TimestampType)
+
+
+def test_alter_parenthesized_multi_add():
+    [p] = parse_ddl("ALTER TABLE orders ADD COLUMN (a int, b varchar(5) NOT NULL)", "shop")
+    assert [(op.action, op.column) for op in p.ops] == [
+        ("add-column", "a"),
+        ("add-column", "b"),
+    ]
+    assert isinstance(p.ops[0].dtype, IntegerType)
+
+
+def test_unparseable_column_spec_raises():
+    """A column-changing spec the parser cannot understand must fail
+    loudly (the reference hard-fails, mysql_replication.go:140) — a
+    silent drop diverges the registry from the stream."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unparseable column-changing"):
+        parse_ddl("ALTER TABLE orders ADD COLUMN weird ??bogus??", "shop")
+    # schema-neutral churn still parses to zero ops
+    [p] = parse_ddl(
+        "ALTER TABLE orders ADD PARTITION (PARTITION p1 VALUES LESS THAN (10)), "
+        "DROP CHECK c1, ALGORITHM=INPLACE, LOCK=NONE",
+        "shop",
+    )
+    assert p.ops == []
 
 
 def test_schema_neutral_specs_ignored():
