@@ -119,6 +119,48 @@ class Pipeline:
         return None
 
 
+def envelope_source_from_config(
+    spark: SparkSession,
+    config: PipelineConfig,
+    *,
+    envelope_dir: str | None = None,
+    batch_size: int | None = None,
+) -> DataFrame:
+    """Build the envelope readStream the TOML ``[input]`` section names.
+
+    - ``type = "kafka"``: spark-sql-kafka source decoding Debezium/Canal
+      JSON (sources/kafka_source.py) — the streaming-transport analog of
+      the reference's binlog tail (inputs/mysql/mysql_replication.go:38-65);
+      ``[input.config]`` keys: ``bootstrap-servers``, ``topics``,
+      ``format`` (debezium | canal | aliyun_dts_canal),
+      ``starting-offsets``.
+    - ``type = "mysql"`` (and anything else): the file envelope stand-in
+      (no MySQL server exists here); ``envelope_dir`` or
+      ``[input.config] envelope-dir`` points at the directory.
+    ``batch_size`` maps the reference's batch-size rate limit onto
+    maxOffsetsPerTrigger / maxFilesPerTrigger (A20).
+    """
+    if config.input_type == "kafka":
+        from qin_cdc_spark.sources.kafka_source import kafka_envelope_stream
+
+        c = config.input_config
+        return kafka_envelope_stream(
+            spark,
+            bootstrap_servers=c["bootstrap-servers"],
+            topics=c["topics"],
+            format=c.get("format", "debezium"),
+            starting_offsets=c.get("starting-offsets", "earliest"),
+            max_offsets_per_trigger=batch_size,
+        )
+    directory = envelope_dir or config.input_config.get("envelope-dir")
+    if not directory:
+        raise ValueError(
+            f"input type {config.input_type!r}: no envelope directory configured "
+            "(pass envelope_dir or set [input.config] envelope-dir)"
+        )
+    return file_envelope_stream(spark, directory, max_files_per_trigger=batch_size)
+
+
 def compile_pipeline(
     spark: SparkSession,
     config_text_or_path: str,

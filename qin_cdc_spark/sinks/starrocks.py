@@ -1,0 +1,194 @@
+"""StarRocks / Doris stream-load sink (SURVEY §2.A A22/A23).
+
+Reference parity (outputs/starrocks/starrocks.go:136-208,
+starrocks_utils.go:12-70; the Doris plugin is byte-for-byte the same
+protocol):
+
+- rows serialize to a JSON array; every row carries the virtual
+  ``_delete_sign_`` column (0 = upsert, 1 = delete) —
+  starrocks_utils.go:39-70
+- HTTP PUT to ``/api/{db}/{table}/_stream_load`` with headers
+  ``Authorization: Basic``, ``Expect: 100-continue``,
+  ``strict_mode: true``, ``format: json``, ``strip_outer_array: true``
+  and ``columns: c1,…,_delete_sign_, __op = _delete_sign_`` —
+  starrocks.go:162-183
+- response body is JSON; ``Status != "Success"`` raises with Message +
+  ErrorURL — starrocks.go:192-205
+- retry with linear backoff RetryInterval·(attempt+1), RetryCount
+  attempts — starrocks.go:148-160
+
+Spark-first split: FORMATTING is a column expression
+(:func:`streamload_rows` — JVM ``to_json``, zero Python per row); the
+HTTP POST fans out per partition (:meth:`StarRocksStreamLoad.
+load_batch`), so at scale each executor streams its own slice to the
+FE/BE — the driver never materializes the batch.  Tested against a
+canned local HTTP server (no StarRocks in this container).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DELETE_COLUMN = "_delete_sign_"  # starrocks_utils.go:16
+DEFAULT_BATCH_SIZE = 10240  # starrocks_utils.go:14
+DEFAULT_BATCH_INTERVAL_MS = 3000  # starrocks_utils.go:15
+RETRY_COUNT = 3  # starrocks_utils.go:17
+RETRY_INTERVAL_S = 5  # starrocks_utils.go:18
+
+
+class StreamLoadError(RuntimeError):
+    """Non-Success stream-load response (Message + ErrorURL carried)."""
+
+
+def streamload_rows(
+    df: DataFrame, *, op_col: str = "op", seq_col: str = "seq", ts_col: str = "ts"
+) -> DataFrame:
+    """Envelope/typed change rows → one JSON string per row with the
+    ``_delete_sign_`` virtual column (0 upsert / 1 delete) appended —
+    the reference's generateJson as a single JVM expression."""
+    payload = [c for c in df.columns if c not in {op_col, seq_col, ts_col}]
+    sign = F.when(F.col(op_col) == "delete", 1).otherwise(0)
+    return df.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in payload], sign.alias(DELETE_COLUMN))
+        ).alias("value")
+    )
+
+
+class StarRocksStreamLoad:
+    """One table's stream-load channel (host, auth, headers, retry)."""
+
+    def __init__(
+        self,
+        *,
+        host: str,
+        load_port: int,
+        database: str,
+        table: str,
+        username: str = "root",
+        password: str = "",
+        columns: list[str],
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        retry_count: int = RETRY_COUNT,
+        retry_interval_s: float = RETRY_INTERVAL_S,
+        sleep=time.sleep,
+    ):
+        self.host = host
+        self.load_port = load_port
+        self.database = database
+        self.table = table
+        self.username = username
+        self.password = password
+        self.columns = list(columns)
+        self.batch_size = batch_size
+        self.retry_count = retry_count
+        self.retry_interval_s = retry_interval_s
+        self._sleep = sleep
+
+    @property
+    def url(self) -> str:
+        return (
+            f"http://{self.host}:{self.load_port}/api/"
+            f"{self.database}/{self.table}/_stream_load"
+        )
+
+    def headers(self) -> dict[str, str]:
+        auth = base64.standard_b64encode(
+            f"{self.username}:{self.password}".encode()
+        ).decode()
+        cols = ",".join([*self.columns, DELETE_COLUMN])
+        return {
+            "Authorization": f"Basic {auth}",
+            "Expect": "100-continue",
+            "strict_mode": "true",
+            "format": "json",
+            "strip_outer_array": "true",
+            # __op mapping: the delete-sign column drives upsert-vs-delete
+            "columns": f"{cols}, __op = {DELETE_COLUMN}",
+        }
+
+    def send(self, json_rows: list[str]) -> dict:
+        """PUT one chunk; returns the parsed response map.  Retries with
+        the reference's linear backoff; raises StreamLoadError after the
+        final attempt."""
+        if not json_rows:
+            return {"Status": "Success", "NumberLoadedRows": 0}
+        body = ("[" + ",".join(json_rows) + "]").encode()
+        last_err: Exception | None = None
+        for attempt in range(self.retry_count):
+            try:
+                req = urllib.request.Request(
+                    self.url, data=body, headers=self.headers(), method="PUT"
+                )
+                with urllib.request.urlopen(req) as resp:
+                    result = json.loads(resp.read().decode())
+                if result.get("Status") != "Success":
+                    raise StreamLoadError(
+                        f"{result.get('Message')}, targetTable: "
+                        f"{self.database}.{self.table}, visit ErrorURL to view "
+                        f"error details, ErrorURL: {result.get('ErrorURL')}"
+                    )
+                return result
+            except Exception as e:  # noqa: BLE001 — retry both transport+status
+                last_err = e
+                if attempt + 1 < self.retry_count:
+                    self._sleep(self.retry_interval_s * (attempt + 1))
+        raise StreamLoadError(str(last_err)) from last_err
+
+    def load_batch(self, changes: DataFrame, batch_id: int | None = None) -> None:
+        """foreachBatch body: format JVM-side, then POST per partition
+        from the executors in ``batch_size`` chunks — the scale path; no
+        driver-side materialization of the batch."""
+        rows = streamload_rows(changes)
+        url, hdrs = self.url, self.headers()
+        size, retries, interval, sleep = (
+            self.batch_size,
+            self.retry_count,
+            self.retry_interval_s,
+            self._sleep,
+        )
+
+        def _post_partition(it):
+            chunk: list[str] = []
+
+            def flush():
+                if not chunk:
+                    return
+                body = ("[" + ",".join(chunk) + "]").encode()
+                last = None
+                for attempt in range(retries):
+                    try:
+                        req = urllib.request.Request(
+                            url, data=body, headers=hdrs, method="PUT"
+                        )
+                        with urllib.request.urlopen(req) as resp:
+                            result = json.loads(resp.read().decode())
+                        if result.get("Status") != "Success":
+                            raise StreamLoadError(str(result.get("Message")))
+                        return
+                    except Exception as e:  # noqa: BLE001
+                        last = e
+                        if attempt + 1 < retries:
+                            sleep(interval * (attempt + 1))
+                raise StreamLoadError(str(last)) from last
+
+            for r in it:
+                chunk.append(r.value)
+                if len(chunk) >= size:
+                    flush()
+                    chunk.clear()
+            flush()
+
+        rows.foreachPartition(_post_partition)
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch`` /
+        ``CdcStreamRoute``-style wiring."""
+        return lambda df, batch_id: self.load_batch(df, batch_id)

@@ -1,0 +1,348 @@
+"""Transport integrations: Kafka CDC decoders (Debezium/Canal →
+envelope), StarRocks stream-load protocol against a canned HTTP server,
+Prometheus /metrics exposition."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pyspark.sql.functions as F
+import pytest
+
+from qin_cdc_spark.sources.kafka_source import (
+    decode_canal_envelope,
+    decode_debezium_envelope,
+)
+
+# --------------------------------------------------------------------------
+# Kafka CDC decoders (format contract on batch DataFrames — no broker here)
+# --------------------------------------------------------------------------
+
+
+def _values_df(spark, values: list[str]):
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+DBZ_INSERT = json.dumps(
+    {
+        "payload": {
+            "before": None,
+            "after": {"id": 1, "name": "a"},
+            "source": {"db": "shop", "table": "orders", "ts_ms": 1700000000000, "pos": 501},
+            "op": "c",
+            "ts_ms": 1700000000100,
+        }
+    }
+)
+DBZ_UPDATE_FLAT = json.dumps(  # schemas.enable=false style (no payload wrapper)
+    {
+        "before": {"id": 1, "name": "a"},
+        "after": {"id": 1, "name": "a2"},
+        "source": {"db": "shop", "table": "orders", "ts_ms": 1700000001000, "pos": 502},
+        "op": "u",
+    }
+)
+DBZ_DELETE = json.dumps(
+    {
+        "payload": {
+            "before": {"id": 1, "name": "a2"},
+            "after": None,
+            "source": {"db": "shop", "table": "orders", "ts_ms": 1700000002000, "pos": 503},
+            "op": "d",
+        }
+    }
+)
+
+
+def test_debezium_decoder_maps_ops_and_images(spark):
+    env = decode_debezium_envelope(
+        _values_df(spark, [DBZ_INSERT, DBZ_UPDATE_FLAT, DBZ_DELETE])
+    )
+    rows = {r.seq: r for r in env.collect()}
+    assert rows[501].op == "insert" and rows[501].db == "shop"
+    assert json.loads(rows[501].data) == {"id": 1, "name": "a"}
+    assert rows[501].old is None
+    # flat (unwrapped) records decode identically
+    assert rows[502].op == "update"
+    assert json.loads(rows[502].data) == {"id": 1, "name": "a2"}
+    assert json.loads(rows[502].old) == {"id": 1, "name": "a"}
+    # deletes carry the before-image as data (after is null)
+    assert rows[503].op == "delete"
+    assert json.loads(rows[503].data) == {"id": 1, "name": "a2"}
+    assert rows[503].ts is not None
+
+
+CANAL_MULTI = json.dumps(
+    {
+        "id": 7,
+        "database": "shop",
+        "table": "orders",
+        "type": "UPDATE",
+        "isDdl": False,
+        "es": 1700000003000,
+        "ts": 1700000003500,
+        "data": [{"id": "1", "name": "x2"}, {"id": "2", "name": "y2"}],
+        "old": [{"name": "x"}, {"name": "y"}],
+    }
+)
+CANAL_DDL = json.dumps(
+    {
+        "id": 8,
+        "database": "shop",
+        "table": "orders",
+        "type": "ALTER",
+        "isDdl": True,
+        "es": 1700000004000,
+        "sql": "ALTER TABLE orders ADD note varchar(20)",
+        "data": None,
+        "old": None,
+    }
+)
+
+
+def test_canal_decoder_explodes_rows_and_ddl(spark):
+    env = decode_canal_envelope(_values_df(spark, [CANAL_MULTI, CANAL_DDL]))
+    rows = sorted(env.collect(), key=lambda r: r.seq)
+    # two DML rows, index-paired with their old images, seq strictly ordered
+    assert [r.op for r in rows] == ["update", "update", "ddl"]
+    assert rows[0].seq == 7_000_000 and rows[1].seq == 7_000_001
+    assert json.loads(rows[0].data) == {"id": "1", "name": "x2"}
+    assert json.loads(rows[0].old) == {"name": "x"}
+    assert json.loads(rows[1].old) == {"name": "y"}
+    # DDL control row carries the raw SQL (handle_ddl_rows contract)
+    assert rows[2].op == "ddl" and "ADD note" in rows[2].data
+
+
+def test_canal_envelope_feeds_cdc_apply(spark):
+    """End-to-end: canal JSON → envelope → registry DDL + typed decode."""
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+    from qin_cdc_spark.streaming.cdc_stream import handle_ddl_rows
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    reg = SchemaRegistry()
+    reg.add("shop", "orders", StructType([
+        StructField("id", LongType(), False), StructField("name", StringType(), True),
+    ]))
+    env = decode_canal_envelope(_values_df(spark, [CANAL_MULTI, CANAL_DDL]))
+    out = handle_ddl_rows(env, reg, batch_id=0)
+    assert out.filter(F.col("op") == "ddl").count() == 0
+    assert reg.get("shop", "orders").fieldNames() == ["id", "name", "note"]
+    # redelivered batch id: DDL not re-applied
+    handle_ddl_rows(env, reg, batch_id=0)
+    assert reg.current_version("shop", "orders") == 2
+
+
+def test_kafka_stream_builder_requires_connector(spark):
+    """No broker/connector in this container: the builder must fail with
+    an actionable message (or succeed where a connector is present)."""
+    from qin_cdc_spark.sources.kafka_source import kafka_envelope_stream
+
+    try:
+        df = kafka_envelope_stream(
+            spark, bootstrap_servers="localhost:9092", topics="t", format="canal"
+        )
+    except RuntimeError as e:
+        assert "spark-sql-kafka" in str(e)
+    else:  # pragma: no cover - only on clusters with the connector jar
+        assert df.isStreaming
+
+
+def test_envelope_source_from_config_dispatch(spark, tmp_path):
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from qin_cdc_spark.plans.config import parse_config
+    from qin_cdc_spark.plans.pipeline import envelope_source_from_config
+
+    cfg = parse_config(
+        """
+name = "k"
+[input]
+type = "kafka"
+[input.config]
+bootstrap-servers = "localhost:9092"
+topics = "cdc"
+format = "canal"
+[output]
+type = "starrocks"
+"""
+    )
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        envelope_source_from_config(spark, cfg)
+
+    # mysql input type falls back to the file envelope stand-in
+    cfg2 = parse_config(
+        'name = "m"\n[input]\ntype = "mysql"\n[output]\ntype = "starrocks"\n'
+    )
+    spark.createDataFrame([], ENVELOPE_SCHEMA).write.parquet(str(tmp_path / "env"))
+    src = envelope_source_from_config(spark, cfg2, envelope_dir=str(tmp_path / "env"))
+    assert src.isStreaming
+    # file sources relax nullability; names/types must match the envelope
+    assert [(f.name, f.dataType) for f in src.schema.fields] == [
+        (f.name, f.dataType) for f in ENVELOPE_SCHEMA.fields
+    ]
+
+
+# --------------------------------------------------------------------------
+# StarRocks stream-load protocol (canned HTTP server)
+# --------------------------------------------------------------------------
+
+
+class _CannedStreamLoad:
+    """Local HTTP server scripted with a sequence of responses."""
+
+    def __init__(self, responses: list[dict]):
+        self.responses = list(responses)
+        self.requests: list[dict] = []
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", 0))
+                outer.requests.append(
+                    {
+                        "path": self.path,
+                        "headers": dict(self.headers),
+                        "body": self.rfile.read(n).decode(),
+                    }
+                )
+                resp = outer.responses.pop(0) if outer.responses else {"Status": "Success"}
+                body = json.dumps(resp).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        self.server = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.server.server_address[1]
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    def stop(self):
+        self.server.shutdown()
+
+
+def _loader(port, **kw):
+    from qin_cdc_spark.sinks.starrocks import StarRocksStreamLoad
+
+    return StarRocksStreamLoad(
+        host="127.0.0.1",
+        load_port=port,
+        database="dw",
+        table="ods_orders",
+        username="root",
+        password="secret",
+        columns=["id", "name"],
+        retry_interval_s=0.0,
+        sleep=lambda s: None,
+        **kw,
+    )
+
+
+def test_streamload_contract_headers_body_and_delete_sign(spark):
+    """The wire contract of outputs/starrocks/starrocks.go:162-183:
+    URL, auth, json headers, columns header with __op mapping, outer
+    JSON array body, _delete_sign_ 0/1 per op."""
+    from qin_cdc_spark.sinks.starrocks import streamload_rows
+
+    srv = _CannedStreamLoad([{"Status": "Success", "NumberLoadedRows": 3}])
+    try:
+        changes = spark.createDataFrame(
+            [(1, "a", "insert", 1), (2, "b", "update", 2), (3, "c", "delete", 3)],
+            "id long, name string, op string, seq long",
+        )
+        rows = [r.value for r in streamload_rows(changes).collect()]
+        _loader(srv.port).send(rows)
+        [req] = srv.requests
+        assert req["path"] == "/api/dw/ods_orders/_stream_load"
+        # HTTP header names are case-insensitive (urllib title-cases them)
+        h = {k.lower(): v for k, v in req["headers"].items()}
+        assert h["format"] == "json" and h["strip_outer_array"] == "true"
+        assert h["strict_mode"] == "true"
+        assert h["columns"] == "id,name,_delete_sign_, __op = _delete_sign_"
+        assert h["authorization"].startswith("Basic ")
+        sent = json.loads(req["body"])
+        assert [r["_delete_sign_"] for r in sent] == [0, 0, 1]
+        assert sent[2]["id"] == 3
+    finally:
+        srv.stop()
+
+
+def test_streamload_retries_then_succeeds_and_raises_after_exhaustion(spark):
+    from qin_cdc_spark.sinks.starrocks import StreamLoadError
+
+    srv = _CannedStreamLoad(
+        [
+            {"Status": "Fail", "Message": "intentional", "ErrorURL": "http://e/1"},
+            {"Status": "Success", "NumberLoadedRows": 1},
+        ]
+    )
+    try:
+        result = _loader(srv.port).send(['{"id":1,"_delete_sign_":0}'])
+        assert result["Status"] == "Success"
+        assert len(srv.requests) == 2  # failed once, retried, succeeded
+    finally:
+        srv.stop()
+
+    srv2 = _CannedStreamLoad(
+        [{"Status": "Fail", "Message": "perma", "ErrorURL": "u"}] * 3
+    )
+    try:
+        with pytest.raises(StreamLoadError, match="perma"):
+            _loader(srv2.port).send(['{"id":1,"_delete_sign_":0}'])
+        assert len(srv2.requests) == 3  # RetryCount attempts
+    finally:
+        srv2.stop()
+
+
+def test_streamload_load_batch_posts_from_partitions(spark):
+    srv = _CannedStreamLoad([])  # default every response to Success
+    try:
+        changes = spark.createDataFrame(
+            [(i, f"n{i}", "insert", i) for i in range(10)],
+            "id long, name string, op string, seq long",
+        ).repartition(3)
+        _loader(srv.port).load_batch(changes, batch_id=0)
+        total = sum(len(json.loads(r["body"])) for r in srv.requests)
+        assert total == 10
+        assert 1 <= len(srv.requests) <= 3  # ≤ one PUT per non-empty partition
+    finally:
+        srv.stop()
+
+
+# --------------------------------------------------------------------------
+# Prometheus /metrics exposition
+# --------------------------------------------------------------------------
+
+
+def test_prometheus_endpoint_serves_reference_metric_names():
+    from qin_cdc_spark.streaming.metrics import (
+        REFERENCE_METRIC_NAMES,
+        PipelineMetrics,
+        start_metrics_http,
+    )
+
+    m = PipelineMetrics()
+    with m._lock:
+        m._rows_total = 1234
+        m._batches_total = 5
+        m._by_query["q1"] = {
+            "name": "q1", "rows": 1234, "batches": 5,
+            "last_batch_ms": 250, "last_rows_per_s": 100.0, "active": True,
+        }
+    server = start_metrics_http(m, port=0)
+    try:
+        port = server.server_address[1]
+        body = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
+        for name in REFERENCE_METRIC_NAMES:
+            assert f"\n{name} " in body or body.startswith(f"{name} "), name
+        assert "qin_cdc_read_processed_ops_total 1234" in body
+        assert "qin_cdc_write_delay_time_seconds 0.25" in body
+        # non-metrics paths 404
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/other")
+    finally:
+        server.shutdown()
