@@ -2,7 +2,21 @@
 (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+   "runs": 3, "plan_checks": {"q6_pushdown": true, ...}}
+
+Per-query timings are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+executions — round 1 showed up to 3× host variance on single runs, so a
+single-sample bench can't distinguish a regression from noise.  The
+streaming CDC pipeline runs once (it is dominated by fixed micro-batch
+overheads and costs ~30 s per run).
+
+``plan_checks`` asserts the five scale properties the engine promises
+(predicate pushdown, broadcast dim joins, zero-Exchange bucketed join,
+max_by partial aggregation, TakeOrderedAndProject top-k) directly on the
+optimized plans — a perf regression that survives timing noise still
+flips its flag to false in BENCH_r{N}.json.  ``python bench.py plans``
+runs only those checks and exits nonzero on any failure.
 
 Execution sinks to the noop format (full pipeline runs, nothing
 collected to the driver) so timings measure the engine, not py4j
@@ -13,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -91,12 +106,79 @@ def _bench_stream_cdc(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _plan_string(df) -> str:
+    """Formatted explain output of the optimized physical plan."""
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def plan_checks(spark, sf_dir: str, queries) -> dict[str, bool]:
+    """The five scale properties, asserted on plans (no execution).
+
+    Each guards a specific 100 TB behavior:
+    - q6_pushdown: filters reach the parquet scan (PushedFilters) — a
+      regression here re-reads the full fact table per query
+    - q5_broadcast_dims: every dimension join broadcasts (no fact-side
+      shuffle); a SortMergeJoin appearing means a full-table Exchange
+    - bucketed_zero_exchange: the bucketed co-located join plans with no
+      shuffle at all
+    - cdc_maxby_partial: last-event-per-key merges map-side
+      (partial_max_by) before the key shuffle — the merge input is
+      |keys| not |events|
+    - topk_take_ordered: global sort+limit compiles to
+      TakeOrderedAndProject (per-partition top-k + merge), never a full
+      global sort
+    """
+    checks: dict[str, bool] = {}
+    p6 = _plan_string(queries["q6_forecast_revenue"](spark, sf_dir))
+    checks["q6_pushdown"] = "PushedFilters: [" in p6 and "IsNotNull(l_shipdate)" in p6
+    p5 = _plan_string(queries["q5_region_revenue"](spark, sf_dir))
+    checks["q5_broadcast_dims"] = (
+        p5.count("BroadcastHashJoin") >= 4 and "SortMergeJoin" not in p5
+    )
+    # join-only plan (the registry query adds a groupBy whose single agg
+    # Exchange is legitimate — the property is that the JOIN itself reads
+    # both bucketed sides co-located, no shuffle).  Broadcast is disabled
+    # for the check: at bench SF the small side broadcasts and the planner
+    # bypasses bucketing entirely; at 100 TB neither side broadcasts and
+    # co-location is exactly what saves the two full-table shuffles.
+    from qin_cdc_spark.operators.scale_joins import bucketed_tables
+
+    o_name, l_name = bucketed_tables(spark, sf_dir)
+    o, li = spark.table(o_name), spark.table(l_name)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pb = _plan_string(o.join(li, o.o_orderkey == li.l_orderkey))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    checks["bucketed_zero_exchange"] = "SortMergeJoin" in pb and "Exchange" not in pb
+    pm = _plan_string(queries["cdc_last_event_per_key"](spark, sf_dir))
+    checks["cdc_maxby_partial"] = "partial_max_by" in pm or (
+        "max_by" in pm and "partial" in pm
+    )
+    pt = _plan_string(queries["sort_limit_global"](spark, sf_dir))
+    checks["topk_take_ordered"] = "TakeOrderedAndProject" in pt
+    return checks
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    plans_only = "plans" in sys.argv[1:]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+
+    if plans_only:
+        checks = plan_checks(spark, sf_dir, queries)
+        print(json.dumps({"metric": "plan_properties", "checks": checks}))
+        spark.stop()
+        raise SystemExit(0 if all(checks.values()) else 1)
 
     # JVM/codegen warmup + Python-worker warmup (not counted): the first
     # mapInPandas call pays ~3 s of worker startup per executor slot.
@@ -109,9 +191,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     timings["stream_cdc_orders"] = round(_bench_stream_cdc(spark, sf_dir), 3)
 
@@ -124,6 +209,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "plan_checks": plan_checks(spark, sf_dir, queries),
             }
         )
     )
