@@ -48,6 +48,17 @@ class Pipeline:
         self.config = config
         self.registry = registry
         self.routes: list[CdcStreamRoute] = []
+        tgt = config.output_config.get("target", {})
+        # Reference sample configs ([output.config.target]): a
+        # starrocks/doris output with a host + load-port pushes batches
+        # over the stream-load HTTP protocol (outputs/starrocks/
+        # starrocks.go:162-183); without connection info the pipeline
+        # materializes locally (the MERGE-table stand-in).
+        use_streamload = (
+            config.output_type in ("starrocks", "doris")
+            and tgt.get("host")
+            and tgt.get("load-port")
+        )
         for router in config.routers:
             db, table = router.source_schema, router.source_table
             schema = registry.get(db, table)
@@ -56,6 +67,27 @@ class Pipeline:
             target_path = os.path.join(
                 target_root, router.target_schema, router.target_table
             )
+            sink = None
+            if use_streamload:
+                from qin_cdc_spark.sinks.starrocks import (
+                    DEFAULT_BATCH_SIZE,
+                    StarRocksStreamLoad,
+                )
+
+                opts = tgt.get("options", {})
+                loader = StarRocksStreamLoad(
+                    host=tgt["host"],
+                    load_port=int(tgt["load-port"]),
+                    database=router.target_schema,
+                    table=router.target_table,
+                    username=tgt.get("username", "root"),
+                    password=tgt.get("password", ""),
+                    columns=[
+                        src for src, _ in router.column_mapping(schema.fieldNames())
+                    ],
+                    batch_size=int(opts.get("batch-size", DEFAULT_BATCH_SIZE)),
+                )
+                sink = loader.load_batch
             self.routes.append(
                 CdcStreamRoute(
                     spark,
@@ -66,6 +98,7 @@ class Pipeline:
                     target_path=target_path,
                     transform=(lambda df, _db=db, _t=table: chain.apply(_db, _t, df)),
                     n_buckets=n_buckets,
+                    sink=sink,
                 )
             )
 

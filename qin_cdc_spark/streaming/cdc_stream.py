@@ -236,6 +236,7 @@ class CdcStreamRoute:
         transform=None,
         n_buckets: int | None = DEFAULT_N_BUCKETS,
         dlq_path: str | None = None,
+        sink=None,
     ):
         self.spark = spark
         self.db = db
@@ -247,6 +248,11 @@ class CdcStreamRoute:
         self.transform = transform
         self.n_buckets = n_buckets
         self.dlq_path = dlq_path
+        # Remote sink callable (decoded_batch_df) -> None, e.g.
+        # StarRocksStreamLoad.load_batch — replaces the local parquet
+        # target exactly like the reference's output plugins push to the
+        # remote store instead of materializing locally.
+        self.sink = sink
 
     def apply_batch(self, env_batch: DataFrame) -> None:
         # Dead-letter quarantine: rows whose `data` fails to parse are
@@ -282,6 +288,9 @@ class CdcStreamRoute:
         # (current ∪ batch) — feeding it the raw decoded batch costs one
         # shuffle total instead of reduce-then-merge's two.
         reduced = decoded
+        if self.sink is not None:
+            self.sink(reduced)
+            return
         self.bind_target()
         self.target.merge(reduced)
 

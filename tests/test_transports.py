@@ -313,6 +313,61 @@ def test_streamload_load_batch_posts_from_partitions(spark):
         srv.stop()
 
 
+def test_pipeline_toml_to_streamload_end_to_end(spark, tmp_path):
+    """Reference sample-config parity end to end: a starrocks output with
+    [output.config.target] host/load-port routes every batch over the
+    stream-load wire protocol instead of materializing locally."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.plans.pipeline import compile_pipeline
+
+    srv = _CannedStreamLoad([])
+    try:
+        cfg = f"""
+name = "mysql2starrocks"
+[input]
+type = "mysql"
+[output]
+type = "starrocks"
+[output.config.target]
+host = "127.0.0.1"
+port = 9030
+load-port = {srv.port}
+username = "root"
+password = "secret"
+[output.config.target.options]
+batch-size = 1000
+[[output.config.routers]]
+source-schema = "src"
+source-table = "accounts"
+target-schema = "dw"
+target-table = "ods_accounts"
+"""
+        rows = spark.createDataFrame(
+            [(1, "a", "insert", 1), (2, "b", "insert", 2), (2, "b", "delete", 3)],
+            "id long, name string, op string, seq long",
+        )
+        schema = rows.drop("op", "seq").schema
+        pipe = compile_pipeline(
+            spark,
+            cfg,
+            schemas={("src", "accounts"): schema},
+            primary_keys={("src", "accounts"): ["id"]},
+            target_root=str(tmp_path / "targets"),
+        )
+        pipe.run_batch(envelope_from_typed(rows, db="src", table="accounts"))
+        assert srv.requests, "no stream-load PUTs received"
+        assert all(
+            r["path"] == "/api/dw/ods_accounts/_stream_load" for r in srv.requests
+        )
+        sent = [row for r in srv.requests for row in json.loads(r["body"])]
+        assert len(sent) == 3
+        assert sorted(r["_delete_sign_"] for r in sent) == [0, 0, 1]
+        # nothing materialized locally for a stream-load route
+        assert not (tmp_path / "targets" / "dw" / "ods_accounts").exists()
+    finally:
+        srv.stop()
+
+
 # --------------------------------------------------------------------------
 # Prometheus /metrics exposition
 # --------------------------------------------------------------------------
