@@ -46,7 +46,9 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="db.table=parquet", help="infer source schema from parquet")
     ap.add_argument("--primary-key", action="append", default=[],
                     metavar="db.table=col[,col]")
-    ap.add_argument("--envelope-dir", help="CDC envelope source directory")
+    ap.add_argument("--envelope-dir",
+                    help="CDC envelope source directory (file stand-in source; "
+                         "optional when the config's [input] type = kafka)")
     ap.add_argument("--target-root", help="managed target table root")
     ap.add_argument("--checkpoint-dir", help="stream checkpoint location")
     ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
@@ -57,15 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.version:
         print(f"qin_cdc_spark {VERSION}")
         return 0
-    for req in ("config", "envelope_dir", "target_root"):
+    for req in ("config", "target_root"):
         if not getattr(args, req):
             ap.error(f"--{req.replace('_', '-')} is required (unless --version)")
     if args.mode == "stream" and not args.checkpoint_dir:
         ap.error("--checkpoint-dir is required in stream mode")
+    if args.mode == "batch" and not args.envelope_dir:
+        ap.error("--envelope-dir is required in batch mode")
 
-    from qin_cdc_spark.plans.pipeline import compile_pipeline
+    from qin_cdc_spark.plans.pipeline import compile_pipeline, envelope_source_from_config
     from qin_cdc_spark.session import get_spark
-    from qin_cdc_spark.streaming.cdc_stream import file_envelope_stream
 
     spark = get_spark("qin_cdc_spark_cli")
     spark.sparkContext.setLogLevel(args.level.upper())
@@ -89,10 +92,13 @@ def main(argv: list[str] | None = None) -> int:
 
         pipe.run_batch(spark.read.schema(ENVELOPE_SCHEMA).parquet(args.envelope_dir))
         return 0
-    q = pipe.run_stream(
-        file_envelope_stream(spark, args.envelope_dir),
-        checkpoint_dir=args.checkpoint_dir,
+    # stream mode: the [input] section picks the transport (kafka →
+    # Debezium/Canal decode; anything else → the file envelope stand-in,
+    # overridable with --envelope-dir)
+    source = envelope_source_from_config(
+        spark, pipe.config, envelope_dir=args.envelope_dir, batch_size=pipe.batch_size()
     )
+    q = pipe.run_stream(source, checkpoint_dir=args.checkpoint_dir)
     q.awaitTermination(args.await_seconds or None)
     return 0
 

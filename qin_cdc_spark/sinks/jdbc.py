@@ -22,6 +22,14 @@ Scale: ``apply_batch_dbapi`` runs inside ``foreachBatch`` /
 ``foreachPartition`` — each executor partition opens one connection and
 writes its slice; statements batch ``max_rows_per_stmt`` rows like the
 reference's 10240-row flush (BASELINE.md).
+
+Execution caveat: the MySQL-dialect SQL text is exact to the reference
+(``ON DUPLICATE KEY UPDATE``/backtick quoting, verified in
+tests/test_registry_sinks.py) but this container has no MySQL server —
+the executed leg of the tests runs the sqlite dialect end-to-end over a
+real DB-API connection.  On a deployment with MySQL, pass
+``dialect="mysql"`` and a mysql-connector ``connect`` callable; the code
+path is identical.
 """
 
 from __future__ import annotations
