@@ -138,6 +138,9 @@ class Pipeline:
             self.routes,
             checkpoint_dir=checkpoint_dir,
             trigger=trigger,
+            # in-stream DDL: op='ddl' envelope rows evolve the registry and
+            # every route's decode schema mid-stream (A11+A12 end to end)
+            registry=self.registry,
         )
 
     def run_batch(self, envelope: DataFrame) -> None:

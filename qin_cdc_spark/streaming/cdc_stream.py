@@ -315,13 +315,30 @@ def start_cdc_stream(
     *,
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
+    registry=None,
 ):
     """Start the streaming apply: one foreachBatch fanning out to every
     route (per-table grouping, A21 analog — each route filters its own
-    (db, table) slice of the batch)."""
+    (db, table) slice of the batch).
+
+    With a ``registry``, ``op='ddl'`` control rows are applied to it (in
+    seq order, batch-id idempotent) BEFORE the DML fan-out, and each
+    route's decode schema refreshes from the registry at the start of
+    every batch — the reference's handleDDLEvent → meta-update → decode
+    loop (inputs/mysql/mysql_replication.go:132-228) as one streaming
+    pipeline.  Rows produced under the pre-DDL schema decode fine under
+    the post-DDL schema within the same batch (absent fields read as
+    NULL; the sink union is allowMissingColumns)."""
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_ckpt_")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if registry is not None:
+            batch_df = handle_ddl_rows(batch_df, registry, batch_id=batch_id)
+            for route in routes:
+                try:
+                    route.schema = registry.get(route.db, route.table)
+                except KeyError:
+                    pass  # table not in registry: keep the bound schema
         batch_df.persist()
         try:
             for route in routes:

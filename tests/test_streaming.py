@@ -695,6 +695,74 @@ def test_incremental_rollup_equals_batch(spark, events_stream_dir, tmp_path):
     assert sorted(map(str, store.read().collect())) == sorted(map(str, before))
 
 
+def test_cdc_stream_in_stream_ddl_evolution(spark, tmp_path):
+    """A11+A12 end to end INSIDE one stream: op='ddl' envelope rows
+    evolve the registry mid-stream and subsequent batches decode with
+    the new schema — no manual route swap (the reference's
+    handleDDLEvent → meta update → decode loop)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    v1 = StructType(
+        [StructField("id", LongType(), False), StructField("name", StringType(), True)]
+    )
+    reg.add("src", "acct", v1)
+
+    env_dir = str(tmp_path / "env")
+    rows_v1 = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 2)], ["id", "name", "op", "seq"]
+    )
+    # file 1: v1 rows + the DDL control row (same batch: DML decoded
+    # under the evolved schema sees NULL for the new column — fine)
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    ddl_row = spark.createDataFrame(
+        [("src", "acct", "ddl", 3, None, None,
+          "ALTER TABLE acct ADD COLUMN tier varchar(10)", None)],
+        ENVELOPE_SCHEMA,
+    )
+    envelope_from_typed(rows_v1, db="src", table="acct").unionByName(
+        ddl_row
+    ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="acct",
+        schema=reg.get("src", "acct"),
+        keys=["id"],
+        target_path=str(tmp_path / "acct_tbl"),
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = start_cdc_stream(
+        spark, file_envelope_stream(spark, env_dir), [route],
+        checkpoint_dir=ckpt, registry=reg,
+    )
+    q.awaitTermination(300)
+    # DDL applied in-stream: registry evolved, control row not applied as DML
+    assert reg.get("src", "acct").fieldNames() == ["id", "name", "tier"]
+    assert route.target.read().count() == 2
+
+    # file 2: v2 rows carrying the new column; SAME checkpoint resume —
+    # the route's schema refreshes from the registry, no manual rebind
+    rows_v2 = spark.createDataFrame(
+        [(2, "b2", "gold", "update", 4), (9, "z", "silver", "insert", 5)],
+        ["id", "name", "tier", "op", "seq"],
+    )
+    envelope_from_typed(rows_v2, db="src", table="acct").coalesce(1).write.mode(
+        "append"
+    ).parquet(env_dir)
+    q2 = start_cdc_stream(
+        spark, file_envelope_stream(spark, env_dir), [route],
+        checkpoint_dir=ckpt, registry=reg,
+    )
+    q2.awaitTermination(300)
+    got = {r["id"]: (r["name"], r["tier"]) for r in route.target.read().collect()}
+    assert got == {1: ("a", None), 2: ("b2", "gold"), 9: ("z", "silver")}
+
+
 def test_rollup_snapshot_store_guards(spark, tmp_path):
     """Snapshot-pointer store invariants: month-partitioned data dirs,
     orphan GC, atomic pointer, and the new-checkpoint run guard (a
