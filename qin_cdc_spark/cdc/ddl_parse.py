@@ -105,7 +105,10 @@ _ATTR_RE = (
     r"))*"
 )
 _TYPE_RE = r"(?P<dtype>\w+(?:\s*\([^)]*\))?" + _ATTR_RE + r")"
-_POS_RE = r"(?:\s+(?P<first>first)|\s+after\s+(?P<after>\S+))?"
+# Quoted identifiers (`weird col`, "x y") may contain spaces — \S+ alone
+# drops them (found by tests/test_property_ddl.py).
+_IDENT = r"(?:`[^`]+`|\"[^\"]+\"|\S+)"
+_POS_RE = rf"(?:\s+(?P<first>first)|\s+after\s+(?P<after>{_IDENT}))?"
 
 
 def _position(m: re.Match) -> str | None:
@@ -158,7 +161,7 @@ def _parse_alter_spec(spec: str) -> list[DdlOp]:
             for f in schema.fields
         ]
     m = re.match(
-        rf"^add\s+(?:column\s+)?(?P<col>\S+)\s+{_TYPE_RE}{_POS_RE}\s*$", low, re.S
+        rf"^add\s+(?:column\s+)?(?P<col>{_IDENT})\s+{_TYPE_RE}{_POS_RE}\s*$", low, re.S
     )
     if m:
         return [
@@ -169,11 +172,11 @@ def _parse_alter_spec(spec: str) -> list[DdlOp]:
                 position=_position(m),
             )
         ]
-    m = re.match(r"^drop\s+(?:column\s+)?(?P<col>\S+)\s*$", low)
+    m = re.match(rf"^drop\s+(?:column\s+)?(?P<col>{_IDENT})\s*$", low)
     if m:
         return [DdlOp(action="drop-column", column=_ident(s[m.start("col") : m.end("col")]))]
     m = re.match(
-        rf"^modify\s+(?:column\s+)?(?P<col>\S+)\s+{_TYPE_RE}{_POS_RE}\s*$", low, re.S
+        rf"^modify\s+(?:column\s+)?(?P<col>{_IDENT})\s+{_TYPE_RE}{_POS_RE}\s*$", low, re.S
     )
     if m:
         return [
@@ -185,7 +188,7 @@ def _parse_alter_spec(spec: str) -> list[DdlOp]:
             )
         ]
     m = re.match(
-        rf"^change\s+(?:column\s+)?(?P<col>\S+)\s+(?P<new>\S+)\s+{_TYPE_RE}{_POS_RE}\s*$",
+        rf"^change\s+(?:column\s+)?(?P<col>{_IDENT})\s+(?P<new>{_IDENT})\s+{_TYPE_RE}{_POS_RE}\s*$",
         low,
         re.S,
     )
@@ -199,7 +202,7 @@ def _parse_alter_spec(spec: str) -> list[DdlOp]:
                 position=_position(m),
             )
         ]
-    m = re.match(r"^rename\s+column\s+(?P<a>\S+)\s+to\s+(?P<b>\S+)\s*$", low)
+    m = re.match(rf"^rename\s+column\s+(?P<a>{_IDENT})\s+to\s+(?P<b>{_IDENT})\s*$", low)
     if m:
         return [
             DdlOp(
@@ -211,7 +214,7 @@ def _parse_alter_spec(spec: str) -> list[DdlOp]:
     m = re.match(r"^rename\s+(?:index|key)\s+", low)
     if m:
         return []  # index rename: schema-neutral
-    m = re.match(r"^rename\s+(?:to\s+|as\s+)?(?P<t>\S+)\s*$", low)
+    m = re.match(rf"^rename\s+(?:to\s+|as\s+)?(?P<t>{_IDENT})\s*$", low)
     if m:
         return [DdlOp(action="rename-table", new_table=_ident(s[m.start("t") : m.end("t")]))]
     if re.match(r"^(add|drop|modify|change)\b", low):
@@ -260,7 +263,7 @@ def _parse_create_columns(body: str) -> StructType:
         item = item.strip()
         if not item or _COL_SKIP.match(item):
             continue
-        m = re.match(rf"^(?P<col>\S+)\s+{_TYPE_RE}\s*$", item.lower(), re.S)
+        m = re.match(rf"^(?P<col>{_IDENT})\s+{_TYPE_RE}\s*$", item.lower(), re.S)
         if not m:
             raise ValueError(f"unparseable column definition: {item!r}")
         name = _ident(item[m.start("col") : m.end("col")])
@@ -287,7 +290,7 @@ def parse_ddl(sql: str, default_db: str) -> list[ParsedDdl]:
             continue
         low = stmt.lower()
 
-        m = re.match(r"^alter\s+table\s+(?P<t>\S+)\s+(?P<specs>.+)$", low, re.S)
+        m = re.match(rf"^alter\s+table\s+(?P<t>{_IDENT})\s+(?P<specs>.+)$", low, re.S)
         if m:
             db, table = _split_qualified(stmt[m.start("t") : m.end("t")], default_db)
             ops = []
@@ -300,7 +303,7 @@ def parse_ddl(sql: str, default_db: str) -> list[ParsedDdl]:
         m = re.match(r"^rename\s+table\s+(?P<pairs>.+)$", low, re.S)
         if m:
             for pair in _split_top_level(stmt[m.start("pairs") :]):
-                pm = re.match(r"^\s*(?P<a>\S+)\s+to\s+(?P<b>\S+)\s*$", pair, re.I)
+                pm = re.match(rf"^\s*(?P<a>{_IDENT})\s+to\s+(?P<b>{_IDENT})\s*$", pair, re.I)
                 if not pm:
                     raise ValueError(f"unparseable RENAME TABLE pair: {pair!r}")
                 db, table = _split_qualified(pm.group("a"), default_db)
@@ -311,7 +314,7 @@ def parse_ddl(sql: str, default_db: str) -> list[ParsedDdl]:
             continue
 
         m = re.match(
-            r"^create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<t>\S+)\s*\((?P<body>.*)\)\s*"
+            rf"^create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<t>{_IDENT})\s*\((?P<body>.*)\)\s*"
             r"(?:engine|default|comment|charset|character|collate|auto_increment|row_format|partition|\s*$).*",
             low,
             re.S,
@@ -329,7 +332,7 @@ def parse_ddl(sql: str, default_db: str) -> list[ParsedDdl]:
             continue
 
         m = re.match(
-            r"^create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<t>\S+)\s+like\s+(?P<src>\S+)\s*$",
+            rf"^create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<t>{_IDENT})\s+like\s+(?P<src>{_IDENT})\s*$",
             low,
             re.S,
         )
@@ -350,7 +353,7 @@ def parse_ddl(sql: str, default_db: str) -> list[ParsedDdl]:
                 results.append(ParsedDdl(db, table, [DdlOp(action="drop-table")]))
             continue
 
-        m = re.match(r"^truncate\s+(?:table\s+)?(?P<t>\S+)\s*$", low)
+        m = re.match(rf"^truncate\s+(?:table\s+)?(?P<t>{_IDENT})\s*$", low)
         if m:
             db, table = _split_qualified(stmt[m.start("t") : m.end("t")], default_db)
             results.append(ParsedDdl(db, table, [DdlOp(action="truncate-table")]))
