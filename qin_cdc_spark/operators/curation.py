@@ -147,6 +147,62 @@ ORACLES["decontaminate_ngram"] = DECONTAMINATE_ORACLE
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space decontamination: the semantic sibling of the n-gram
+# check — flag training vectors too close (cosine) to any held-out
+# benchmark vector.  Benchmark set: vec_id % 97 == 0; like the n-gram
+# variant the benchmark side is small BY DEFINITION, so the broadcast is
+# bounded and the 100 TB train side streams with zero join shuffle.
+
+EMB_DECON_THRESHOLD = 0.35
+
+
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bench_emb")
+    )
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    scored = train.join(broadcast(bench), F.lit(True)).select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("bench_emb")), 9).alias("cos_r"),
+    )
+    return (
+        scored.filter(F.col("cos_r") >= EMB_DECON_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("cos_r").alias("max_cos_r"),
+        )
+    )
+
+
+EMB_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding AS bench_emb
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+scored AS (
+  SELECT t.vec_id,
+         round({_DOT_SQL.format(a="t.embedding", b="b.bench_emb")}
+           / (sqrt({_DOT_SQL.format(a="t.embedding", b="t.embedding")})
+              * sqrt({_DOT_SQL.format(a="b.bench_emb", b="b.bench_emb")})), 9) AS cos_r
+  FROM embeddings t CROSS JOIN bench b
+  WHERE t.vec_id % 97 <> 0
+)
+SELECT vec_id, count(*) AS n_hits, max(cos_r) AS max_cos_r
+FROM scored WHERE cos_r >= {EMB_DECON_THRESHOLD}
+GROUP BY vec_id
+"""
+
+QUERIES["decontaminate_embedding"] = decontaminate_embedding
+ORACLES["decontaminate_embedding"] = EMB_DECON_ORACLE
+
+
+# ---------------------------------------------------------------------------
 # Cluster-representative selection: after near-dup clustering, keep the
 # best doc per cluster (longest, doc_id tie-break) — composes
 # dedup_cluster_cc with a window rank.

@@ -482,3 +482,87 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("word_entropy"))
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level dedup (the CCNet/RefinedWeb line-dedup move on fixture text
+# with no newlines): consecutive 10-word chunks hashed, chunks appearing
+# in ≥2 documents reported with document/occurrence counts.  At 100 TB
+# this is a single explode + hash-agg on a 32-hex key — the map-side
+# combine carries |distinct chunks|, not |chunks|.
+# --------------------------------------------------------------------------
+
+CHUNK_WORDS = 10
+
+CHUNK_DEDUP_ORACLE = f"""
+WITH w AS (SELECT doc_id, {{words}} AS ws FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) // {CHUNK_WORDS} + 1),
+           i -> md5(array_to_string(
+                  ws[(i-1)*{CHUNK_WORDS}+1:(i-1)*{CHUNK_WORDS}+{CHUNK_WORDS}], ' '))))
+           AS chunk_hash
+  FROM w WHERE len(ws) >= {CHUNK_WORDS}
+)
+SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM ch GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@_q("text_chunk_dedup", CHUNK_DEDUP_ORACLE.format(words="string_split_regex(trim(text), '\\s+')"))
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), (F.size(w) / CHUNK_WORDS).cast("int")),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, (i - 1) * CHUNK_WORDS + 1, CHUNK_WORDS))
+        ),
+    )
+    ch = (
+        docs.filter(F.size(words(F.col("text"))) >= CHUNK_WORDS)
+        .select("doc_id", F.explode(chunks).alias("chunk_hash"))
+    )
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide top 3-grams by document frequency — the boilerplate /
+# template detector that feeds line-dedup blocklists.  Distinct shingles
+# per doc (df, not tf), global hash-agg, deterministic top-20.
+# --------------------------------------------------------------------------
+
+TOP_NGRAMS_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(1, len(string_split_regex(trim(text), '\\s+')) - 2) + 1),
+           i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' '))))
+           AS shingle
+  FROM documents
+)
+SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+ORDER BY df DESC, shingle ASC LIMIT 20
+"""
+
+
+@_q("corpus_top_ngrams", TOP_NGRAMS_ORACLE)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(20)
+    )

@@ -306,3 +306,43 @@ GROUP BY 1, 2
 
 QUERIES["ev_cohort_retention"] = ev_cohort_retention
 ORACLES["ev_cohort_retention"] = EV_COHORT_ORACLE
+
+
+def rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The month-partitioned RollupStore, oracle-checked end to end:
+    two ADDITIVE merge batches (events split by id parity — different
+    batch compositions must converge to the single-pass aggregate) into
+    a snapshot-pointer store, then read back.  sum/avg rounded to absorb
+    the additive two-batch summation-order ulps vs DuckDB's one pass."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.rollup import RollupStore
+
+    ev = load_table(spark, sf_dir, "events")
+    store = RollupStore(
+        spark,
+        tempfile.mkdtemp(prefix="rollup_gate_") + "/store",
+        keys=["event_type"],
+        window_duration="1 hour",
+    )
+    store.merge_batch(ev.filter(F.col("event_id") % 2 == 0), 0, run_id="gate")
+    store.merge_batch(ev.filter(F.col("event_id") % 2 == 1), 1, run_id="gate")
+    return store.read().select(
+        "window_start",
+        "event_type",
+        "cnt",
+        F.round("sum_value", 4).alias("sum_value_r"),
+        F.round("avg_value", 6).alias("avg_value_r"),
+    )
+
+
+ROLLUP_CONTINUOUS_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS sum_value_r,
+       round(sum(value) / count(*), 6) AS avg_value_r
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["rollup_continuous_agg"] = rollup_continuous_agg
+ORACLES["rollup_continuous_agg"] = ROLLUP_CONTINUOUS_ORACLE
