@@ -62,7 +62,33 @@ class ParquetUpsertTable:
         self.keys = keys
 
     def exists(self) -> bool:
+        self._recover()
         return os.path.exists(self.path)
+
+    def _recover(self) -> None:
+        """Crash-window repair.  A swap renames live → ``.old-*`` then
+        staged → live; dying between the two renames leaves only the
+        ``.old-*`` copy (of the whole table, or of one bucket directory
+        in the bucketed subclass).  Restore it before any read or merge,
+        so the at-least-once replay sees the pre-crash state instead of
+        a missing table/bucket."""
+        parent, name = os.path.split(self.path.rstrip("/"))
+        if parent and os.path.isdir(parent) and not os.path.exists(self.path):
+            olds = sorted(
+                d for d in os.listdir(parent) if d.startswith(name + ".old-")
+            )
+            if olds:
+                os.rename(os.path.join(parent, olds[-1]), self.path)
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if ".old-" not in d:
+                    continue
+                base = os.path.join(self.path, d.split(".old-")[0])
+                src = os.path.join(self.path, d)
+                if os.path.exists(base):
+                    shutil.rmtree(src, ignore_errors=True)  # swap completed
+                else:
+                    os.rename(src, base)  # swap died mid-flight: restore
 
     def read(self) -> DataFrame | None:
         """Visible rows (tombstones and bookkeeping columns hidden)."""
@@ -168,44 +194,48 @@ class BucketedUpsertTable(ParquetUpsertTable):
         # The batch is consumed twice (touched-bucket probe + merge
         # union); persist so the envelope decode runs once per batch.
         incoming = incoming.persist()
-        touched = [r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()]
-        current = (
-            self.spark.read.parquet(self.path)
-            # partition pruning: only touched bucket dirs are scanned
-            .filter(F.col(self.BUCKET_COL).isin(touched))
-        )
-        # allowMissingColumns: same schema-evolution contract as the flat
-        # table — a batch decoded under a newer schema merges into an
-        # older table (old rows take NULL for added columns)
-        union = current.unionByName(
-            incoming.filter(F.col(self.BUCKET_COL).isin(touched)),
-            allowMissingColumns=True,
-        )
-        merged = latest_by_key(union, [*self.keys, self.BUCKET_COL], seq_col="_seq")
-        # co-locate each bucket into one output file (otherwise every
-        # shuffle partition writes a sliver of every bucket — 32×32
-        # small files per batch and metadata blowup over time)
-        merged = merged.repartition(max(1, len(touched)), F.col(self.BUCKET_COL))
-        # one job: write merged buckets to a staging dir (target untouched,
-        # so the lazy read of `current` is safe), then swap only the
-        # touched bucket directories in — no persist/count materialization
-        # pass and no in-place dynamic overwrite hazard
-        stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
-        merged.write.partitionBy(self.BUCKET_COL).parquet(stage)
-        for b in touched:
-            src = os.path.join(stage, f"{self.BUCKET_COL}={b}")
-            dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
-            old = f"{dst}.old-{uuid.uuid4().hex[:6]}"
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            if os.path.exists(src):
-                os.rename(src, dst)
-            else:
-                os.makedirs(dst, exist_ok=True)  # bucket emptied by the merge
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        shutil.rmtree(stage, ignore_errors=True)
-        incoming.unpersist()
+        try:
+            touched = [
+                r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()
+            ]
+            current = (
+                self.spark.read.parquet(self.path)
+                # partition pruning: only touched bucket dirs are scanned
+                .filter(F.col(self.BUCKET_COL).isin(touched))
+            )
+            # allowMissingColumns: same schema-evolution contract as the flat
+            # table — a batch decoded under a newer schema merges into an
+            # older table (old rows take NULL for added columns)
+            union = current.unionByName(
+                incoming.filter(F.col(self.BUCKET_COL).isin(touched)),
+                allowMissingColumns=True,
+            )
+            merged = latest_by_key(union, [*self.keys, self.BUCKET_COL], seq_col="_seq")
+            # co-locate each bucket into one output file (otherwise every
+            # shuffle partition writes a sliver of every bucket — 32×32
+            # small files per batch and metadata blowup over time)
+            merged = merged.repartition(max(1, len(touched)), F.col(self.BUCKET_COL))
+            # one job: write merged buckets to a staging dir (target untouched,
+            # so the lazy read of `current` is safe), then swap only the
+            # touched bucket directories in — no persist/count materialization
+            # pass and no in-place dynamic overwrite hazard
+            stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+            merged.write.partitionBy(self.BUCKET_COL).parquet(stage)
+            for b in touched:
+                src = os.path.join(stage, f"{self.BUCKET_COL}={b}")
+                dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+                old = f"{dst}.old-{uuid.uuid4().hex[:6]}"
+                if os.path.exists(dst):
+                    os.rename(dst, old)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                else:
+                    os.makedirs(dst, exist_ok=True)  # bucket emptied by the merge
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+            shutil.rmtree(stage, ignore_errors=True)
+        finally:
+            incoming.unpersist()
 
     def _swap_write(self, df: DataFrame) -> None:
         # keep the bucket layout on full rewrites (gc_tombstones path)

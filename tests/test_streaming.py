@@ -695,6 +695,42 @@ def test_incremental_rollup_equals_batch(spark, events_stream_dir, tmp_path):
     assert sorted(map(str, store.read().collect())) == sorted(map(str, before))
 
 
+def test_upsert_table_crash_window_recovery(spark, tmp_path):
+    """A swap that dies between its two renames leaves only the .old-*
+    copy (whole table, or one bucket dir).  The next read/merge must
+    restore it — otherwise an at-least-once replay merges against a
+    missing bucket and loses every key not in the replayed batch."""
+    import os as _os
+    import shutil as _shutil
+
+    from qin_cdc_spark.streaming.cdc_stream import BucketedUpsertTable
+
+    orders = load_table(spark, SF_SMOKE, "orders").limit(100)
+    changes = orders.withColumn("op", F.lit("insert")).withColumn(
+        "seq", F.col("o_orderkey")
+    )
+    tbl = BucketedUpsertTable(spark, str(tmp_path / "tbl"), ["o_orderkey"], n_buckets=4)
+    tbl.merge(changes)
+    n = tbl.read().count()
+
+    # simulate a bucket-level crash: dst renamed away, replacement never landed
+    bucket = next(d for d in _os.listdir(tbl.path) if d.startswith("_bucket="))
+    _os.rename(
+        _os.path.join(tbl.path, bucket), _os.path.join(tbl.path, bucket + ".old-dead")
+    )
+    assert tbl.read().count() == n  # recovered transparently
+
+    # simulate a whole-table crash: live dir renamed away mid-swap
+    _os.rename(tbl.path, tbl.path + ".old-dead")
+    assert tbl.read().count() == n
+
+    # a COMPLETED swap's leftover .old dir is garbage, not a restore source
+    bucket_path = _os.path.join(tbl.path, bucket)
+    _shutil.copytree(bucket_path, bucket_path + ".old-stale")
+    assert tbl.read().count() == n
+    assert not _os.path.exists(bucket_path + ".old-stale")
+
+
 def test_cdc_stream_in_stream_ddl_evolution(spark, tmp_path):
     """A11+A12 end to end INSIDE one stream: op='ddl' envelope rows
     evolve the registry mid-stream and subsequent batches decode with
