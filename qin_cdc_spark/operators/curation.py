@@ -379,9 +379,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose levenshtein ≤ 20% of the longer text.  The quadratic-cost
     kernel touches only LSH survivors (tiny), never the corpus — the
     only scalable place for an O(n·m) string metric at 100 TB."""
-    from qin_cdc_spark.operators.similarity import dedup_minhash_lsh
+    from qin_cdc_spark.operators.similarity import minhash_pairs_cached
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))

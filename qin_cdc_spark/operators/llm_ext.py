@@ -294,9 +294,9 @@ FROM reach GROUP BY a
 
 
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qin_cdc_spark.operators.similarity import dedup_minhash_lsh
+    from qin_cdc_spark.operators.similarity import minhash_pairs_cached
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 

@@ -126,6 +126,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped materialized intermediate: the verified MinHash
+    near-dup pair set, shared by every operator that builds ON it
+    (connected components, cluster representative pick, edit-distance
+    verify) — the warehouse pattern of computing a shared candidate
+    stage once per corpus instead of once per consumer.  The
+    ``dedup_minhash_lsh`` gate/bench query itself never reads this cache
+    (its bench timing must measure the real pipeline)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = dedup_minhash_lsh(spark, sf_dir)
+    return _PAIR_CACHE[key]
+
+
 def _minhash_oracle() -> str:
     params = "[" + ", ".join(f"[{a}, {b}]" for a, b in perm_params_sql(N_MINHASH)) + "]"
     band_elems = ", ".join(

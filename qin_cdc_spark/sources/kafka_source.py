@@ -43,6 +43,9 @@ def decode_debezium_envelope(df: DataFrame, *, value_col: str = "value") -> Data
     source ts_ms; ``data`` is ``after`` (``before`` for deletes, whose
     after is null), ``old`` is ``before`` on updates only.
     """
+    # Kafka log-compaction tombstones (null value after a delete) carry
+    # no change event — drop them before decoding.
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("string")
     op_raw = _dbz(v, "op")
     op = (

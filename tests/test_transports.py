@@ -59,8 +59,14 @@ DBZ_DELETE = json.dumps(
 
 def test_debezium_decoder_maps_ops_and_images(spark):
     env = decode_debezium_envelope(
-        _values_df(spark, [DBZ_INSERT, DBZ_UPDATE_FLAT, DBZ_DELETE])
+        spark.createDataFrame(
+            # trailing None: a log-compaction tombstone record — must be
+            # dropped, not decoded into a null-db row
+            [(DBZ_INSERT,), (DBZ_UPDATE_FLAT,), (DBZ_DELETE,), (None,)],
+            "value string",
+        )
     )
+    assert env.count() == 3
     rows = {r.seq: r for r in env.collect()}
     assert rows[501].op == "insert" and rows[501].db == "shop"
     assert json.loads(rows[501].data) == {"id": 1, "name": "a"}
