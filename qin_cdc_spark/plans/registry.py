@@ -79,7 +79,8 @@ _HEAD = [
     "q12_shipmode_priority",
     "fn_case_cast_null",
     "agg_decimal_exact",
-    "join_inner_equi",
+    # continuous-aggregate store (hypertable-rollup parity), oracle-checked
+    "rollup_continuous_agg",
     "agg_rollup",
     "win_row_number",
     "topk_per_group",
