@@ -162,6 +162,10 @@ def plan_checks(spark, sf_dir: str, queries) -> dict[str, bool]:
     )
     pt = _plan_string(queries["sort_limit_global"](spark, sf_dir))
     checks["topk_take_ordered"] = "TakeOrderedAndProject" in pt
+    # partition pruning: the hive-layout scan must carry the partition
+    # predicate as a PartitionFilter (directory pruning), not a row filter
+    pp = _plan_string(queries["scan_partitioned_pruned"](spark, sf_dir))
+    checks["partition_pruning"] = "PartitionFilters: [isnotnull" in pp
     return checks
 
 
