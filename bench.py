@@ -59,6 +59,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_quality_score",
     "mm_decode_meta",
+    "text_chunk_dedup",
+    "rollup_continuous_agg",
 ]
 
 
