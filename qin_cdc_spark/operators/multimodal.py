@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -296,3 +297,107 @@ FROM documents
 
 QUERIES["mm_payload_stats"] = mm_payload_stats
 ORACLES["mm_payload_stats"] = MM_PAYLOAD_STATS_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Audio-style DSP kernel — a REAL decode path, fully runnable here
+# (numpy only): treat the payload as 8-bit PCM and compute per-window
+# RMS energy, the first feature any audio-curation pipeline extracts
+# (silence trimming, loudness filtering, VAD pre-gates).  One payload
+# row fans out to n_windows feature rows (1-in/N-out mapInPandas, same
+# shape as frame sampling).  sum_sq is an exact integer on both engines
+# so the oracle comparison never rides on float summation order; rms is
+# derived from that exact sum.
+# --------------------------------------------------------------------------
+
+AUDIO_WIN = 256  # samples (bytes) per analysis window
+
+AUDIO_RMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("rms_r", DoubleType()),
+    ]
+)
+
+
+def audio_rms_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched PCM windowing kernel: bytes → int64 samples →
+    per-window exact sum of squares + derived RMS."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids: list[int] = []
+        win_idx: list[int] = []
+        n_samples: list[int] = []
+        sum_sq: list[int] = []
+        rms_r: list[float] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            x = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for w in range((len(x) + AUDIO_WIN - 1) // AUDIO_WIN):
+                seg = x[w * AUDIO_WIN : (w + 1) * AUDIO_WIN]
+                ss = int((seg * seg).sum())
+                doc_ids.append(int(doc_id))
+                win_idx.append(w)
+                n_samples.append(len(seg))
+                sum_sq.append(ss)
+                rms_r.append(round(math.sqrt(ss / len(seg)), 6))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "win_idx": pd.array(win_idx, dtype="int32"),
+                "n_samples": pd.array(n_samples, dtype="int32"),
+                "sum_sq": pd.array(sum_sq, dtype="int64"),
+                "rms_r": pd.array(rms_r, dtype="float64"),
+            }
+        )
+
+
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return with_payload(docs).select("doc_id", "payload").mapInPandas(
+        audio_rms_batch, schema=AUDIO_RMS_SCHEMA
+    )
+
+
+# Oracle windows over BYTES via hex pairs (exact for multi-byte UTF-8
+# docs, where character codes != bytes), mirroring the kernel's integer
+# arithmetic; only the final rms derives through float ops, from the
+# same exact integers on both sides.
+MM_AUDIO_RMS_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents
+),
+w AS (
+  SELECT doc_id, nb, hx,
+         unnest(range(0, CAST((nb + {AUDIO_WIN} - 1) // {AUDIO_WIN} AS BIGINT)))
+           AS win_idx
+  FROM b
+),
+agg AS (
+  SELECT doc_id, win_idx,
+         least(nb, (win_idx + 1) * {AUDIO_WIN}) - win_idx * {AUDIO_WIN} AS ns,
+         list_sum(list_transform(
+           list_transform(range(win_idx * {AUDIO_WIN},
+                                least(nb, (win_idx + 1) * {AUDIO_WIN})),
+                          i -> CAST(concat('0x', substr(hx, 2 * i + 1, 2)) AS BIGINT)),
+           v -> v * v)) AS ss
+  FROM w
+)
+SELECT doc_id,
+       CAST(win_idx AS INTEGER) AS win_idx,
+       CAST(ns AS INTEGER) AS n_samples,
+       CAST(ss AS BIGINT) AS sum_sq,
+       round(sqrt(CAST(ss AS DOUBLE) / ns), 6) AS rms_r
+FROM agg
+"""
+
+QUERIES["mm_audio_rms"] = mm_audio_rms
+ORACLES["mm_audio_rms"] = MM_AUDIO_RMS_ORACLE
