@@ -27,6 +27,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -401,3 +402,66 @@ FROM agg
 
 QUERIES["mm_audio_rms"] = mm_audio_rms
 ORACLES["mm_audio_rms"] = MM_AUDIO_RMS_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Byte-histogram kernel — the image-curation sibling of the RMS kernel
+# (exposure / entropy screening runs on exactly this shape): 16-bin
+# histogram of the payload's byte high-nibbles, one row per payload,
+# bins as a typed array column.  All-integer → oracle-exact.
+# --------------------------------------------------------------------------
+
+HIST_BINS = 16
+
+BYTE_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("bins", ArrayType(IntegerType())),
+    ]
+)
+
+
+def byte_hist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = {"doc_id": [], "n_bytes": [], "bins": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            x = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(x >> 4, minlength=HIST_BINS).astype("int32")
+            rows["doc_id"].append(int(doc_id))
+            rows["n_bytes"].append(len(x))
+            rows["bins"].append(hist.tolist())
+        out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_bytes"] = out["n_bytes"].astype("int32")
+        yield out
+
+
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return with_payload(docs).select("doc_id", "payload").mapInPandas(
+        byte_hist_batch, schema=BYTE_HIST_SCHEMA
+    )
+
+
+# high nibble of byte i == hex digit at position 2i of hex(payload)
+MM_BYTE_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nb AS INTEGER) AS n_bytes,
+       list_transform(range(0, {HIST_BINS}), k ->
+         CAST(len(list_filter(range(0, nb),
+           i -> CAST(concat('0x', substr(hx, 2 * i + 1, 1)) AS INTEGER) = k))
+           AS INTEGER)) AS bins
+FROM b
+"""
+
+QUERIES["mm_byte_histogram"] = mm_byte_histogram
+ORACLES["mm_byte_histogram"] = MM_BYTE_HIST_ORACLE
