@@ -186,6 +186,45 @@ def main() -> None:
         spark.stop()
         raise SystemExit(0 if all(checks.values()) else 1)
 
+    if "scale" in sys.argv[1:]:
+        # Scaling sweep: headline queries once per SF — the evidence that
+        # runtime grows with DATA, not with fixed overheads re-paid (at
+        # 100× the rows, a well-planned query should cost well under
+        # 100×: scans parallelize, per-query constants amortize).
+        root = os.path.dirname(sf_dir.rstrip("/"))
+        queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warmup
+        sweep: dict[str, dict[str, float]] = {}
+        for sf_name in ("sf0.001", "sf0.01", "sf0.1"):
+            d = os.path.join(root, sf_name)
+            if not os.path.isdir(d):
+                continue
+            per: dict[str, float] = {}
+            for name in HEADLINE:
+                t0 = time.time()
+                queries[name](spark, d).write.format("noop").mode("overwrite").save()
+                per[name] = round(time.time() - t0, 3)
+            sweep[sf_name] = {"total": round(sum(per.values()), 3), **per}
+        totals = {k: v["total"] for k, v in sweep.items()}
+        ratio = (
+            round(totals["sf0.1"] / totals["sf0.001"], 2)
+            if "sf0.1" in totals and totals.get("sf0.001")
+            else None
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_sweep_total_sec",
+                    "totals": totals,
+                    "time_ratio_100x_data": ratio,
+                    "queries": sweep,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     # JVM/codegen warmup + Python-worker warmup (not counted): the first
     # mapInPandas call pays ~3 s of worker startup per executor slot.
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
