@@ -319,7 +319,12 @@ class CdcStreamRoute:
         # shuffle total instead of reduce-then-merge's two.
         reduced = decoded
         if self.sink is not None:
-            self.sink(reduced)
+            # Remote sinks get the batch REDUCED to its last event per key
+            # (A27): rows post from unordered partitions, so two same-key
+            # events in one batch could otherwise land at the target in
+            # the wrong order.  After reduction keys are disjoint and any
+            # posting order is correct; cross-batch order is the stream's.
+            self.sink(latest_by_key(reduced, self.keys))
             return
         self.bind_target()
         self.target.merge(reduced)

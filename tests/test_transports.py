@@ -366,8 +366,13 @@ target-table = "ods_accounts"
             r["path"] == "/api/dw/ods_accounts/_stream_load" for r in srv.requests
         )
         sent = [row for r in srv.requests for row in json.loads(r["body"])]
-        assert len(sent) == 3
-        assert sorted(r["_delete_sign_"] for r in sent) == [0, 0, 1]
+        # the batch is LWW-reduced before posting (A27): id=2's
+        # insert+delete collapse to the final delete — keys are disjoint
+        # across posted rows, so partition posting order can't misorder
+        by_id = {r["id"]: r for r in sent}
+        assert len(sent) == 2 and set(by_id) == {1, 2}
+        assert by_id[1]["_delete_sign_"] == 0
+        assert by_id[2]["_delete_sign_"] == 1
         # nothing materialized locally for a stream-load route
         assert not (tmp_path / "targets" / "dw" / "ods_accounts").exists()
     finally:
