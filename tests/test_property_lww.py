@@ -68,3 +68,44 @@ def test_lww_apply_equals_sequential_replay(spark, events, split_frac):
     split_at = int(len(events) * split_frac)
     got_split = spark_apply(spark, events, split_at=split_at)
     assert got_split == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_envelope_decode_roundtrip_property(spark, rows):
+    """to_json → from_json round trip must be lossless for arbitrary
+    payloads: JSON-escaping-hostile text (quotes, backslashes, newlines,
+    unicode), nulls (dropped from JSON, restored as null), and doubles
+    at full precision."""
+    from qin_cdc_spark.cdc.apply import decode_envelope
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+
+    df = spark.createDataFrame(
+        [(i, n, v, "insert", k) for k, (i, n, v) in enumerate(rows)],
+        "id long, name string, value double, op string, seq long",
+    )
+    env = envelope_from_typed(df, db="d", table="t")
+    dec = decode_envelope(
+        env, df.drop("op", "seq").schema, db="d", table="t", keys=["id"]
+    )
+    got = sorted((r.id, r.name, r.value) for r in dec.collect())
+    want = sorted(rows)
+    assert got == want
