@@ -168,6 +168,57 @@ target-table = "ods_accounts"
     assert got == {1: "a2", 2: "b"}
 
 
+def test_cli_stream_mode(spark, tmp_path):
+    """CLI end-to-end in STREAM mode (availableNow fallback trigger):
+    config-driven file source → checkpointed foreachBatch apply →
+    bucketed target readable with LWW semantics applied."""
+    from qin_cdc_spark.__main__ import main
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import BucketedUpsertTable
+
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        """
+name = "cli-stream"
+[input]
+type = "mysql"
+[output]
+type = "starrocks"
+[[output.config.routers]]
+source-schema = "src"
+source-table = "accounts"
+target-schema = "dw"
+target-table = "ods_accounts"
+"""
+    )
+    rows = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 2), (1, "a2", "update", 3),
+         (2, "b", "delete", 4)],
+        ["id", "name", "op", "seq"],
+    )
+    sample = str(tmp_path / "sample_accounts")
+    rows.select("id", "name").limit(1).write.parquet(sample)
+    env_dir = str(tmp_path / "env")
+    envelope_from_typed(rows, db="src", table="accounts").write.parquet(env_dir)
+
+    assert main([
+        "--config", str(cfg),
+        "--schema", f"src.accounts={sample}",
+        "--primary-key", "src.accounts=id",
+        "--envelope-dir", env_dir,
+        "--target-root", str(tmp_path / "targets"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--mode", "stream",
+        "--await-seconds", "300",
+    ]) == 0
+
+    tbl = BucketedUpsertTable(
+        spark, str(tmp_path / "targets" / "dw" / "ods_accounts"), ["id"]
+    )
+    got = {r["id"]: r["name"] for r in tbl.read().collect()}
+    assert got == {1: "a2"}  # update applied, delete applied
+
+
 def test_cli_version(capsys):
     from qin_cdc_spark.__main__ import main
 
