@@ -49,18 +49,24 @@ def orders_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_seq = F.col("o_orderkey") * 4
 
     insert_ev = _event_struct("insert", base_seq, cols)
+    # No round() on the mutated price: a bare IEEE multiply produces the
+    # bit-identical double in Spark and DuckDB, while round(x*1.1, 2)
+    # does NOT — Spark rounds the exact decimal expansion via BigDecimal
+    # HALF_UP, DuckDB computes round(x*100)/100 in floats; at sf0.1 a
+    # handful of rows land on opposite sides of a .005 boundary and the
+    # value-hash diverges (found by the sf0.1 spot-check, round 2).
     upd1_ev = _event_struct(
         "update",
         base_seq + 1,
         cols,
-        o_totalprice=F.round(F.col("o_totalprice") * 1.1, 2),
+        o_totalprice=F.col("o_totalprice") * 1.1,
         o_orderstatus=F.lit("U"),
     )
     upd2_ev = _event_struct(
         "update",
         base_seq + 2,
         cols,
-        o_totalprice=F.round(F.col("o_totalprice") * 1.2, 2),
+        o_totalprice=F.col("o_totalprice") * 1.2,
         o_orderstatus=F.lit("V"),
     )
     del_ev = _event_struct("delete", base_seq + 3, cols)
@@ -84,11 +90,11 @@ ev AS (
   FROM orders
   UNION ALL
   SELECT 'update', o_orderkey*4+1, o_orderkey, o_custkey, 'U',
-         round(o_totalprice*1.1, 2), o_orderdate, o_orderpriority
+         o_totalprice * CAST(1.1 AS DOUBLE), o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 10 IN (1,3,5)
   UNION ALL
   SELECT 'update', o_orderkey*4+2, o_orderkey, o_custkey, 'V',
-         round(o_totalprice*1.2, 2), o_orderdate, o_orderpriority
+         o_totalprice * CAST(1.2 AS DOUBLE), o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 10 = 5
   UNION ALL
   SELECT 'delete', o_orderkey*4+3, o_orderkey, o_custkey, o_orderstatus,

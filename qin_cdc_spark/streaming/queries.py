@@ -312,17 +312,27 @@ def rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The month-partitioned RollupStore, oracle-checked end to end:
     two ADDITIVE merge batches (events split by id parity — different
     batch compositions must converge to the single-pass aggregate) into
-    a snapshot-pointer store, then read back.  sum/avg rounded to absorb
-    the additive two-batch summation-order ulps vs DuckDB's one pass."""
+    a snapshot-pointer store, then read back.
+
+    Values quantize to integer cents (floor(value·100)) BEFORE the
+    additive merge — float sums are not associative, so a two-batch
+    (sumA + sumB) can land on the other side of a rounding boundary
+    from DuckDB's one-pass sum (observed at sf0.1, round 2); integer
+    sums are exact under any batch composition.  This is also the
+    correct 100 TB practice for money-like rollups (fixed-point, not
+    float accumulation)."""
     import tempfile
 
     from qin_cdc_spark.streaming.rollup import RollupStore
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("long")
+    )
     store = RollupStore(
         spark,
         tempfile.mkdtemp(prefix="rollup_gate_") + "/store",
         keys=["event_type"],
+        value_col="value_c",
         window_duration="1 hour",
     )
     store.merge_batch(ev.filter(F.col("event_id") % 2 == 0), 0, run_id="gate")
@@ -331,16 +341,18 @@ def rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start",
         "event_type",
         "cnt",
-        F.round("sum_value", 4).alias("sum_value_r"),
-        F.round("avg_value", 6).alias("avg_value_r"),
+        # exact: the stored double sum is integer-valued (sum of longs)
+        F.col("sum_value").cast("long").alias("sum_cents"),
+        F.round(F.col("sum_value") / F.col("cnt"), 6).alias("avg_cents_r"),
     )
 
 
 ROLLUP_CONTINUOUS_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS cnt,
-       round(sum(value), 4) AS sum_value_r,
-       round(sum(value) / count(*), 6) AS avg_value_r
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       round(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / count(*), 6)
+         AS avg_cents_r
 FROM events GROUP BY 1, 2
 """
 
