@@ -1123,28 +1123,39 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding time-range window: per event, activity in the user's
     preceding hour (rangeBetween on event-time seconds) — the
     rate-limiter / rolling-activity shape, computed with ONE shuffle on
-    user_id."""
+    user_id.
+
+    Determinism notes (both found by the sf0.1 spot-check, round 2):
+    frame membership is defined on FLOOR-SECOND event time on both
+    engines — Spark's unix_timestamp truncates to seconds, and an
+    oracle using a microsecond-precision INTERVAL frame disagrees about
+    boundary events; the summed value is quantized to integer cents so
+    the windowed sum is exact regardless of either engine's in-frame
+    summation order (a rounded float sum is a per-row rounding-boundary
+    lottery at scale)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-3600, 0)
     )
+    cents = F.floor(F.col("value") * 100).cast("long")
     return ev.select(
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+        F.sum(cents).over(w).alias("sum_cents_last_hour"),
     )
 
 
 WIN_TIME_RANGE_ORACLE = """
 SELECT event_id, user_id,
        count(*) OVER w AS n_last_hour,
-       round(sum(value) OVER w, 6) AS sum_last_hour
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_last_hour
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
 QUERIES["join_null_safe_eq"] = join_null_safe_eq
