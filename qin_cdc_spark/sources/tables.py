@@ -50,6 +50,11 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Fixture parquet writes naive timestamp[us]; read it as TimestampType
+    # (session-tz UTC ⇒ wall clock == instant), not TIMESTAMP_NTZ.  Keeps
+    # ANSI casts (ts → long) legal, parquet filter pushdown on date columns
+    # intact, and matches how the DuckDB oracle reads the same files.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
