@@ -108,12 +108,19 @@ def lineitem_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture's (l_orderkey, l_linenumber) is not actually unique, but
     a CDC source table must have a unique PK — deterministically keep the
     first row per key under full-column ordering, mirrored in the oracle."""
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     tie_cols = [c for c in li.columns if c not in ("l_orderkey", "l_linenumber")]
-    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(*[F.col(c) for c in tie_cols])
-    li = li.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # First-row-per-key as min(struct(tie_cols)) — lexicographic struct
+    # ordering equals the oracle's row_number ORDER BY over the same
+    # column sequence (fixture columns are non-null).  Unlike a window
+    # (full shuffle + per-partition sort of every event), min() partial-
+    # aggregates map-side, so the shuffle carries |keys| not |rows|.
+    li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min(F.struct(*[F.col(c) for c in tie_cols])).alias("_first"))
+        .select("l_orderkey", "l_linenumber", "_first.*")
+        .select(*li.columns)
+    )
     cols = li.columns
     k = F.col("l_orderkey") % 7
     base_seq = (F.col("l_orderkey") * 100 + F.col("l_linenumber")) * 2
