@@ -159,6 +159,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         modules.append(streaming_queries)
     except ImportError:
         pass
+    try:
+        import qin_cdc_spark.streaming.neardup_store as neardup_store
+
+        modules.append(neardup_store)
+    except ImportError:
+        pass
 
     for mod in modules:
         for name, fn in getattr(mod, "QUERIES", {}).items():
