@@ -47,13 +47,35 @@ def _assign_expr(centroids: list[list[float]]):
     return F.array_position(dists, F.array_min(dists)).cast("int") - 1
 
 
-def train_kmeans(emb: DataFrame, k: int = K_CLUSTERS, n_iters: int = N_ITERS) -> list[list[float]]:
-    """Lloyd iterations; deterministic seed = first k vectors by vec_id."""
+def train_kmeans(
+    emb: DataFrame,
+    k: int = K_CLUSTERS,
+    n_iters: int = N_ITERS,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Lloyd iterations; deterministic seed = first k vectors by vec_id.
+
+    ``sample_fraction`` enables mini-batch training (the 100 TB path —
+    PLANS.md gap: full Lloyd scans the corpus every iteration): each
+    iteration updates centroids from a deterministic hash-sample of the
+    corpus, re-drawn per iteration by salting the hash with the
+    iteration number (so successive mini-batches see different rows,
+    the property mini-batch k-means needs to converge).  Per-iteration
+    cost drops from O(n) to O(f·n); the driver still only ever holds
+    k×dim floats.  Sampling is xxhash64-based — no RNG, so training is
+    replay-deterministic like every other operator here.
+    """
     dim = len(emb.select("embedding").first()[0])
     seed_rows = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r.embedding] for r in seed_rows]
-    for _ in range(n_iters):
-        assigned = emb.select(_assign_expr(centroids).alias("cluster"), "embedding")
+    for it in range(n_iters):
+        batch = emb
+        if sample_fraction is not None:
+            batch = emb.filter(
+                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(it)), 1_000_000)
+                < int(sample_fraction * 1_000_000)
+            )
+        assigned = batch.select(_assign_expr(centroids).alias("cluster"), "embedding")
         sums = (
             assigned.select("cluster", F.posexplode("embedding").alias("d", "val"))
             .groupBy("cluster", "d")

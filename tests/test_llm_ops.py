@@ -161,3 +161,37 @@ def test_ivf_persisted_index_matches_fresh_search(spark, tmp_path):
     got = sorted(map(tuple, ivf_search(spark, idx, queries).collect()))
     fresh = sorted(map(tuple, sim_ann_ivf(spark, SF_SMOKE).collect()))
     assert got == fresh
+
+
+def test_minibatch_kmeans_centroids_still_cluster(spark):
+    """Mini-batch training (per-iteration hash-resampled 30% of the
+    corpus — the 100 TB path where full Lloyd can't scan everything
+    every iteration) must produce centroids that assign vectors about
+    as compactly as full Lloyd: mean within-cluster squared distance
+    within 20% of the full-corpus run."""
+    from qin_cdc_spark.operators.ivf import _assign_expr, train_kmeans
+    from qin_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def mean_sq_dist(centroids):
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), c, lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return emb.select(
+            F.array_min(dists).alias("d")
+        ).agg(F.avg("d")).first()[0]
+
+    full = mean_sq_dist(train_kmeans(emb))
+    mini = mean_sq_dist(train_kmeans(emb, sample_fraction=0.3))
+    assert mini <= full * 1.2, (mini, full)
