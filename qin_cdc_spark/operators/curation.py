@@ -504,6 +504,56 @@ ORACLES["sample_split_3way"] = _split_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Deterministic weighted (probability-proportional-to-size) sampling:
+# the data-mixing primitive — sample documents proportional to a weight
+# (here n_chars, in practice a quality score) so a fixed token budget
+# preferentially keeps heavy/high-quality docs.  Systematic PPS over the
+# per-source cumulative weight: doc i is selected iff the cumulative
+# weight crosses a step boundary inside its interval, i.e.
+# floor(W_i / STEP) > floor((W_i - w_i) / STEP) — expected pick count
+# per doc = w_i / STEP, ALL-INTEGER arithmetic (no ln/exp/pow whose
+# last-ulp differences across engines flip rank boundaries — the
+# float-determinism lesson from PLANS.md applied to sampling design).
+# The window is partitioned by source, so at 100 TB each source's
+# cumsum runs in its own partition — no global-order bottleneck.
+
+PPS_STEP = 5_000  # chars of cumulative weight per selected doc
+
+
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = F.col("n_chars").cast("long")
+    cum = F.sum(wt).over(w)
+    return (
+        docs.select("source", "doc_id", wt.alias("weight"), cum.alias("cum_w"))
+        .filter(
+            F.floor(F.col("cum_w") / PPS_STEP)
+            > F.floor((F.col("cum_w") - F.col("weight")) / PPS_STEP)
+        )
+        .select("source", "doc_id", "weight")
+    )
+
+
+PPS_ORACLE = f"""
+WITH c AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM documents)
+SELECT source, doc_id, weight
+FROM c
+WHERE floor(cum_w / {PPS_STEP}) > floor((cum_w - weight) / {PPS_STEP})
+"""
+
+QUERIES["sample_weighted_pps"] = sample_weighted_pps
+ORACLES["sample_weighted_pps"] = PPS_ORACLE
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup: cluster the embedding space (k-means),
 # then find near-identical pairs ONLY within each cluster — the O(n²/k)
 # scale path for embedding dedup at 100 TB (global brute force is O(n²)).

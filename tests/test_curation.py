@@ -132,3 +132,27 @@ def test_semantic_clustered_dedup_recall_vs_global(spark):
     assert got <= want  # no false pairs: same threshold, same metric
     if want:
         assert len(got) / len(want) >= 0.6
+
+
+def test_weighted_pps_sample_size_tracks_weight(spark):
+    """Systematic PPS guarantee: per-source picks = floor-or-ceil of
+    total_weight/STEP (within 1), i.e. sample size tracks weight mass
+    exactly — the property that makes it a budgeted mixing primitive."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.curation import PPS_STEP, sample_weighted_pps
+    from qin_cdc_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    picks = (
+        sample_weighted_pps(spark, SF_SMOKE)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_picked"))
+    )
+    mass = (
+        load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg((F.sum("n_chars") / PPS_STEP).alias("expected"))
+    )
+    for r in picks.join(mass, "source").collect():
+        assert abs(r.n_picked - r.expected) <= 1, r
