@@ -186,6 +186,19 @@ class IvfIndex:
             f"{self.path}/corpus"
         )
 
+    def add_batch(self, vectors_df: DataFrame) -> None:
+        """Incremental ingest: assign new vectors (vec_id, embedding) to
+        the EXISTING centroids and append to their inverted lists — the
+        continuous-ingest path (new embeddings stream in; retraining is
+        a periodic offline job, not a per-batch cost).  Assignment is
+        row-local; the append touches only the clusters the batch lands
+        in.  Centroids drift from the true k-means of the grown corpus —
+        the standard IVF trade-off; rebuild() when recall decays."""
+        centroids = self.centroids()
+        vectors_df.select(
+            "vec_id", "embedding", _assign_expr(centroids).alias("cluster")
+        ).write.mode("append").partitionBy("cluster").parquet(f"{self.path}/corpus")
+
     def exists(self) -> bool:
         import os
 

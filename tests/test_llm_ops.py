@@ -195,3 +195,38 @@ def test_minibatch_kmeans_centroids_still_cluster(spark):
     full = mean_sq_dist(train_kmeans(emb))
     mini = mean_sq_dist(train_kmeans(emb, sample_fraction=0.3))
     assert mini <= full * 1.2, (mini, full)
+
+
+def test_ivf_incremental_add_matches_full_build(spark, tmp_path):
+    """add_batch (continuous ingest) must yield byte-identical search
+    results to assigning the full corpus under the same centroids: build
+    on even vec_ids, add the odd half, compare against a reference index
+    whose corpus was assigned in one shot with the SAME centroids."""
+    import shutil
+
+    from qin_cdc_spark.operators.ivf import IvfIndex, ivf_search
+    from qin_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = IvfIndex(str(tmp_path / "idx"))
+    # build trains centroids on the full fixture table; then restrict the
+    # corpus to the even half and re-add the odd half incrementally
+    idx.build(spark, SF_SMOKE)
+    even_dir = str(tmp_path / "even_corpus")
+    idx.corpus(spark).filter(F.col("vec_id") % 2 == 0).write.partitionBy(
+        "cluster"
+    ).parquet(even_dir)
+    shutil.rmtree(f"{idx.path}/corpus")
+    shutil.move(even_dir, f"{idx.path}/corpus")
+    idx.add_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    )
+
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ref = IvfIndex(str(tmp_path / "ref"))
+    ref.build(spark, SF_SMOKE)  # same deterministic training → same centroids
+    got = sorted(map(tuple, ivf_search(spark, idx, queries).collect()))
+    want = sorted(map(tuple, ivf_search(spark, ref, queries).collect()))
+    assert got == want
