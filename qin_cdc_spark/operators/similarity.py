@@ -186,6 +186,123 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
 """
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.7 over the same
+    MinHash-LSH candidates as ``dedup_minhash_lsh``.  Containment is the
+    asymmetric-denominator complement of Jaccard: a short doc quoted
+    wholesale inside a much longer one has low Jaccard (the union is
+    dominated by the long doc) but containment ≈ 1 — the
+    subset/quotation duplicates a Jaccard-only pass leaves behind.
+    Same scale shape as the Jaccard verify: candidate-bounded
+    array_intersect on the persisted shingle arrays, no pair-explosion
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hashed = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    ).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        "shingles",
+        shingle_hashes(F.col("shingles")).alias("hashed"),
+    ).persist()
+    sig = hashed.select(
+        "doc_id",
+        "n_sh",
+        "shingles",
+        minhash_from_hashes(F.col("hashed"), N_MINHASH).alias("sig"),
+    ).persist()
+    banded = sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias("band"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("shingles").alias("sh_b"),
+    )
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least(F.col("na"), F.col("nb")).cast("double"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment_r"))
+        .persist()
+    )
+    try:
+        out.count()
+    finally:
+        sig.unpersist()
+        hashed.unpersist()
+    return out
+
+
+def _containment_oracle() -> str:
+    params = "[" + ", ".join(f"[{a}, {b}]" for a, b in perm_params_sql(N_MINHASH)) + "]"
+    band_elems = ", ".join(
+        "array_to_string([CAST(b AS VARCHAR)"
+        + "".join(
+            f", CAST(sig[b*{ROWS_PER_BAND}+{r+1}] AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + "], ',')"
+        for _ in range(1)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL.format(w=WORDS_SQL)} AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id, len(shingles) AS n_sh, shingles,
+         list_transform({params}, p ->
+           list_min(list_transform(shingles, s ->
+             (p[1] * ({HASH60_SQL.format(x='s')} % {MERSENNE31}) + p[2]) % {MERSENNE31}))
+         ) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, unnest(list_transform(range(0, {N_BANDS}), b -> {band_elems})) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+         least(sa.n_sh, sb.n_sh) AS n_min
+  FROM cand c
+  JOIN sig sa ON c.doc_a = sa.doc_id
+  JOIN sig sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(n_min AS DOUBLE), 6) AS containment_r
+FROM verified
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_min AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup: 4×15-bit chunk banding, exact hamming ≤ 6
     verification via bit_count(xor)."""
@@ -427,6 +544,7 @@ SELECT query_id, cand_id, cos_r, rn FROM (
 
 QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_containment": dedup_containment,
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -434,6 +552,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_containment": _containment_oracle(),
     "dedup_simhash": SIMHASH_ORACLE,
     "sim_cosine_topk": SIM_COSINE_TOPK_ORACLE,
     "sim_ann_lsh": _ann_oracle(),
