@@ -80,6 +80,62 @@ QUERIES["join_salted_skew"] = join_salted_skew
 ORACLES["join_salted_skew"] = SALTED_ORACLE
 
 
+HOT_KEY_THRESHOLD = 30  # rows per key on the fact side ⇒ "hot"
+
+
+def salted_join_twophase(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salt: int = N_SALT,
+    hot_threshold: int = HOT_KEY_THRESHOLD,
+) -> DataFrame:
+    """Two-phase skew join: measure per-key fact frequency, salt ONLY
+    the hot keys, plain-join the cold mass, union.
+
+    Blanket salting (``salted_join``) replicates the entire dim side
+    n_salt× — at 100 TB that's n_salt full dim shuffles to fix what is
+    usually a handful of keys.  Here the dim replication is
+    |hot keys|·n_salt rows (the hot-key list is a broadcast-size side
+    input by definition of skew), and the cold path pays exactly the
+    plain join's cost.  This is what AQE's runtime skew split does
+    per-partition, expressed as an explicit operator for the cases AQE
+    can't see (pre-shuffle key skew, non-AQE engines, deterministic
+    plans).  The frequency scan is a map-side-combinable count — one
+    cheap extra pass, the classic trade."""
+    freq = fact.groupBy(fact_key).agg(F.count(F.lit(1)).alias("_kf"))
+    hot_keys = freq.filter(F.col("_kf") > hot_threshold).select(fact_key)
+    # left_semi/left_anti split: each side of the union sees each fact
+    # row exactly once
+    fact_hot = fact.join(F.broadcast(hot_keys), fact_key, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot_keys), fact_key, "left_anti")
+    dim_hot = dim.join(
+        F.broadcast(hot_keys.withColumnRenamed(fact_key, dim_key)),
+        dim_key,
+        "left_semi",
+    )
+    hot_joined = salted_join(fact_hot, dim_hot, fact_key, dim_key, n_salt)
+    cold_joined = fact_cold.join(dim, fact_cold[fact_key] == dim[dim_key])
+    return hot_joined.unionByName(cold_joined)
+
+
+def join_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = salted_join_twophase(li, orders, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+QUERIES["join_salted_twophase"] = join_salted_twophase
+# identical semantics to the plain join — same oracle as the blanket-salt
+# operator; what's hash-checked is that the two-phase split loses no rows
+ORACLES["join_salted_twophase"] = SALTED_ORACLE
+
+
 BUCKETED_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        sum(agg_qty) AS sum_qty, count(*) AS n_orders

@@ -81,3 +81,32 @@ def test_zonemap_scan_prunes_files(spark):
     assert row["n_rows"] > 0
     plan = _plan(out)
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_salted_twophase_equals_plain_join(spark):
+    """Two-phase skew join (salt only measured-hot keys) returns exactly
+    the plain join's rows on a synthetically skewed input: one key with
+    500 fact rows (hot), 50 keys with 3 (cold)."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.scale_joins import salted_join_twophase
+
+    fact = spark.range(500).select(
+        F.lit(7).alias("k"), (F.col("id") * 2).alias("v")
+    ).unionAll(
+        spark.range(150).select(
+            (F.col("id") % 50 + 100).alias("k"), F.col("id").alias("v")
+        )
+    )
+    dim = spark.range(200).select(F.col("id").alias("dk"), (F.col("id") * 10).alias("dv"))
+    got = (
+        salted_join_twophase(fact, dim, "k", "dk", hot_threshold=100)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dv").alias("s"))
+    )
+    want = (
+        fact.join(dim, fact.k == dim.dk)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dv").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
