@@ -82,7 +82,9 @@ _HEAD = [
     # continuous-aggregate store (hypertable-rollup parity), oracle-checked
     "rollup_continuous_agg",
     "agg_rollup",
-    "win_row_number",
+    # streaming near-dup admission store (new family, round 2 late) —
+    # window functions stay sampled via topk_per_group
+    "neardup_store_two_batch",
     "topk_per_group",
     "asof_join_last_purchase",
 ]
