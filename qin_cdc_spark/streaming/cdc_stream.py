@@ -62,8 +62,18 @@ class ParquetUpsertTable:
         self.keys = keys
 
     def exists(self) -> bool:
+        """True only if the table holds actual data files: an all-
+        quarantined (empty) first batch writes a directory with no
+        parquet parts, and reading that explodes with
+        UNABLE_TO_INFER_SCHEMA — treat it as not-yet-created so the
+        next merge takes the bootstrap path."""
         self._recover()
-        return os.path.exists(self.path)
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def _recover(self) -> None:
         """Crash-window repair.  A swap renames live → ``.old-*`` then
@@ -135,7 +145,9 @@ class ParquetUpsertTable:
         stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(stage)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if self.exists():
+        # os.path.exists, not self.exists(): a dataless directory (empty
+        # first batch) must still be renamed away or the stage rename fails
+        if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(stage, self.path)
         if os.path.exists(old):
@@ -244,7 +256,7 @@ class BucketedUpsertTable(ParquetUpsertTable):
         stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
         df.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(stage)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if self.exists():
+        if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(stage, self.path)
         if os.path.exists(old):
@@ -284,6 +296,18 @@ class CdcStreamRoute:
         # remote store instead of materializing locally.
         self.sink = sink
 
+    def _malformed_pred(self):
+        """Rows whose ``data`` cannot decode to a keyed row under the
+        route's CURRENT schema.  PERMISSIVE parsing turns
+        partially-broken JSON into an all-null struct (not a null
+        struct) — a null primary key is equally malformed for a CDC
+        row."""
+        parsed = F.from_json(F.col("data"), self.schema)
+        null_key = parsed.isNull()
+        for k in self.keys:
+            null_key = null_key | parsed.getField(k).isNull()
+        return F.col("data").isNotNull() & null_key
+
     def apply_batch(self, env_batch: DataFrame) -> None:
         # Dead-letter quarantine: rows whose `data` fails to parse are
         # appended to the DLQ instead of killing the stream (the
@@ -291,14 +315,7 @@ class CdcStreamRoute:
         # inputs/mysql/mysql_replication.go:89 — we keep flowing and
         # preserve the evidence).
         if self.dlq_path is not None:
-            parsed = F.from_json(F.col("data"), self.schema)
-            # PERMISSIVE parsing turns partially-broken JSON into an
-            # all-null struct (not a null struct) — a null primary key
-            # is equally malformed for a CDC row
-            null_key = parsed.isNull()
-            for k in self.keys:
-                null_key = null_key | parsed.getField(k).isNull()
-            malformed = F.col("data").isNotNull() & null_key
+            malformed = self._malformed_pred()
             routed = env_batch.filter(
                 (F.col("db") == self.db) & (F.col("table") == self.table)
             )
@@ -328,6 +345,57 @@ class CdcStreamRoute:
             return
         self.bind_target()
         self.target.merge(reduced)
+
+    def replay_dlq(self) -> tuple[int, int]:
+        """Re-attempt quarantined envelope rows under the route's
+        CURRENT schema — the operational second half of the quarantine:
+        after the operator fixes the route (schema correction, DDL
+        catch-up), the preserved evidence flows back through the normal
+        decode → transform → merge path.  Rows that still fail stay
+        quarantined (the DLQ is rewritten to exactly the still-bad set,
+        staged-swap like the upsert tables).  Replay is idempotent:
+        applied rows merge LWW by seq, so re-running converges.
+
+        Returns (applied, still_quarantined)."""
+        if self.dlq_path is None:
+            return (0, 0)
+        # crash-window recovery for a swap that died between its renames
+        parent, name = os.path.split(self.dlq_path.rstrip("/"))
+        if parent and os.path.isdir(parent) and not os.path.isdir(self.dlq_path):
+            olds = sorted(d for d in os.listdir(parent) if d.startswith(name + ".old-"))
+            if olds:
+                os.rename(os.path.join(parent, olds[-1]), self.dlq_path)
+        if not os.path.isdir(self.dlq_path):
+            return (0, 0)
+        quarantined = self.spark.read.parquet(self.dlq_path)
+        malformed = self._malformed_pred()
+        good = quarantined.filter(~malformed).persist()
+        bad = quarantined.filter(malformed).persist()
+        try:
+            n_good, n_bad = good.count(), bad.count()
+            if n_good:
+                decoded = decode_envelope(
+                    good, self.schema, db=self.db, table=self.table, keys=self.keys
+                )
+                if self.transform is not None:
+                    decoded = self.transform(decoded)
+                if self.sink is not None:
+                    self.sink(latest_by_key(decoded, self.keys))
+                else:
+                    self.bind_target()
+                    self.target.merge(decoded)
+                # rewrite the DLQ to the still-bad rows only (merge first:
+                # if it fails, the quarantine is untouched)
+                stage = f"{self.dlq_path}.stage-{uuid.uuid4().hex[:8]}"
+                bad.write.parquet(stage)
+                old = f"{self.dlq_path}.old-{uuid.uuid4().hex[:8]}"
+                os.rename(self.dlq_path, old)
+                os.rename(stage, self.dlq_path)
+                shutil.rmtree(old, ignore_errors=True)
+            return (n_good, n_bad)
+        finally:
+            good.unpersist()
+            bad.unpersist()
 
     def bind_target(self):
         """Bind the target table lazily (so a transform can change the

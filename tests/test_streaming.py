@@ -850,3 +850,66 @@ def test_rollup_snapshot_store_guards(spark, tmp_path):
     assert store.read().agg(F.sum("cnt")).first()[0] == 2 * ev.count()
     store.merge_batch(ev.limit(0), batch_id=1, run_id="ckpt-B")
     assert not os.path.exists(orphan)
+
+
+def test_dlq_replay_after_schema_fix(spark, tmp_path):
+    """The quarantine's second half: rows dead-lettered under a
+    misconfigured schema (pk typed wrong → null pk) replay cleanly once
+    the route's schema is corrected; junk rows stay quarantined; replay
+    is idempotent."""
+    import pyspark.sql.types as T
+
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    cust = load_table(spark, SF_SMOKE, "customer").limit(20)
+    good = envelope_from_typed(
+        cust.select(
+            F.lit("insert").alias("op"), F.col("c_custkey").alias("seq"), *cust.columns
+        ),
+        db="src",
+        table="customer",
+    )
+    junk = spark.createDataFrame(
+        [("src", "customer", "insert", 9001, None, 1, "{not json at all", None)],
+        ENVELOPE_SCHEMA,
+    )
+    env_dir = str(tmp_path / "env")
+    good.unionByName(junk).write.parquet(env_dir)
+
+    # misconfigured schema: pk declared array<bigint> → every row's pk
+    # parses null → the WHOLE stream quarantines (target never created)
+    broken = T.StructType(
+        [
+            T.StructField("c_custkey", T.ArrayType(T.LongType()))
+            if f.name == "c_custkey"
+            else f
+            for f in cust.schema.fields
+        ]
+    )
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="customer",
+        schema=broken,
+        keys=["c_custkey"],
+        target_path=str(tmp_path / "tbl"),
+        dlq_path=str(tmp_path / "dlq"),
+    )
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "dlq")).count() == 21
+
+    route.schema = cust.schema  # operator fixes the route
+    applied, still_bad = route.replay_dlq()
+    assert (applied, still_bad) == (20, 1)
+    assert route.target.read().count() == 20
+    assert spark.read.parquet(str(tmp_path / "dlq")).count() == 1
+
+    applied2, still_bad2 = route.replay_dlq()  # idempotent re-run
+    assert (applied2, still_bad2) == (0, 1)
+    assert route.target.read().count() == 20
