@@ -168,6 +168,11 @@ def plan_checks(spark, sf_dir: str, queries) -> dict[str, bool]:
     # predicate as a PartitionFilter (directory pruning), not a row filter
     pp = _plan_string(queries["scan_partitioned_pruned"](spark, sf_dir))
     checks["partition_pruning"] = "PartitionFilters: [isnotnull" in pp
+    # two-phase skew join: the hot-key list must BROADCAST into the
+    # semi/anti fact splits (a shuffled split would re-pay the full fact
+    # shuffle the operator exists to avoid)
+    p2 = _plan_string(queries["join_salted_twophase"](spark, sf_dir))
+    checks["twophase_hotkey_broadcast"] = p2.count("BroadcastHashJoin") >= 2
     return checks
 
 
