@@ -462,6 +462,48 @@ QUERIES["pack_sequences_bins"] = pack_sequences_bins
 ORACLES["pack_sequences_bins"] = PACK_SEQUENCES_ORACLE
 
 
+def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-sequence EMITTER: materialize each bin as one training
+    sequence — docs concatenated in doc_id order with a separator token,
+    plus the bin's doc/token bookkeeping.  The deterministic ordered
+    concat is array_sort over (doc_id, text) structs + array_join (no
+    nondeterministic collect_list ordering); one shuffle on (lang, bin).
+    Downstream this column is what a tokenizer/packer job writes out."""
+    bins = pack_sequences_bins(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        bins.join(docs, "doc_id")
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " <doc> ",
+            ).alias("packed_text"),
+        )
+    )
+
+
+PACK_CONCAT_ORACLE = f"""
+WITH b AS ({PACK_SEQUENCES_ORACLE})
+SELECT b.lang, b.bin_id,
+       count(*) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(d.text, ' <doc> ' ORDER BY b.doc_id) AS packed_text
+FROM b JOIN documents d ON b.doc_id = d.doc_id
+GROUP BY b.lang, b.bin_id
+"""
+
+QUERIES["pack_sequences_concat"] = pack_sequences_concat
+ORACLES["pack_sequences_concat"] = PACK_CONCAT_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # Deterministic 3-way split: hash-assign every doc to train/val/test so
 # the split is reproducible across runs, engines, and (at 100 TB)
