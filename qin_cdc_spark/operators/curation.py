@@ -211,9 +211,9 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One representative per near-dup cluster.  Membership is tiny
     (only docs with a verified dup), so it broadcasts into the join
     with documents; ranking shuffles only the clustered docs."""
-    from qin_cdc_spark.operators.llm_ext import dedup_cluster_cc
+    from qin_cdc_spark.operators.llm_ext import cc_labels_cached
 
-    members = dedup_cluster_cc(spark, sf_dir)
+    members = cc_labels_cached(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     joined = docs.join(broadcast(members), "doc_id")
     w = Window.partitionBy("component").orderBy(

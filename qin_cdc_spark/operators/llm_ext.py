@@ -300,6 +300,23 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped converged component labels, mirroring
+    ``minhash_pairs_cached``: the label-propagation loop (a driver-side
+    iteration with per-round scalar aggs) runs once per corpus, and
+    downstream consumers (cluster-representative pick) reuse the
+    persisted fixpoint instead of re-iterating.  The ``dedup_cluster_cc``
+    gate query itself never reads this cache — its bench timing must
+    measure the real loop."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CC_CACHE:
+        _CC_CACHE[key] = dedup_cluster_cc(spark, sf_dir)
+    return _CC_CACHE[key]
+
+
 QUERIES["dedup_cluster_cc"] = dedup_cluster_cc
 ORACLES["dedup_cluster_cc"] = _cc_oracle()
 
