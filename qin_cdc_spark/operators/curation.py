@@ -665,3 +665,86 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_semantic_clustered"] = dedup_semantic_clustered
+
+
+# ---------------------------------------------------------------------------
+# Inter-source corpus-overlap matrix: exact shingle-set Jaccard between
+# every pair of sources — the data-mixing diagnostic that catches one
+# source wholesale-containing another (mirror sites, re-crawls, dataset
+# re-releases) before both are weighted into a training mix.
+#
+# Scale shape: the distinct (source, shingle-hash) set is the working
+# relation — 8-byte md5-derived keys (same construction as the dedup
+# family, so both engines agree exactly), map-side partial distinct.
+# The self-join on shingle hash produces at most S² pair rows per
+# shingle, and S (number of SOURCES, not docs) is small by nature, so
+# unlike doc-level co-occurrence there is no hot-key blowup: the
+# aggregate output is bounded by S(S-1)/2 rows.  Per-source sizes are
+# an S-row table — broadcast into the final ratio join.
+
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.functions.text import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_sh = (
+        docs.select(
+            "source",
+            F.explode(word_shingles(F.col("text"))).alias("shingle"),
+        )
+        .select("source", hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = src_sh.alias("a")
+    b = src_sh.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_sh_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_sh_b")
+    )
+    jac = F.round(
+        F.col("n_inter")
+        / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        inter.join(broadcast(sa), "src_a")
+        .join(broadcast(sb), "src_b")
+        .select("src_a", "src_b", "n_inter", jac.alias("jaccard"))
+    )
+
+
+_H60_SH = "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
+
+OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT source, unnest({SHINGLES_SQL.format(w=WORDS_SQL)}) AS shingle
+  FROM documents
+),
+ss AS (SELECT DISTINCT source, {_H60_SH} AS h FROM sh),
+sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM ss a JOIN ss b USING (h)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.src_a
+JOIN sizes sb ON sb.source = inter.src_b
+"""
+
+QUERIES["corpus_overlap_matrix"] = corpus_overlap_matrix
+ORACLES["corpus_overlap_matrix"] = OVERLAP_ORACLE

@@ -156,3 +156,39 @@ def test_weighted_pps_sample_size_tracks_weight(spark):
     )
     for r in picks.join(mass, "source").collect():
         assert abs(r.n_picked - r.expected) <= 1, r
+
+
+def test_corpus_overlap_matrix_matches_python_sets(spark):
+    """Independent cross-check (no shared SQL, no Spark): recompute the
+    inter-source shingle-set Jaccard with plain Python sets from the raw
+    fixture text and compare every pair exactly."""
+    from collections import defaultdict
+
+    from qin_cdc_spark.operators.curation import corpus_overlap_matrix
+    from qin_cdc_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "text"
+    ).collect()
+    sets: dict[str, set] = defaultdict(set)
+    for r in rows:
+        w = r.text.strip().split()
+        n = max(1, len(w) - 2)
+        sets[r.source].update(" ".join(w[i : i + 3]) for i in range(n))
+
+    got = {
+        (r.src_a, r.src_b): (r.n_inter, r.jaccard)
+        for r in corpus_overlap_matrix(spark, SF_SMOKE).collect()
+    }
+    srcs = sorted(sets)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = len(sets[sa] & sets[sb])
+            union = len(sets[sa] | sets[sb])
+            if inter == 0:
+                assert (sa, sb) not in got
+                continue
+            n_inter, jac = got[(sa, sb)]
+            assert n_inter == inter, (sa, sb)
+            assert abs(jac - round(inter / union, 6)) < 1e-9, (sa, sb)
