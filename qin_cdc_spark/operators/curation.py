@@ -259,7 +259,13 @@ ORACLES["dedup_cluster_keep_best"] = _keep_best_oracle()
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = maxabs/127,
     q_i = floor(x_i/scale + 0.5).  Pure narrow ops (transform/aggregate
-    higher-order functions) — zero shuffle, whole-stage codegen."""
+    higher-order functions) — zero shuffle, whole-stage codegen.
+
+    The gate output flattens the quantized vector to a CSV string
+    (``q_csv``): the driver's canonicalizer sorts a pandas frame, and
+    array-typed cells (numpy.ndarray) are unhashable there — scalar
+    columns only in gate outputs, by policy (see check_correctness.py).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     maxabs = F.greatest(
@@ -271,7 +277,9 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         (maxabs / 127.0).alias("scale"),
-        quant.alias("q"),
+        F.array_join(F.transform(quant, lambda q: q.cast("string")), ",").alias(
+            "q_csv"
+        ),
     )
 
 
@@ -279,10 +287,10 @@ EMB_QUANTIZE_ORACLE = """
 SELECT vec_id,
        greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)
          / 127.0 AS scale,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
          x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
                 / greatest(list_max(list_transform(embedding, x2 -> abs(CAST(x2 AS DOUBLE)))), 1e-30)
-                + 0.5) AS INTEGER)) AS q
+                + 0.5) AS INTEGER)), ',') AS q_csv
 FROM embeddings
 """
 

@@ -417,7 +417,9 @@ BYTE_HIST_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", IntegerType()),
-        StructField("bins", ArrayType(IntegerType())),
+        # bins flattened to CSV: gate outputs are scalar-only by policy
+        # (the driver's pandas canonicalizer can't hash ndarray cells).
+        StructField("bins_csv", StringType()),
     ]
 )
 
@@ -426,13 +428,13 @@ def byte_hist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        rows = {"doc_id": [], "n_bytes": [], "bins": []}
+        rows = {"doc_id": [], "n_bytes": [], "bins_csv": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             x = np.frombuffer(payload, dtype=np.uint8)
             hist = np.bincount(x >> 4, minlength=HIST_BINS).astype("int32")
             rows["doc_id"].append(int(doc_id))
             rows["n_bytes"].append(len(x))
-            rows["bins"].append(hist.tolist())
+            rows["bins_csv"].append(",".join(str(int(c)) for c in hist))
         out = pd.DataFrame(rows)
         out["doc_id"] = out["doc_id"].astype("int64")
         out["n_bytes"] = out["n_bytes"].astype("int32")
@@ -456,10 +458,10 @@ WITH b AS (
 )
 SELECT doc_id,
        CAST(nb AS INTEGER) AS n_bytes,
-       list_transform(range(0, {HIST_BINS}), k ->
+       array_to_string(list_transform(range(0, {HIST_BINS}), k ->
          CAST(len(list_filter(range(0, nb),
            i -> CAST(concat('0x', substr(hx, 2 * i + 1, 1)) AS INTEGER) = k))
-           AS INTEGER)) AS bins
+           AS INTEGER)), ',') AS bins_csv
 FROM b
 """
 

@@ -508,18 +508,22 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nation.select(
         "n_name",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        # arrays flattened to CSV: gate outputs are scalar-only by policy
+        # (driver canon can't hash ndarray cells)
+        F.array_join(F.map_keys(m), ",").alias("mkeys_csv"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda v: v.cast("string")), ","
+        ).alias("mvals_csv"),
         F.element_at(m, F.lit("region")).alias("region_val"),
     )
 
 
 FN_MAP_ORACLE = """
 SELECT n_name,
-       map_keys(map(['key','region'],
-                    [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])) AS mkeys,
-       map_values(map(['key','region'],
-                      [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])) AS mvals,
+       array_to_string(map_keys(map(['key','region'],
+                    [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])), ',') AS mkeys_csv,
+       array_to_string(map_values(map(['key','region'],
+                      [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])), ',') AS mvals_csv,
        map(['key','region'],
            [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])['region'][1]
          AS region_val
@@ -698,14 +702,20 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered by contract — array_sort pins it, matching DuckDB's
     list(x ORDER BY x))."""
     nation = load_table(spark, sf_dir, "nation")
+    # CSV-flattened array output: gate outputs are scalar-only by policy
+    # (driver canon can't hash ndarray cells)
     return nation.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 AGG_COLLECT_SORTED_ORACLE = """
-SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations, count(*) AS n
+SELECT n_regionkey,
+       array_to_string(list(n_name ORDER BY n_name), ',') AS nations_csv,
+       count(*) AS n
 FROM nation GROUP BY n_regionkey
 """
 
@@ -803,7 +813,10 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.regexp_extract(F.col("text"), r"([a-z]+)ing\b", 1).alias("first_ing_stem"),
-        F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{3}\b"), 0).alias("three_letter"),
+        # CSV-flattened (gate outputs are scalar-only by policy)
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{3}\b"), 0), ","
+        ).alias("three_letter_csv"),
         F.regexp_count(F.col("text"), F.lit(r"\bthe\b")).alias("n_the"),
     )
 
@@ -811,7 +824,8 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_REGEXP_ORACLE = """
 SELECT doc_id,
        coalesce(regexp_extract(text, '([a-z]+)ing\\b', 1), '') AS first_ing_stem,
-       regexp_extract_all(text, '\\b[a-z]{3}\\b') AS three_letter,
+       coalesce(array_to_string(regexp_extract_all(text, '\\b[a-z]{3}\\b'), ','), '')
+         AS three_letter_csv,
        CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS INTEGER) AS n_the
 FROM documents
 """
@@ -879,13 +893,19 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.trim(F.col("text")), r"\s+")
     return docs.select(
         "doc_id",
-        F.sort_array(F.array_distinct(w)).alias("sorted_unique"),
-        F.slice(w, 1, 5).alias("first5"),
+        # CSV-flattened array outputs (gate outputs are scalar-only by policy)
+        F.array_join(F.sort_array(F.array_distinct(w)), ",").alias(
+            "sorted_unique_csv"
+        ),
+        F.array_join(F.slice(w, 1, 5), ",").alias("first5_csv"),
         F.array_contains(w, "the").alias("has_the"),
         F.coalesce(F.array_position(w, "the"), F.lit(0)).cast("long").alias("the_pos"),
-        F.sort_array(F.array_except(w, F.array(F.lit("the"), F.lit("a"), F.lit("of")))).alias(
-            "minus_stop"
-        ),
+        F.array_join(
+            F.sort_array(
+                F.array_except(w, F.array(F.lit("the"), F.lit("a"), F.lit("of")))
+            ),
+            ",",
+        ).alias("minus_stop_csv"),
         F.array_join(F.slice(w, 1, 5), " ").alias("first5_text"),
     )
 
@@ -893,12 +913,14 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_ARRAY_SETOPS_ORACLE = """
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
 SELECT doc_id,
-       list_sort(list_distinct(w)) AS sorted_unique,
-       w[1:5] AS first5,
+       coalesce(array_to_string(list_sort(list_distinct(w)), ','), '')
+         AS sorted_unique_csv,
+       coalesce(array_to_string(w[1:5], ','), '') AS first5_csv,
        list_contains(w, 'the') AS has_the,
        CAST(coalesce(list_position(w, 'the'), 0) AS BIGINT) AS the_pos,
-       list_sort(list_distinct(list_filter(w, x -> x NOT IN ('the','a','of'))))
-         AS minus_stop,
+       coalesce(array_to_string(
+         list_sort(list_distinct(list_filter(w, x -> x NOT IN ('the','a','of')))),
+         ','), '') AS minus_stop_csv,
        array_to_string(w[1:5], ' ') AS first5_text
 FROM t
 """

@@ -56,7 +56,16 @@ def salted_join(
     not required for correctness — any distribution works — so we use
     pmod(xxhash64(all fact columns), n_salt): stable for a given row,
     uniform across rows.
+
+    Both key columns survive in the output (fact's and dim's), so the
+    two names must differ — same-named keys would make every downstream
+    column reference ambiguous.
     """
+    if fact_key == dim_key:
+        raise ValueError(
+            f"salted_join: fact_key and dim_key must differ (both {fact_key!r}); "
+            "rename one side before joining"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
     fact_s = fact.withColumn("_salt", salt)
     dim_s = dim.withColumn(
@@ -103,7 +112,15 @@ def salted_join_twophase(
     per-partition, expressed as an explicit operator for the cases AQE
     can't see (pre-shuffle key skew, non-AQE engines, deterministic
     plans).  The frequency scan is a map-side-combinable count — one
-    cheap extra pass, the classic trade."""
+    cheap extra pass, the classic trade.
+
+    Like ``salted_join``, both key columns survive in the output, so
+    fact_key and dim_key must differ."""
+    if fact_key == dim_key:
+        raise ValueError(
+            f"salted_join_twophase: fact_key and dim_key must differ "
+            f"(both {fact_key!r}); rename one side before joining"
+        )
     freq = fact.groupBy(fact_key).agg(F.count(F.lit(1)).alias("_kf"))
     hot_keys = freq.filter(F.col("_kf") > hot_threshold).select(fact_key)
     # left_semi/left_anti split: each side of the union sees each fact
@@ -123,7 +140,12 @@ def salted_join_twophase(
 def join_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    joined = salted_join_twophase(li, orders, "l_orderkey", "o_orderkey")
+    # hot_threshold=4 < lineitem's max ~7 rows/orderkey so the HASH-CHECKED
+    # run routes real data through BOTH the salted hot path and the plain
+    # cold path (the default threshold of 30 would leave the hot branch
+    # empty at TPC-H's natural fan-out and only the synthetic test would
+    # cover it).
+    joined = salted_join_twophase(li, orders, "l_orderkey", "o_orderkey", hot_threshold=4)
     return joined.groupBy("o_orderstatus").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),

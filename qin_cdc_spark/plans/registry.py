@@ -15,78 +15,78 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# The driver's correctness gate evaluates a PREFIX of this registry (round 1:
-# exactly the first 50 entries), so iteration order is part of the contract.
-# Lead with one-or-more representatives of EVERY operator family — CDC apply,
-# each dedup family, ANN, streaming windows, multimodal, UDF surface, skew/
-# bucketed joins, TPC-H — so any prefix cap still samples the whole SURVEY §2
-# matrix; the long tail (remaining relational/TPC-H variants) follows in
-# module order.
+# The driver's correctness gate evaluates a PREFIX of this registry (rounds
+# 1-2: exactly the first 50 entries), so iteration order is part of the
+# contract.  Round-3 layout per the round-2 verdict: positions 1-15 are ONE
+# known-green representative per operator family (any prefix cap still
+# samples the whole SURVEY §2 matrix, and emb_quantize_int8 stays to prove
+# the round-2 red row is fixed); positions 16-50 ROTATE never-driver-checked
+# names (35 this round) so every registry query gets driver-verified at
+# least once by round 4.
+#
+# Rotation ledger — still never-driver-checked after round 3 (rotate these
+# into positions 16-50 next round; 32 names, fits one more rotation):
+#   hist_equi_depth sketch_hll_mergeable q2_min_price_part q4… (remaining
+#   q-series: q2,q7,q8,q9,q10,q11,q13,q15,q16,q19,q20,q22) text_rolling_hash
+#   text_clean_canonical sample_stratified_topn text_bigram_logprob
+#   pipeline_corpus_curation text_repetition_ratio text_word_entropy
+#   text_chunk_dedup corpus_top_ngrams decontaminate_embedding
+#   dedup_semantic_clustered udf_pandas_grouped_agg udf_python_rowwise
+#   sim_ann_ivf ev_sliding_window ev_dedup_first_by_key mm_resize_meta
+#   mm_frame_sample
 _HEAD = [
-    # CDC core (the reference's raison d'être)
-    "cdc_apply_orders",
-    "cdc_replay_idempotent",
-    "cdc_apply_lineitem_multipk",
-    "cdc_last_event_per_key",
-    "cdc_transform_rename_drop",
-    "cdc_pk_move",
-    "kafka_default_format",
-    # streaming / event analytics
-    "ev_tumbling_window",
-    "ev_session_window",
-    "ev_sessionize_gap",
-    "ev_funnel_conversion",
-    "ev_cohort_retention",
-    "ev_watermark_late_drop",
-    # dedup families (exact, MinHash-LSH, SimHash, n-gram, embedding, CC,
-    # edit-distance, representative-pick)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    "dedup_edit_distance",
-    "dedup_cluster_keep_best",
-    # similarity / ANN
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_knn_label_vote",
-    # LLM text pipeline
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_tfidf_topk",
-    "decontaminate_ngram",
-    "sample_split_3way",
-    "pack_sequences_bins",
-    "emb_quantize_int8",
-    "curation_source_cap",
-    "corpus_stats_by_lang",
-    # multimodal
-    "mm_decode_meta",
-    "mm_payload_stats",
-    # UDF surface
-    "udf_pandas_scalar",
-    "udf_apply_in_pandas",
-    # scale joins / scans
-    "join_salted_skew",
-    "join_bucketed_colocated",
-    "scan_sorted_zonemap",
-    # relational + TPC-H representatives (incl. the two round-1 hash-fails,
-    # now canon-proof)
-    "q1_pricing_summary",
-    "q12_shipmode_priority",
-    "fn_case_cast_null",
-    "agg_decimal_exact",
-    # continuous-aggregate store (hypertable-rollup parity), oracle-checked
-    "rollup_continuous_agg",
-    "agg_rollup",
-    # streaming near-dup admission store (new family, round 2 late) —
-    # window functions stay sampled via topk_per_group
-    "neardup_store_two_batch",
-    "topk_per_group",
-    "asof_join_last_purchase",
+    # -- family representatives (1-15), all green in CORRECTNESS_r02 --
+    "cdc_apply_orders",  # CDC apply/merge
+    "cdc_replay_idempotent",  # CDC delivery invariants
+    "ev_tumbling_window",  # streaming/event analytics
+    "dedup_minhash_lsh",  # near-dup (LSH family)
+    "sim_ann_lsh",  # ANN similarity
+    "text_quality_score",  # LLM text pipeline
+    "sample_split_3way",  # curation/sampling
+    "emb_quantize_int8",  # round-2 red row — now canon-proof (q_csv)
+    "mm_decode_meta",  # multimodal
+    "udf_apply_in_pandas",  # UDF surface
+    "join_salted_skew",  # scale joins
+    "scan_sorted_zonemap",  # scans/layout
+    "q1_pricing_summary",  # TPC-H relational
+    "rollup_continuous_agg",  # continuous-aggregate store
+    "neardup_store_two_batch",  # streaming near-dup store
+    # -- rotation block (16-50): first-time driver checks this round --
+    "dedup_containment",
+    "join_salted_twophase",
+    "corpus_overlap_matrix",
+    "sample_weighted_pps",
+    "pack_sequences_concat",
+    "mm_audio_rms",
+    "mm_byte_histogram",
+    "fn_map_ops",
+    "agg_collect_sorted",
+    "fn_regexp",
+    "fn_array_setops",
+    "fn_string_extras",
+    "fn_date_extras",
+    "fn_agg_extras",
+    "fn_bitwise",
+    "win_nth_value",
+    "win_ignore_nulls",
+    "win_time_range",
+    "agg_mode_median",
+    "agg_grouping_id",
+    "unpivot_metrics",
+    "setop_union_missing",
+    "scan_partitioned_pruned",
+    "scan_csv",
+    "scan_orc",
+    "sql_hint_broadcast",
+    "join_null_safe_eq",
+    "subquery_not_in_null",
+    "date_spine_zerofill",
+    "text_fingerprint",
+    "text_pii_redact",
+    "sample_hash_bernoulli",
+    "q4_order_priority",
+    "q17_small_qty_revenue",
+    "q21_sole_late_shipper",
 ]
 
 

@@ -53,7 +53,9 @@ def test_emb_quantize_roundtrip_error_bounded(spark):
     from qin_cdc_spark.operators.curation import emb_quantize_int8
     from qin_cdc_spark.sources.tables import load_table
 
-    q = emb_quantize_int8(spark, SF_SMOKE)
+    q = emb_quantize_int8(spark, SF_SMOKE).withColumn(
+        "q", F.split("q_csv", ",").cast("array<int>")
+    )
     emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
     joined = q.join(emb, "vec_id")
     bad = joined.select(

@@ -80,6 +80,26 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
+            # Gate outputs must be scalar-only: the DRIVER's canonicalizer
+            # sorts a pandas frame, and array/struct/map cells arrive as
+            # numpy.ndarray/dict → "unhashable type" crash even when values
+            # match (round-2 emb_quantize_int8 red row).  Reject here so the
+            # local gate catches the class before the driver does.
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL {name}: complex-typed output columns {complex_cols} "
+                    "(gate outputs must be scalar — array_join/flatten them)"
+                )
+                n_fail += 1
+                failures.append(name)
+                continue
             spark_rows = df.collect()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
