@@ -86,6 +86,9 @@ class Pipeline:
                         src for src, _ in router.column_mapping(schema.fieldNames())
                     ],
                     batch_size=int(opts.get("batch-size", DEFAULT_BATCH_SIZE)),
+                    # output_type selects the delete-signalling dialect:
+                    # doris → merge_type/delete headers, starrocks → __op
+                    dialect=config.output_type,
                 )
                 sink = loader.load_batch
             self.routes.append(

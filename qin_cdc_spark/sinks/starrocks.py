@@ -1,21 +1,30 @@
 """StarRocks / Doris stream-load sink (SURVEY §2.A A22/A23).
 
 Reference parity (outputs/starrocks/starrocks.go:136-208,
-starrocks_utils.go:12-70; the Doris plugin is byte-for-byte the same
-protocol):
+starrocks_utils.go:12-70; outputs/doris/doris.go:136-210,
+doris_utils.go:13-22).  The two dialects share the envelope — JSON
+array body, ``_delete_sign_`` virtual column, PUT, retry — and differ
+ONLY in how delete rows are signalled to the FE:
+
+- StarRocks maps the sign column onto the engine op code via the
+  columns header: ``columns: c1,…,_delete_sign_, __op = _delete_sign_``
+  (starrocks.go:177-183).
+- Doris instead sends ``merge_type: MERGE`` + ``delete:
+  _delete_sign_=1`` headers and a plain ``columns: c1,…,_delete_sign_``
+  with no ``__op`` mapping (doris.go:177-186, doris_utils.go:22).
+
+Shared contract:
 
 - rows serialize to a JSON array; every row carries the virtual
   ``_delete_sign_`` column (0 = upsert, 1 = delete) —
-  starrocks_utils.go:39-70
+  starrocks_utils.go:39-70 / doris_utils.go:42-70
 - HTTP PUT to ``/api/{db}/{table}/_stream_load`` with headers
   ``Authorization: Basic``, ``Expect: 100-continue``,
   ``strict_mode: true``, ``format: json``, ``strip_outer_array: true``
-  and ``columns: c1,…,_delete_sign_, __op = _delete_sign_`` —
-  starrocks.go:162-183
 - response body is JSON; ``Status != "Success"`` raises with Message +
-  ErrorURL — starrocks.go:192-205
+  ErrorURL — starrocks.go:192-205 / doris.go:192-205
 - retry with linear backoff RetryInterval·(attempt+1), RetryCount
-  attempts — starrocks.go:148-160
+  attempts — starrocks.go:148-160 / doris.go:148-160
 
 Spark-first split: FORMATTING is a column expression
 (:func:`streamload_rows` — JVM ``to_json``, zero Python per row); the
@@ -36,11 +45,12 @@ import urllib.request
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-DELETE_COLUMN = "_delete_sign_"  # starrocks_utils.go:16
+DELETE_COLUMN = "_delete_sign_"  # starrocks_utils.go:16 / doris_utils.go:18
 DEFAULT_BATCH_SIZE = 10240  # starrocks_utils.go:14
 DEFAULT_BATCH_INTERVAL_MS = 3000  # starrocks_utils.go:15
 RETRY_COUNT = 3  # starrocks_utils.go:17
 RETRY_INTERVAL_S = 5  # starrocks_utils.go:18
+DELETE_CONDITION = f"{DELETE_COLUMN}=1"  # doris_utils.go:22
 
 
 class StreamLoadError(RuntimeError):
@@ -63,7 +73,15 @@ def streamload_rows(
 
 
 class StarRocksStreamLoad:
-    """One table's stream-load channel (host, auth, headers, retry)."""
+    """One table's stream-load channel (host, auth, headers, retry).
+
+    ``dialect`` selects the delete-signalling convention:
+    ``"starrocks"`` (default, ``__op`` columns mapping) or ``"doris"``
+    (``merge_type: MERGE`` + ``delete`` headers).  Everything else is
+    shared — see module docstring.
+    """
+
+    DIALECTS = ("starrocks", "doris")
 
     def __init__(
         self,
@@ -79,7 +97,11 @@ class StarRocksStreamLoad:
         retry_count: int = RETRY_COUNT,
         retry_interval_s: float = RETRY_INTERVAL_S,
         sleep=time.sleep,
+        dialect: str = "starrocks",
     ):
+        if dialect not in self.DIALECTS:
+            raise ValueError(f"dialect must be one of {self.DIALECTS}, got {dialect!r}")
+        self.dialect = dialect
         self.host = host
         self.load_port = load_port
         self.database = database
@@ -104,15 +126,24 @@ class StarRocksStreamLoad:
             f"{self.username}:{self.password}".encode()
         ).decode()
         cols = ",".join([*self.columns, DELETE_COLUMN])
-        return {
+        hdrs = {
             "Authorization": f"Basic {auth}",
             "Expect": "100-continue",
             "strict_mode": "true",
             "format": "json",
             "strip_outer_array": "true",
-            # __op mapping: the delete-sign column drives upsert-vs-delete
-            "columns": f"{cols}, __op = {DELETE_COLUMN}",
         }
+        if self.dialect == "doris":
+            # doris.go:177-186: MERGE load + delete predicate on the sign
+            # column; columns header has NO __op mapping
+            hdrs["merge_type"] = "MERGE"
+            hdrs["delete"] = DELETE_CONDITION
+            hdrs["columns"] = cols
+        else:
+            # starrocks.go:177-183: __op mapping — the delete-sign column
+            # drives upsert-vs-delete
+            hdrs["columns"] = f"{cols}, __op = {DELETE_COLUMN}"
+        return hdrs
 
     def send(self, json_rows: list[str]) -> dict:
         """PUT one chunk; returns the parsed response map.  Retries with
@@ -192,3 +223,16 @@ class StarRocksStreamLoad:
         """Adapter for ``writeStream.foreachBatch`` /
         ``CdcStreamRoute``-style wiring."""
         return lambda df, batch_id: self.load_batch(df, batch_id)
+
+
+class DorisStreamLoad(StarRocksStreamLoad):
+    """Doris-dialect stream-load channel (A23): identical envelope, but
+    delete rows are signalled with ``merge_type: MERGE`` + ``delete:
+    _delete_sign_=1`` headers instead of StarRocks' ``__op`` columns
+    mapping — outputs/doris/doris.go:136-210, doris_utils.go:13-22."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("dialect", "doris")
+        if kwargs["dialect"] != "doris":
+            raise ValueError("DorisStreamLoad is always dialect='doris'")
+        super().__init__(**kwargs)

@@ -277,6 +277,61 @@ def test_streamload_contract_headers_body_and_delete_sign(spark):
         srv.stop()
 
 
+def test_doris_streamload_merge_headers_no_op_mapping(spark):
+    """The Doris dialect's wire contract (outputs/doris/doris.go:177-186,
+    doris_utils.go:22): merge_type MERGE + delete predicate headers,
+    columns header WITHOUT the StarRocks __op mapping; shared envelope
+    otherwise (URL shape, auth, json array body, _delete_sign_ 0/1)."""
+    from qin_cdc_spark.sinks.starrocks import DorisStreamLoad, streamload_rows
+
+    srv = _CannedStreamLoad([{"Status": "Success", "NumberLoadedRows": 3}])
+    try:
+        changes = spark.createDataFrame(
+            [(1, "a", "insert", 1), (2, "b", "update", 2), (3, "c", "delete", 3)],
+            "id long, name string, op string, seq long",
+        )
+        rows = [r.value for r in streamload_rows(changes).collect()]
+        DorisStreamLoad(
+            host="127.0.0.1",
+            load_port=srv.port,
+            database="dw",
+            table="ods_orders",
+            username="root",
+            password="secret",
+            columns=["id", "name"],
+            retry_interval_s=0.0,
+            sleep=lambda s: None,
+        ).send(rows)
+        [req] = srv.requests
+        assert req["path"] == "/api/dw/ods_orders/_stream_load"
+        h = {k.lower(): v for k, v in req["headers"].items()}
+        assert h["merge_type"] == "MERGE"
+        assert h["delete"] == "_delete_sign_=1"
+        assert h["columns"] == "id,name,_delete_sign_"  # no __op mapping
+        assert h["format"] == "json" and h["strip_outer_array"] == "true"
+        assert h["strict_mode"] == "true"
+        assert h["authorization"].startswith("Basic ")
+        sent = json.loads(req["body"])
+        assert [r["_delete_sign_"] for r in sent] == [0, 0, 1]
+    finally:
+        srv.stop()
+
+
+def test_streamload_dialect_validation():
+    from qin_cdc_spark.sinks.starrocks import DorisStreamLoad, StarRocksStreamLoad
+
+    with pytest.raises(ValueError, match="dialect"):
+        StarRocksStreamLoad(
+            host="h", load_port=1, database="d", table="t",
+            columns=["a"], dialect="clickhouse",
+        )
+    with pytest.raises(ValueError, match="doris"):
+        DorisStreamLoad(
+            host="h", load_port=1, database="d", table="t",
+            columns=["a"], dialect="starrocks",
+        )
+
+
 def test_streamload_retries_then_succeeds_and_raises_after_exhaustion(spark):
     from qin_cdc_spark.sinks.starrocks import StreamLoadError
 
