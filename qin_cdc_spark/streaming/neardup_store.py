@@ -26,17 +26,24 @@ Idempotence mirrors FingerprintStore: a replayed batch finds each of
 its docs in the store as an exact self-match (agreement = 1.0) and
 admits nothing, so at-least-once redelivery cannot grow the store.
 
-Scale notes: the store scan per batch is O(|admitted|), like the
-exact store's anti-join; at 100 TB the store is compacted into a
-band-bucketed layout so the candidate join is co-located and touches
-only the buckets the batch's band keys hash to — same code path,
-different table layout.  Reference parity: qin-cdc has no dedup
-operators (SURVEY §2 scope note); this composes the north-star MinHash
-family with the reference's A20/A31 micro-batch + checkpoint semantics.
+Scale notes: the store is an append-only flat parquet of signatures
+plus (after :meth:`NearDupStore.compact`) a band-key INDEX under
+``{path}/_bands`` — underscore-prefixed, so parquet reads of the store
+never see it — partitioned by ``bucket = pmod(xxhash64(band),
+n_buckets)``.  Per batch the cross-batch candidate join then reads only
+the buckets the batch's own band keys hash to (partition-pruned scan;
+≤ n_buckets driver-side ints decide the prune) plus the small
+post-compaction tail, banded row-locally as before.  Uncompacted, the
+scan is O(|admitted|) per batch, like the exact store's anti-join —
+``compact()`` is the periodic maintenance job that caps it.  Reference
+parity: qin-cdc has no dedup operators (SURVEY §2 scope note); this
+composes the north-star MinHash family with the reference's A20/A31
+micro-batch + checkpoint semantics.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -128,17 +135,40 @@ def _reject_against(sigs: DataFrame, store_sigs: DataFrame, threshold: float) ->
 
 
 class NearDupStore:
-    """Append-only parquet store of (doc_id, sig, first_seen_batch)."""
+    """Parquet store of (doc_id, sig, first_seen_batch): flat appends
+    under ``path`` plus an optional band-bucketed index under
+    ``path/_bands`` built by :meth:`compact` (see module docstring)."""
 
-    def __init__(self, spark: SparkSession, path: str, threshold: float = DEFAULT_THRESHOLD):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        threshold: float = DEFAULT_THRESHOLD,
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.path = path
         self.threshold = threshold
+        self.n_buckets = n_buckets
+
+    @property
+    def _bands_path(self) -> str:
+        return os.path.join(self.path, "_bands")
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_bands_meta.json")
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        # walk (not listdir): data files may sit in subdirectories; skip
+        # hidden/underscore trees so the band index never counts as data
+        if not os.path.isdir(self.path):
+            return False
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self) -> DataFrame:
         if not self.exists():
@@ -146,6 +176,101 @@ class NearDupStore:
                 [], "doc_id long, sig array<long>, first_seen_batch long"
             )
         return self.spark.read.parquet(self.path)
+
+    # -- band-bucketed compaction ------------------------------------
+
+    def _watermark(self) -> int | None:
+        """Highest first_seen_batch covered by the band index, or None
+        if never compacted."""
+        if not os.path.isfile(self._meta_path):
+            return None
+        with open(self._meta_path) as f:
+            return json.load(f)["watermark"]
+
+    def compact(self) -> None:
+        """Materialize the band-key index: one (band, bucket, doc_id)
+        row per admitted doc × band, written partitioned by bucket so a
+        later batch's candidate join reads only its touched buckets.
+        Idempotent; appends after the recorded watermark stay on the
+        row-local tail path until the next compact."""
+        store = self.read()
+        wm = store.agg(F.max("first_seen_batch")).first()[0]
+        if wm is None:  # empty / never-written store: nothing to index
+            return
+        bands = _banded(store.select("doc_id", "sig")).withColumn(
+            "bucket", F.pmod(F.xxhash64("band"), F.lit(self.n_buckets))
+        )
+        # repartition by bucket: one shuffle sized by the store, each
+        # partition directory written once — the maintenance job's cost
+        (
+            bands.repartition(self.n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self._bands_path)
+        )
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": int(wm), "n_buckets": self.n_buckets}, f)
+        os.replace(tmp, self._meta_path)
+
+    def _store_candidates(self, sigs: DataFrame) -> DataFrame:
+        """(doc_id, store_doc_id) candidate pairs of the batch against
+        the store — partition-pruned via the band index where compacted,
+        row-local banding for the post-watermark tail."""
+        batch_banded = _banded(sigs)
+        wm = self._watermark()
+        if wm is None:
+            store = self.read().select(
+                F.col("doc_id").alias("store_doc_id"), "sig"
+            )
+            return (
+                batch_banded.join(_banded(store, "store_doc_id"), "band")
+                .select("doc_id", "store_doc_id")
+                .distinct()
+            )
+        # bounded driver scalar: ≤ n_buckets distinct ints decide the prune
+        buckets = [
+            r.bucket
+            for r in batch_banded.select(
+                F.pmod(F.xxhash64("band"), F.lit(self.n_buckets)).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        index = (
+            self.spark.read.parquet(self._bands_path)
+            .filter(F.col("bucket").isin(buckets))
+            .withColumnRenamed("doc_id", "store_doc_id")
+            .select("band", "store_doc_id")
+        )
+        tail = _banded(
+            self.read()
+            .filter(F.col("first_seen_batch") > wm)
+            .select(F.col("doc_id").alias("store_doc_id"), "sig"),
+            "store_doc_id",
+        )
+        return (
+            batch_banded.join(index.unionByName(tail), "band")
+            .select("doc_id", "store_doc_id")
+            .distinct()
+        )
+
+    def _reject_against_store(self, sigs: DataFrame) -> DataFrame:
+        """Batch doc ids near-matching anything admitted — candidate
+        generation via :meth:`_store_candidates`, then the same
+        candidate-bounded signature-agreement verify."""
+        cand = self._store_candidates(sigs)
+        sa = sigs.select("doc_id", F.col("sig").alias("sig_a"))
+        sb = self.read().select(
+            F.col("doc_id").alias("store_doc_id"), F.col("sig").alias("sig_b")
+        )
+        return (
+            cand.join(sa, "doc_id")
+            .join(sb, "store_doc_id")
+            .filter(_agreement(F.col("sig_a"), F.col("sig_b")) >= self.threshold)
+            .select("doc_id")
+            .distinct()
+        )
 
     def admit_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Admit the slice of a batch that near-matches nothing admitted
@@ -156,7 +281,7 @@ class NearDupStore:
         sigs = _signatures(batch_df).persist()
         try:
             rejected = _reject_within(sigs, self.threshold).union(
-                _reject_against(sigs, self.read().select("doc_id", "sig"), self.threshold)
+                self._reject_against_store(sigs)
             )
             admitted = (
                 sigs.join(rejected, "doc_id", "left_anti")

