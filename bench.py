@@ -16,7 +16,10 @@ overheads and costs ~30 s per run).
 max_by partial aggregation, TakeOrderedAndProject top-k) directly on the
 optimized plans — a perf regression that survives timing noise still
 flips its flag to false in BENCH_r{N}.json.  ``python bench.py plans``
-runs only those checks and exits nonzero on any failure.
+runs those checks PLUS a registry-wide join audit (every registered
+query's plan must be free of CartesianProduct, and of
+BroadcastNestedLoopJoin outside the justified ``BNLJ_ALLOWED`` set) and
+exits nonzero on any failure.
 
 Execution sinks to the noop format (full pipeline runs, nothing
 collected to the driver) so timings measure the engine, not py4j
@@ -176,6 +179,52 @@ def plan_checks(spark, sf_dir: str, queries) -> dict[str, bool]:
     return checks
 
 
+# The ONLY registered queries allowed to plan a BroadcastNestedLoopJoin —
+# each has a provably bounded broadcast side and a registered scale-path
+# alternative.  CartesianProduct is never allowed.  Any NEW name planning a
+# BNLJ fails the audit: bounded-broadcast designs must be justified here.
+BNLJ_ALLOWED = {
+    # single-row scalar-subquery threshold (agg-without-grouping broadcast
+    # side = exactly 1 row); the TPC-H-declared formulation
+    "q11_important_stock",
+    "q22_dormant_customers",
+    # single-row corpus-count broadcast into the idf expression
+    "text_tfidf_topk",
+    # the declared cross-join API surface itself, over two tiny dims
+    # (5 × 25 rows) — its own docstring forbids larger sides
+    "join_cross",
+    # declared brute-force baselines: bounded query/benchmark block
+    # broadcasts, corpus streams once; ANN (sim_ann_lsh / sim_ann_ivf) and
+    # banded-candidate paths are the registered scale alternatives
+    "sim_cosine_topk",
+    "sim_knn_label_vote",
+    "decontaminate_embedding",
+}
+
+
+def registry_join_audit(spark, sf_dir: str, queries) -> dict[str, list[str]]:
+    """Walk EVERY registered query's optimized plan; return offenders —
+    any CartesianProduct, or a BroadcastNestedLoopJoin outside
+    BNLJ_ALLOWED.  Plan construction only (no full execution), though
+    queries with eager setup (bucketed/zonemap writes, two-batch stores)
+    do their setup work."""
+    offenders: dict[str, list[str]] = {}
+    for name, fn in queries.items():
+        try:
+            plan = _plan_string(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — surface, don't hide
+            offenders[name] = [f"plan-error: {type(e).__name__}: {e}"[:200]]
+            continue
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    return offenders
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -187,9 +236,22 @@ def main() -> None:
 
     if plans_only:
         checks = plan_checks(spark, sf_dir, queries)
-        print(json.dumps({"metric": "plan_properties", "checks": checks}))
+        audit_dir = os.environ.get(
+            "SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        offenders = registry_join_audit(spark, audit_dir, queries)
+        print(
+            json.dumps(
+                {
+                    "metric": "plan_properties",
+                    "checks": checks,
+                    "join_audit_queries": len(queries),
+                    "join_audit_offenders": offenders,
+                }
+            )
+        )
         spark.stop()
-        raise SystemExit(0 if all(checks.values()) else 1)
+        raise SystemExit(0 if all(checks.values()) and not offenders else 1)
 
     if "scale" in sys.argv[1:]:
         # Scaling sweep: headline queries once per SF — the evidence that
