@@ -419,6 +419,7 @@ def start_cdc_stream(
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
     registry=None,
+    gc_every: int = 0,
 ):
     """Start the streaming apply: one foreachBatch fanning out to every
     route (per-table grouping, A21 analog — each route filters its own
@@ -431,7 +432,21 @@ def start_cdc_stream(
     loop (inputs/mysql/mysql_replication.go:132-228) as one streaming
     pipeline.  Rows produced under the pre-DDL schema decode fine under
     the post-DDL schema within the same batch (absent fields read as
-    NULL; the sink union is allowMissingColumns)."""
+    NULL; the sink union is allowMissingColumns).
+
+    ``gc_every=N`` (0 = off) runs tombstone GC on every local target
+    once per N batches, using the CURRENT batch's min seq as the
+    low-water mark.  That bound is only valid for a SEQ-ORDERED source —
+    one whose later batches never carry a smaller seq than any earlier
+    batch's, which is exactly a binlog/WAL tail (positions are monotone;
+    the reference's GC analog is the 3-second position-lag window,
+    inputs/mysql/mysql_position.go:150-170).  Replay of the in-flight
+    batch after a crash is safe: the replayed rows all have
+    seq ≥ that batch's min, and any delete whose tombstone was dropped
+    is itself part of the replayed batch, so LWW re-converges.  Do NOT
+    enable it on unordered test streams (e.g. a repartitioned envelope
+    directory).  Each GC is a full target rewrite — N trades rewrite
+    amortization against tombstone accumulation."""
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_ckpt_")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -444,6 +459,15 @@ def start_cdc_stream(
                     pass  # table not in registry: keep the bound schema
         batch_df.persist()
         try:
+            if gc_every and batch_id > 0 and batch_id % gc_every == 0:
+                # bounded driver scalar: one min over the (persisted) batch
+                low = batch_df.agg(F.min(F.col("seq").cast("long"))).first()[0]
+                if low is not None:
+                    for route in routes:
+                        if route.sink is None:
+                            tgt = route.bind_target()
+                            if tgt.exists():
+                                tgt.gc_tombstones(low)
             for route in routes:
                 route.apply_batch(batch_df)
         finally:

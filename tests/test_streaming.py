@@ -913,3 +913,79 @@ def test_dlq_replay_after_schema_fix(spark, tmp_path):
     applied2, still_bad2 = route.replay_dlq()  # idempotent re-run
     assert (applied2, still_bad2) == (0, 1)
     assert route.target.read().count() == 20
+
+
+def test_tombstone_gc_in_stream(spark, tmp_path):
+    """gc_every on a seq-ordered stream: tombstones below the low-water
+    mark are PHYSICALLY dropped mid-stream, visible rows stay the LWW
+    state throughout, and a full replay from a fresh checkpoint (GC on)
+    converges to the same table."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from qin_cdc_spark.streaming.cdc_stream import start_cdc_stream
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    # five seq-ordered envelope files == five ordered micro-batches:
+    #   f1: insert keys 1..100           (seq 1..100)
+    #   f2: update keys 21..100          (seq 101..180)
+    #   f3: delete keys 1..20            (seq 201..220)
+    #   f4: update keys 21..60           (seq 301..340)
+    #   f5: update keys 61..100          (seq 401..440)
+    files = [
+        [(k, f"v0_{k}", "insert", k) for k in range(1, 101)],
+        [(k, f"v1_{k}", "update", 100 + (k - 20)) for k in range(21, 101)],
+        [(k, None, "delete", 200 + k) for k in range(1, 21)],
+        [(k, f"v2_{k}", "update", 300 + (k - 20)) for k in range(21, 61)],
+        [(k, f"v3_{k}", "update", 400 + (k - 60)) for k in range(61, 101)],
+    ]
+    env_dir = str(tmp_path / "envelope")
+    for rows in files:
+        typed = spark.createDataFrame(
+            rows, "id long, val string, op string, seq long"
+        )
+        envelope_from_typed(typed, db="src", table="t").coalesce(1).write.mode(
+            "append"
+        ).parquet(env_dir)
+
+    def run(ckpt: str, target: str) -> CdcStreamRoute:
+        route = CdcStreamRoute(
+            spark,
+            db="src",
+            table="t",
+            schema=schema,
+            keys=["id"],
+            target_path=str(tmp_path / target),
+        )
+        q = start_cdc_stream(
+            spark,
+            file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+            [route],
+            checkpoint_dir=str(tmp_path / ckpt),
+            gc_every=2,  # GC at batches 2 and 4
+        )
+        q.awaitTermination(300)
+        return route
+
+    route = run("ckpt", "t_tbl")
+    visible = {(r.id, r.val) for r in route.target.read().collect()}
+    want = {(k, f"v2_{k}") for k in range(21, 61)} | {
+        (k, f"v3_{k}") for k in range(61, 101)
+    }
+    assert visible == want  # LWW state: deletes hold, latest updates win
+    # batch 4's min seq (401) is the final low-water mark: every delete
+    # tombstone (seq 201..220) must be PHYSICALLY gone, not just hidden
+    internal = route.target.read_internal()
+    assert internal.filter(F.col("_deleted")).count() == 0
+    assert internal.count() == 80
+
+    # replay from scratch, GC still on: converges to the identical table
+    route2 = run("ckpt2", "t_tbl2")
+    visible2 = {(r.id, r.val) for r in route2.target.read().collect()}
+    assert visible2 == want
+    assert route2.target.read_internal().filter(F.col("_deleted")).count() == 0
