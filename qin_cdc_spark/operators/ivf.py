@@ -93,6 +93,100 @@ def train_kmeans(
     return centroids
 
 
+def _assign_from_col(cents_col, emb_col="embedding"):
+    """Index of the nearest centroid when centroids arrive as an
+    array<array<double>> COLUMN (broadcast data, not plan literals)."""
+    dists = F.transform(
+        cents_col,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(emb_col), c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _cents_one_row(cents_df: DataFrame) -> DataFrame:
+    """(cluster, cvec) rows → one row holding cluster-ordered
+    array<array<double>> — the broadcastable assignment operand."""
+    return cents_df.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cluster", "cvec"))),
+            lambda s: s["cvec"],
+        ).alias("cents")
+    )
+
+
+def train_kmeans_df(
+    emb: DataFrame,
+    k: int = K_CLUSTERS,
+    n_iters: int = N_ITERS,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Lloyd's k-means with NO driver-side centroid materialization —
+    the large-k path (closes the PLANS.md gap: ``train_kmeans`` collects
+    k×dim floats per iteration AND embeds them as plan literals, which
+    caps k at ~a few hundred before codegen/plan size explodes).
+
+    Centroids are a (cluster, cvec array<double>) DataFrame end to end:
+    assignment cross-joins the corpus with a BROADCAST single-row
+    array-of-arrays of all centroids (1-row build side; plan size is
+    constant in k, memory is the k×dim broadcast — ~100 MB at k=100k,
+    dim=128), and the update is the same posexplode partial-agg shuffle
+    with the per-dim means re-assembled into arrays by a second small
+    groupBy over k×dim rows.  Empty clusters keep their previous
+    centroid via a left join.  The only driver values per iteration are
+    a count() that truncates lineage — no data row ever leaves the
+    executors.  Same math as ``train_kmeans`` (means in a different
+    summation order → float ULP differences only); same deterministic
+    seed and hash-based mini-batching."""
+    wk = Window.orderBy("vec_id")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(wk) - 1).cast("int").alias("cluster"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+        .persist()
+    )
+    cents.count()
+    for it in range(n_iters):
+        batch = emb
+        if sample_fraction is not None:
+            batch = emb.filter(
+                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(it)), 1_000_000)
+                < int(sample_fraction * 1_000_000)
+            )
+        assigned = batch.crossJoin(F.broadcast(_cents_one_row(cents))).select(
+            _assign_from_col(F.col("cents")).alias("cluster"), "embedding"
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("d", "val"))
+            .groupBy("cluster", "d")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        )
+        new_cents = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+        nxt = (
+            cents.alias("o")
+            .join(new_cents.alias("n"), "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce(F.col("n.cvec"), F.col("o.cvec")).alias("cvec"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize before releasing the previous iteration
+        cents.unpersist()
+        cents = nxt
+    return cents
+
+
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: assign corpus to clusters, probe the nprobe nearest
     clusters per query, exact-cosine re-rank, top-5."""
@@ -169,15 +263,44 @@ class IvfIndex:
     def __init__(self, path: str):
         self.path = path
 
-    def build(self, spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS) -> None:
+    def build(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        k: int = K_CLUSTERS,
+        *,
+        distributed: bool = False,
+    ) -> None:
+        """Train + assign + persist.  ``distributed=True`` uses the
+        large-k path end to end (train_kmeans_df + broadcast-column
+        assignment + parquet centroid table): nothing k-sized ever
+        passes through the driver or the plan, so k scales to ~1e5.
+        The default literal path stays for small k (simpler plans,
+        JSON centroids artifact)."""
         import json
         import os
 
         emb = load_table(spark, sf_dir, "embeddings").repartition(
             spark.sparkContext.defaultParallelism
         )
-        centroids = train_kmeans(emb, k)
         os.makedirs(self.path, exist_ok=True)
+        if distributed:
+            cents_df = train_kmeans_df(emb, k)
+            cents_df.write.mode("overwrite").parquet(f"{self.path}/centroids_pq")
+            (
+                emb.crossJoin(F.broadcast(_cents_one_row(cents_df)))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    _assign_from_col(F.col("cents")).alias("cluster"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+                .parquet(f"{self.path}/corpus")
+            )
+            cents_df.unpersist()
+            return
+        centroids = train_kmeans(emb, k)
         with open(f"{self.path}/centroids.json", "w") as f:
             json.dump(centroids, f)
         emb.select(
@@ -194,21 +317,49 @@ class IvfIndex:
         row-local; the append touches only the clusters the batch lands
         in.  Centroids drift from the true k-means of the grown corpus —
         the standard IVF trade-off; rebuild() when recall decays."""
-        centroids = self.centroids()
-        vectors_df.select(
-            "vec_id", "embedding", _assign_expr(centroids).alias("cluster")
-        ).write.mode("append").partitionBy("cluster").parquet(f"{self.path}/corpus")
+        import os
+
+        if os.path.isdir(f"{self.path}/centroids_pq"):
+            spark = vectors_df.sparkSession
+            assigned = vectors_df.crossJoin(
+                F.broadcast(_cents_one_row(self.centroids_df(spark)))
+            ).select(
+                "vec_id", "embedding", _assign_from_col(F.col("cents")).alias("cluster")
+            )
+        else:
+            assigned = vectors_df.select(
+                "vec_id",
+                "embedding",
+                _assign_expr(self.centroids()).alias("cluster"),
+            )
+        assigned.write.mode("append").partitionBy("cluster").parquet(
+            f"{self.path}/corpus"
+        )
 
     def exists(self) -> bool:
         import os
 
-        return os.path.exists(f"{self.path}/centroids.json")
+        return os.path.exists(f"{self.path}/centroids.json") or os.path.isdir(
+            f"{self.path}/centroids_pq"
+        )
 
     def centroids(self) -> list[list[float]]:
         import json
 
         with open(f"{self.path}/centroids.json") as f:
             return json.load(f)
+
+    def centroids_df(self, spark: SparkSession) -> DataFrame:
+        """(cluster, cvec) centroid table — parquet artifact when built
+        distributed, else the JSON lifted to a DataFrame."""
+        import os
+
+        if os.path.isdir(f"{self.path}/centroids_pq"):
+            return spark.read.parquet(f"{self.path}/centroids_pq")
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids())],
+            "cluster int, cvec array<double>",
+        )
 
     def corpus(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(f"{self.path}/corpus")
@@ -224,9 +375,19 @@ def ivf_search(
 ) -> DataFrame:
     """Search a persisted index: probe the n_probe nearest lists per
     query (cluster-partition pruning at scan time), exact-cosine
-    re-rank.  queries_df: (query_id, q_emb)."""
-    centroids = index.centroids()
-    cents = _centroid_lits(centroids)
+    re-rank.  queries_df: (query_id, q_emb).  A distributed-built index
+    (parquet centroid table) is probed through the broadcast-column
+    path — constant plan size in k; a JSON index uses literals."""
+    import os
+
+    if os.path.isdir(f"{index.path}/centroids_pq"):
+        base = queries_df.crossJoin(
+            F.broadcast(_cents_one_row(index.centroids_df(spark)))
+        )
+        cents = F.col("cents")
+    else:
+        base = queries_df
+        cents = _centroid_lits(index.centroids())
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -236,7 +397,7 @@ def ivf_search(
         ),
     )
     probes = (
-        queries_df.select("query_id", "q_emb", dists.alias("cdists"))
+        base.select("query_id", "q_emb", dists.alias("cdists"))
         .select(
             "query_id",
             "q_emb",

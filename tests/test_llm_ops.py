@@ -230,3 +230,71 @@ def test_ivf_incremental_add_matches_full_build(spark, tmp_path):
     got = sorted(map(tuple, ivf_search(spark, idx, queries).collect()))
     want = sorted(map(tuple, ivf_search(spark, ref, queries).collect()))
     assert got == want
+
+
+def test_train_kmeans_df_matches_driver_path(spark):
+    """The distributed centroid recompute (train_kmeans_df: broadcast
+    centroid column + partial-agg update, no driver collect) must land
+    on the same centroids as the literal/collect path at small k, up to
+    float summation order (1e-9 per component)."""
+    from qin_cdc_spark.operators.ivf import train_kmeans, train_kmeans_df
+    from qin_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k = 8
+    want = train_kmeans(emb, k=k, n_iters=3)
+    got_rows = train_kmeans_df(emb, k=k, n_iters=3).collect()
+    got = {r.cluster: list(r.cvec) for r in got_rows}
+    assert sorted(got) == list(range(k))
+    for c in range(k):
+        assert len(got[c]) == len(want[c])
+        for a, b in zip(got[c], want[c]):
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (c, a, b)
+
+
+def test_train_kmeans_df_minibatch_runs(spark):
+    """Mini-batch sampling composes with the distributed path (the
+    100 TB shape: O(f*n) per iteration AND no k-bound driver state)."""
+    from qin_cdc_spark.operators.ivf import train_kmeans_df
+    from qin_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = train_kmeans_df(emb, k=8, n_iters=2, sample_fraction=0.3).collect()
+    assert len(cents) == 8
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(r.cvec) == dim for r in cents)
+
+
+def test_ivf_distributed_build_matches_literal_build(spark, tmp_path):
+    """A distributed-built index (parquet centroids, broadcast-column
+    assignment + search) returns the same neighbors as the literal-path
+    index at small k — the two paths differ only in where centroid
+    values live (plan literals vs broadcast data)."""
+    from qin_cdc_spark.operators.ivf import IvfIndex, ivf_search
+    from qin_cdc_spark.sources.tables import load_table
+
+    lit_idx = IvfIndex(str(tmp_path / "lit"))
+    lit_idx.build(spark, SF_SMOKE)
+    dist_idx = IvfIndex(str(tmp_path / "dist"))
+    dist_idx.build(spark, SF_SMOKE, distributed=True)
+    assert dist_idx.exists()
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    a = sorted(map(tuple, ivf_search(spark, lit_idx, queries).collect()))
+    b = sorted(map(tuple, ivf_search(spark, dist_idx, queries).collect()))
+    # centroid ULP drift can flip a rank-boundary tie, so compare the
+    # neighbor SETS per query (k-NN membership), not exact rank order
+    def by_query(rows):
+        out = {}
+        for q, c, _, _ in rows:
+            out.setdefault(q, set()).add(c)
+        return out
+
+    ga, gb = by_query(a), by_query(b)
+    assert set(ga) == set(gb)
+    same = sum(len(ga[q] & gb[q]) for q in ga)
+    total = sum(len(ga[q]) for q in ga)
+    assert same / total >= 0.95, f"neighbor overlap {same}/{total}"
