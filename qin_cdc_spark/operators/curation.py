@@ -558,14 +558,17 @@ ORACLES["sample_split_3way"] = _split_oracle()
 # the data-mixing primitive — sample documents proportional to a weight
 # (here n_chars, in practice a quality score) so a fixed token budget
 # preferentially keeps heavy/high-quality docs.  Systematic PPS over the
-# per-source cumulative weight: doc i is selected iff the cumulative
-# weight crosses a step boundary inside its interval, i.e.
-# floor(W_i / STEP) > floor((W_i - w_i) / STEP) — expected pick count
-# per doc = w_i / STEP, ALL-INTEGER arithmetic (no ln/exp/pow whose
-# last-ulp differences across engines flip rank boundaries — the
-# float-determinism lesson from PLANS.md applied to sampling design).
-# The window is partitioned by source, so at 100 TB each source's
-# cumsum runs in its own partition — no global-order bottleneck.
+# per-source cumulative weight: doc i is selected with MULTIPLICITY
+# (W_i div STEP) - ((W_i - w_i) div STEP) — the number of step
+# boundaries its weight interval crosses, so E[multiplicity] = w_i/STEP
+# holds for EVERY weight, including w_i > STEP (a boundary-spanning doc
+# is picked multiple times, exactly like classic systematic PPS with
+# replacement).  All-integer arithmetic (div, not floating division —
+# no ln/exp/pow whose last-ulp differences across engines flip rank
+# boundaries; the float-determinism lesson from PLANS.md applied to
+# sampling design).  The window is partitioned by source, so at 100 TB
+# each source's cumsum runs in its own partition — no global-order
+# bottleneck.
 
 PPS_STEP = 5_000  # chars of cumulative weight per selected doc
 
@@ -577,13 +580,14 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = F.col("n_chars").cast("long")
     cum = F.sum(wt).over(w)
+    mult = F.expr(
+        f"(cum_w div {PPS_STEP}) - ((cum_w - weight) div {PPS_STEP})"
+    ).cast("long")
     return (
         docs.select("source", "doc_id", wt.alias("weight"), cum.alias("cum_w"))
-        .filter(
-            F.floor(F.col("cum_w") / PPS_STEP)
-            > F.floor((F.col("cum_w") - F.col("weight")) / PPS_STEP)
-        )
-        .select("source", "doc_id", "weight")
+        .withColumn("multiplicity", mult)
+        .filter(F.col("multiplicity") > 0)
+        .select("source", "doc_id", "weight", "multiplicity")
     )
 
 
@@ -594,9 +598,11 @@ WITH c AS (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
   FROM documents)
-SELECT source, doc_id, weight
+SELECT source, doc_id, weight,
+       CAST((cum_w // {PPS_STEP}) - ((cum_w - weight) // {PPS_STEP}) AS BIGINT)
+         AS multiplicity
 FROM c
-WHERE floor(cum_w / {PPS_STEP}) > floor((cum_w - weight) / {PPS_STEP})
+WHERE (cum_w // {PPS_STEP}) - ((cum_w - weight) // {PPS_STEP}) > 0
 """
 
 QUERIES["sample_weighted_pps"] = sample_weighted_pps

@@ -359,12 +359,23 @@ class CdcStreamRoute:
         Returns (applied, still_quarantined)."""
         if self.dlq_path is None:
             return (0, 0)
-        # crash-window recovery for a swap that died between its renames
+        # crash-window recovery, mirroring ParquetUpsertTable._recover:
+        # swap died BETWEEN renames → only .old-* exists → restore it;
+        # swap COMPLETED but the crash hit before cleanup → live dir
+        # exists alongside stale .old-*/.stage-* siblings → drop them
+        # (they would otherwise accumulate forever across replays)
         parent, name = os.path.split(self.dlq_path.rstrip("/"))
-        if parent and os.path.isdir(parent) and not os.path.isdir(self.dlq_path):
-            olds = sorted(d for d in os.listdir(parent) if d.startswith(name + ".old-"))
-            if olds:
-                os.rename(os.path.join(parent, olds[-1]), self.dlq_path)
+        if parent and os.path.isdir(parent):
+            if not os.path.isdir(self.dlq_path):
+                olds = sorted(
+                    d for d in os.listdir(parent) if d.startswith(name + ".old-")
+                )
+                if olds:
+                    os.rename(os.path.join(parent, olds[-1]), self.dlq_path)
+            if os.path.isdir(self.dlq_path):
+                for d in os.listdir(parent):
+                    if d.startswith((name + ".old-", name + ".stage-")):
+                        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         if not os.path.isdir(self.dlq_path):
             return (0, 0)
         quarantined = self.spark.read.parquet(self.dlq_path)

@@ -149,7 +149,7 @@ def test_weighted_pps_sample_size_tracks_weight(spark):
     picks = (
         sample_weighted_pps(spark, SF_SMOKE)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_picked"))
+        .agg(F.sum("multiplicity").alias("n_picked"))
     )
     mass = (
         load_table(spark, SF_SMOKE, "documents")
@@ -158,6 +158,43 @@ def test_weighted_pps_sample_size_tracks_weight(spark):
     )
     for r in picks.join(mass, "source").collect():
         assert abs(r.n_picked - r.expected) <= 1, r
+
+
+def test_pps_multiplicity_for_boundary_spanning_weights(spark):
+    """A doc whose weight spans m step boundaries is picked with
+    multiplicity m (E[multiplicity] = w/STEP holds for EVERY weight) —
+    the advisor-flagged gap where heavy docs were silently picked at
+    most once."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.curation import PPS_STEP
+
+    # one source: weights 2.5 steps, 0.5 step, 3 steps exactly
+    rows = [
+        (1, "s", int(PPS_STEP * 2.5)),
+        (2, "s", PPS_STEP // 2),
+        (3, "s", PPS_STEP * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = F.col("n_chars").cast("long")
+    cum = F.sum(wt).over(w)
+    mult = F.expr(f"(cum_w div {PPS_STEP}) - ((cum_w - weight) div {PPS_STEP})")
+    got = {
+        r.doc_id: r.m
+        for r in docs.select(
+            "doc_id", wt.alias("weight"), cum.alias("cum_w")
+        )
+        .withColumn("m", mult)
+        .collect()
+    }
+    # cum: 12500, 15000, 30000 → boundaries crossed: 2, 1, 3
+    assert got == {1: 2, 2: 1, 3: 3}
+    assert sum(got.values()) == 6  # == total weight / STEP exactly
 
 
 def test_corpus_overlap_matrix_matches_python_sets(spark):

@@ -914,6 +914,20 @@ def test_dlq_replay_after_schema_fix(spark, tmp_path):
     assert (applied2, still_bad2) == (0, 1)
     assert route.target.read().count() == 20
 
+    # completed-swap crash window: live DLQ exists but a stale .old-* /
+    # .stage-* sibling survived the crash — the next replay must clean
+    # them up (and not resurrect the stale copy)
+    import os as _os
+
+    dlq = str(tmp_path / "dlq")
+    _os.makedirs(dlq + ".old-deadbeef")
+    _os.makedirs(dlq + ".stage-deadbeef")
+    applied3, still_bad3 = route.replay_dlq()
+    assert (applied3, still_bad3) == (0, 1)
+    assert not _os.path.exists(dlq + ".old-deadbeef")
+    assert not _os.path.exists(dlq + ".stage-deadbeef")
+    assert spark.read.parquet(dlq).count() == 1
+
 
 def test_tombstone_gc_in_stream(spark, tmp_path):
     """gc_every on a seq-ordered stream: tombstones below the low-water
