@@ -762,3 +762,275 @@ JOIN sizes sb ON sb.source = inter.src_b
 
 QUERIES["corpus_overlap_matrix"] = corpus_overlap_matrix
 ORACLES["corpus_overlap_matrix"] = OVERLAP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Token-budget data mixing: the step that turns a curated corpus into a
+# TRAINING MIX — each source gets a share of a fixed token budget
+# proportional to its declared mixture weight, and docs fill that share
+# in a deterministic portable-hash order (reproducible across engines,
+# retries, and cluster sizes; no RNG).  A doc is admitted iff the tokens
+# BEFORE it in its source's hash order are under the source's share, so
+# each source overshoots by at most one doc — the classic budgeted-
+# prefix rule.  All-integer arithmetic end to end.
+#
+# Scale shape: one window cumsum per source partition (no global order),
+# then a broadcast join of the S-row share table.  At 100 TB the cumsum
+# is the only shuffle and it is keyed by source.
+
+MIX_TOTAL_TOKENS = 8_000  # total budget (tokens) — ~20% of the
+# sf0.01 fixture's token mass, so the budget genuinely constrains the
+# hash-checked run (every source's prefix cut is exercised)
+CHARS_PER_TOKEN = 4  # fixture-friendly deterministic proxy tokenizer
+
+
+def _mix_weight_expr(source_col):
+    """Declared mixture weight per source: a deterministic function of
+    the source name (stand-in for the config table a real run ships) —
+    1 + (last digit of the source id) % 4 ∈ {1,2,3,4}."""
+    return (
+        F.pmod(
+            F.regexp_extract(source_col, r"(\d+)$", 1).cast("long"), F.lit(4)
+        )
+        + 1
+    ).cast("long")
+
+
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.functions.text import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"n_chars div {CHARS_PER_TOKEN}").cast("long")
+    d = docs.select(
+        "source",
+        "doc_id",
+        toks.alias("n_tokens"),
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+        _mix_weight_expr(F.col("source")).alias("w"),
+    )
+    # source shares: weight-proportional integer split of the budget
+    shares = (
+        d.groupBy("source")
+        .agg(F.first("w").alias("w"))
+        .withColumn("total_w", F.sum("w").over(Window.partitionBy()))
+        .select(
+            "source",
+            F.expr(f"(w * {MIX_TOTAL_TOKENS}) div total_w").alias("share_tokens"),
+        )
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win)
+    return (
+        d.withColumn("cum_tokens", cum)
+        .join(broadcast(shares), "source")
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("share_tokens"))
+        .select("source", "doc_id", "n_tokens")
+    )
+
+
+def _mix_oracle() -> str:
+    from qin_cdc_spark.operators.llm_text import HASH60_SQL
+
+    h = HASH60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT source, doc_id,
+         n_chars // {CHARS_PER_TOKEN} AS n_tokens,
+         {h} AS h,
+         (CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 4) + 1 AS w
+  FROM documents),
+shares AS (
+  SELECT source,
+         (any_value(w) * {MIX_TOTAL_TOKENS})
+           // (SELECT sum(w) FROM (SELECT source, any_value(w) AS w
+                                   FROM d GROUP BY source))
+           AS share_tokens
+  FROM d GROUP BY source),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM d)
+SELECT c.source, c.doc_id, c.n_tokens
+FROM c JOIN shares ON c.source = shares.source
+WHERE c.cum_tokens - c.n_tokens < shares.share_tokens
+"""
+
+
+QUERIES["mix_token_budget"] = mix_token_budget
+ORACLES["mix_token_budget"] = _mix_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Cross-document SEGMENT dedup — the C4 "dedup at sub-document level"
+# rule adapted to the fixtures: split each doc into non-overlapping
+# SEG_WORDS-word segments, keep only the globally FIRST occurrence of
+# every distinct segment (order = (doc_id, seg_id)), and rebuild each
+# doc from its surviving segments.  Removes boilerplate shared across
+# re-crawls/mirrors that document-level dedup can't touch.
+#
+# Scale shape: segmenting is row-local (narrow higher-order fns); the
+# first-occurrence pass is a min(struct) hash agg on segment text —
+# map-side partial agg absorbs hot boilerplate segments (the skew case:
+# one segment in 10M docs), unlike a window over the hot key.  The
+# rebuild is one groupBy(doc_id).  Output is per-doc stats + md5 of the
+# rebuilt text (hash-checkable without shipping the corpus through the
+# gate).
+
+SEG_WORDS = 10
+
+
+def dedup_segments_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n_segs = F.ceil(F.size(w) / F.lit(SEG_WORDS)).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * SEG_WORDS + 1, F.lit(SEG_WORDS)), " "
+        ),
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_id", "seg_text")
+    )
+    first = segs.groupBy("seg_text").agg(
+        F.min(F.struct("doc_id", "seg_id")).alias("f")
+    ).select("seg_text", F.col("f.doc_id").alias("doc_id"), F.col("f.seg_id").alias("seg_id"))
+    kept = segs.join(first, ["seg_text", "doc_id", "seg_id"], "left_semi")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_id", "seg_text"))),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = docs.select("doc_id", n_segs.alias("n_segs"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def _seg_dedup_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+segged AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS INT)),
+           i -> array_to_string(w[i*{SEG_WORDS}+1 : (i+1)*{SEG_WORDS}], ' ')) AS segs
+  FROM d),
+segs AS (
+  SELECT doc_id, u.i AS seg_id, segged.segs[u.i + 1] AS seg_text
+  FROM segged, unnest(range(0, len(segs))) AS u(i)),
+first_occ AS (
+  SELECT seg_text, min(struct_pack(doc_id := doc_id, seg_id := seg_id)) AS f
+  FROM segs GROUP BY seg_text),
+kept AS (
+  SELECT s.doc_id, s.seg_id, s.seg_text
+  FROM segs s JOIN first_occ f
+    ON s.seg_text = f.seg_text AND s.doc_id = (f.f).doc_id
+   AND s.seg_id = (f.f).seg_id),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(seg_text, ' ' ORDER BY seg_id)) AS clean_md5
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(ceil(len(d.w) / {SEG_WORDS}.0) AS INT) AS n_segs,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+QUERIES["dedup_segments_crossdoc"] = dedup_segments_crossdoc
+ORACLES["dedup_segments_crossdoc"] = _seg_dedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to the
+# fixture corpus): the standard pre-training document filter battery —
+# word-count bounds, mean-word-length band, alphabetic-word fraction,
+# stopword evidence.  Every signal is an integer count with one final
+# rounded division, so the rule outcomes are bit-identical across
+# engines.  One narrow projection, zero shuffles — at 100 TB this runs
+# at scan speed and typically drops 20-40% of a raw web crawl.
+
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "a", "in", "that"]
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n = F.size(w).cast("long")
+    sum_len = F.aggregate(
+        F.transform(w, F.length), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    ).cast("long")
+    mean_len = F.round(sum_len.cast("double") / n, 6)
+    frac_alpha = F.round(n_alpha.cast("double") / n, 6)
+    keep = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (frac_alpha >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        n_stop.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+               / len(w), 6) AS mean_word_len,
+         round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / len(w), 6) AS frac_alpha,
+         CAST(len(list_intersect(list_distinct(w),
+              {GOPHER_STOPWORDS!r})) AS BIGINT) AS n_stop_hits
+  FROM d)
+SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_hits,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+        AND frac_alpha >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m
+"""
+
+QUERIES["text_gopher_rules"] = text_gopher_rules
+ORACLES["text_gopher_rules"] = GOPHER_ORACLE
