@@ -1034,3 +1034,96 @@ FROM m
 
 QUERIES["text_gopher_rules"] = text_gopher_rules
 ORACLES["text_gopher_rules"] = GOPHER_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quality binning: per-source quality DECILES with token-mass
+# bookkeeping — the schedule-building step of curriculum training and
+# quality-weighted mixing (which decile of each source do I feed when,
+# and how many tokens does it hold).  The quality score (the same
+# formula as text_quality_score) is rounded to 6 dp BEFORE ranking and
+# tie-broken by doc_id, so decile boundaries cannot flip on libm ULP
+# differences across engines.  One window per source partition + one
+# hash agg — both keyed by source, no global order at 100 TB.
+
+N_QUALITY_BINS = 10
+
+
+def curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.functions.text import marker_hits
+    from qin_cdc_spark.operators.llm_text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    # The score as ONE exact integer ratio: q = num/den where
+    #   num = 4·min(100,W)·W·L + 300·S·L + 300·A·W,  den = 1000·W·L
+    # (W words, S stopword hits, A alnum chars, L text length) — the
+    # same 0.4·len_sat + 0.3·stop + 0.3·alnum formula, but a SINGLE
+    # IEEE division of two exact integers is bit-identical across
+    # engines, where a 3-term double sum + round(…,6) can flip a ULP
+    # (observed as a 4-dp avg tie flip at sf0.01).  Integer-scaled q6
+    # then makes per-bin averages exact-sum arithmetic.
+    w = words(F.col("text"))
+    W = F.size(w).cast("long")
+    S = marker_hits(F.lower(F.col("text")), LANG_MARKERS["en"]).cast("long")
+    A = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 ]", "")).cast("long")
+    L = F.length(F.col("text")).cast("long")
+    num = (
+        F.lit(4) * F.least(F.lit(100).cast("long"), W) * W * L
+        + F.lit(300) * S * L
+        + F.lit(300) * A * W
+    )
+    den = F.lit(1000) * W * L
+    q = num.cast("double") / den.cast("double")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"n_chars div {CHARS_PER_TOKEN}").cast("long").alias("n_tokens"),
+        q.alias("q"),
+        F.round(q * 1_000_000).cast("long").alias("q6"),
+    )
+    win = Window.partitionBy("source").orderBy("q", "doc_id")
+    return (
+        scored.withColumn("bin", F.ntile(N_QUALITY_BINS).over(win))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            # exact integer mean (micro-quality units): Spark's round()
+            # HALF_UPs the decimal repr of a double while DuckDB rounds
+            # the binary value, so a X.XXX5 average tie flips between
+            # engines — integer div of exact sums cannot
+            F.expr("sum(q6) div count(*)").cast("long").alias("avg_quality_e6"),
+        )
+    )
+
+
+def _curriculum_oracle() -> str:
+    from qin_cdc_spark.operators.llm_text import _EN_RE
+
+    return f"""
+WITH raw AS (
+  SELECT source, doc_id, n_chars // {CHARS_PER_TOKEN} AS n_tokens,
+         CAST(len({WORDS_SQL}) AS BIGINT) AS W,
+         CAST(len(regexp_extract_all(lower(text), '{_EN_RE}')) AS BIGINT) AS S,
+         CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS A,
+         CAST(length(text) AS BIGINT) AS L
+  FROM documents),
+t AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(4 * least(100, W) * W * L + 300 * S * L + 300 * A * W AS DOUBLE)
+           / CAST(1000 * W * L AS DOUBLE) AS q
+  FROM raw),
+b AS (
+  SELECT source, doc_id, n_tokens, q,
+         CAST(round(q * 1000000) AS BIGINT) AS q6,
+         ntile({N_QUALITY_BINS}) OVER (PARTITION BY source ORDER BY q, doc_id) AS bin
+  FROM t)
+SELECT source, CAST(bin AS INTEGER) AS bin, count(*) AS n_docs,
+       sum(n_tokens) AS bin_tokens,
+       CAST(sum(q6) // count(*) AS BIGINT) AS avg_quality_e6
+FROM b GROUP BY source, bin
+"""
+
+
+QUERIES["curriculum_quality_bins"] = curriculum_quality_bins
+ORACLES["curriculum_quality_bins"] = _curriculum_oracle()

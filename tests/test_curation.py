@@ -335,3 +335,27 @@ def test_gopher_rules_flags(spark):
             and r.n_stop_hits >= GOPHER_MIN_STOP_HITS
         )
         assert r.keep == want, r
+
+
+def test_curriculum_bins_partition_docs_evenly(spark):
+    """ntile contract per source: bin sizes differ by at most 1, bins
+    cover all docs, and avg quality is non-decreasing with bin index
+    (the curriculum ordering the op exists to provide)."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.curation import curriculum_quality_bins
+    from qin_cdc_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = curriculum_quality_bins(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    n_total = sum(r.n_docs for r in out)
+    assert n_total == load_table(spark, SF_SMOKE, "documents").count()
+    for src, rows in by_src.items():
+        sizes = [r.n_docs for r in rows]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        ordered = sorted(rows, key=lambda r: r.bin)
+        qs = [r.avg_quality_e6 for r in ordered]
+        assert qs == sorted(qs), (src, qs)

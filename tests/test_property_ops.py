@@ -79,3 +79,23 @@ def test_connected_components_equals_union_find(spark, edges):
         r["doc_id"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == _union_find_components(edges)
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=20_000), min_size=1, max_size=200),
+    step=st.integers(min_value=1, max_value=10_000),
+)
+def test_pps_multiplicity_telescopes_to_exact_total(weights, step):
+    """Systematic-PPS exactness: per-doc multiplicities
+    (W_i div STEP) - (W_{i-1} div STEP) telescope, so the TOTAL sample
+    size is exactly total_weight div STEP for every weight sequence —
+    the property that makes the budget guarantee deterministic, not
+    just expected.  (Pure formula mirror of sample_weighted_pps's
+    selection rule; the Spark/DuckDB agreement is gate-checked.)"""
+    cum = 0
+    total_mult = 0
+    for w in weights:
+        prev = cum
+        cum += w
+        total_mult += cum // step - prev // step
+    assert total_mult == sum(weights) // step
