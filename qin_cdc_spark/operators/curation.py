@@ -1119,7 +1119,7 @@ b AS (
          ntile({N_QUALITY_BINS}) OVER (PARTITION BY source ORDER BY q, doc_id) AS bin
   FROM t)
 SELECT source, CAST(bin AS INTEGER) AS bin, count(*) AS n_docs,
-       sum(n_tokens) AS bin_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        CAST(sum(q6) // count(*) AS BIGINT) AS avg_quality_e6
 FROM b GROUP BY source, bin
 """
