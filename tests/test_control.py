@@ -142,3 +142,45 @@ def test_control_http_reference_paths(spark, tmp_path):
     code, got = call("/api/pause", {})
     assert code == 200
     srv.shutdown()
+
+
+def test_live_route_add_mid_query_processing_time(spark, tmp_path):
+    """Route add takes effect on the NEXT micro-batch of a RUNNING
+    query (processingTime trigger, no stop/restart) — the live
+    semantics the foreachBatch shared-list design promises."""
+    import time
+
+    env_dir = str(tmp_path / "env")
+    _write_env(spark, env_dir, "a", [(1, "a1", "insert", 1)])
+
+    ctrl = CdcController(
+        spark,
+        lambda: file_envelope_stream(spark, env_dir),
+        [_route(spark, tmp_path, "a")],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 seconds"},
+    )
+    ctrl.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            t = ctrl.routes[0].target
+            if t is not None and t.exists() and t.read().count() == 1:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("route a never applied")
+
+        # add route b while the query keeps running
+        ctrl.add_router(_route(spark, tmp_path, "b"))
+        _write_env(spark, env_dir, "b", [(10, "b1", "insert", 2)])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            t = ctrl.routes[1].target
+            if t is not None and t.exists() and t.read().count() == 1:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("live-added route b never applied")
+    finally:
+        ctrl.pause()
