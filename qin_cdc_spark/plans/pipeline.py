@@ -89,6 +89,9 @@ class Pipeline:
                     # output_type selects the delete-signalling dialect:
                     # doris → merge_type/delete headers, starrocks → __op
                     dialect=config.output_type,
+                    # optional deterministic load labels (FE-side replay
+                    # dedup); absent = reference's shipped behavior
+                    label_prefix=opts.get("label-prefix"),
                 )
                 sink = loader.load_batch
             self.routes.append(

@@ -98,10 +98,19 @@ class StarRocksStreamLoad:
         retry_interval_s: float = RETRY_INTERVAL_S,
         sleep=time.sleep,
         dialect: str = "starrocks",
+        label_prefix: str | None = None,
     ):
         if dialect not in self.DIALECTS:
             raise ValueError(f"dialect must be one of {self.DIALECTS}, got {dialect!r}")
         self.dialect = dialect
+        # Deterministic load labels (the reference carries the header
+        # commented out, starrocks.go:173 / doris.go:175): both FEs
+        # reject a duplicate label within the retention window, so a
+        # replayed micro-batch's chunks — which regenerate the SAME
+        # labels — are deduplicated server-side and at-least-once
+        # delivery becomes effectively-once on the wire.  None = no
+        # label header (the reference's shipped behavior).
+        self.label_prefix = label_prefix
         self.host = host
         self.load_port = load_port
         self.database = database
@@ -145,18 +154,22 @@ class StarRocksStreamLoad:
             hdrs["columns"] = f"{cols}, __op = {DELETE_COLUMN}"
         return hdrs
 
-    def send(self, json_rows: list[str]) -> dict:
+    def send(self, json_rows: list[str], *, label: str | None = None) -> dict:
         """PUT one chunk; returns the parsed response map.  Retries with
         the reference's linear backoff; raises StreamLoadError after the
-        final attempt."""
+        final attempt.  ``label`` (if given) rides the stream-load
+        ``label`` header — the FE's dedup key for the load."""
         if not json_rows:
             return {"Status": "Success", "NumberLoadedRows": 0}
         body = ("[" + ",".join(json_rows) + "]").encode()
+        hdrs = self.headers()
+        if label is not None:
+            hdrs["label"] = label
         last_err: Exception | None = None
         for attempt in range(self.retry_count):
             try:
                 req = urllib.request.Request(
-                    self.url, data=body, headers=self.headers(), method="PUT"
+                    self.url, data=body, headers=hdrs, method="PUT"
                 )
                 with urllib.request.urlopen(req) as resp:
                     result = json.loads(resp.read().decode())
@@ -176,7 +189,14 @@ class StarRocksStreamLoad:
     def load_batch(self, changes: DataFrame, batch_id: int | None = None) -> None:
         """foreachBatch body: format JVM-side, then POST per partition
         from the executors in ``batch_size`` chunks — the scale path; no
-        driver-side materialization of the batch."""
+        driver-side materialization of the batch.
+
+        With ``label_prefix`` set, each chunk carries a DETERMINISTIC
+        label ``{prefix}_{batch_id}_{partition_id}_{chunk_idx}``: a
+        checkpoint-replayed batch regenerates the same labels, so the
+        FE drops the duplicate loads (label dedup) instead of
+        double-applying — at-least-once delivery, effectively-once
+        ingestion."""
         rows = streamload_rows(changes)
         url, hdrs = self.url, self.headers()
         size, retries, interval, sleep = (
@@ -185,19 +205,32 @@ class StarRocksStreamLoad:
             self.retry_interval_s,
             self._sleep,
         )
+        label_prefix = self.label_prefix
 
         def _post_partition(it):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
             chunk: list[str] = []
+            chunk_idx = 0
 
             def flush():
+                nonlocal chunk_idx
                 if not chunk:
                     return
                 body = ("[" + ",".join(chunk) + "]").encode()
+                send_hdrs = dict(hdrs)
+                if label_prefix is not None and batch_id is not None:
+                    send_hdrs["label"] = (
+                        f"{label_prefix}_{batch_id}_{pid}_{chunk_idx}"
+                    )
+                chunk_idx += 1
                 last = None
                 for attempt in range(retries):
                     try:
                         req = urllib.request.Request(
-                            url, data=body, headers=hdrs, method="PUT"
+                            url, data=body, headers=send_hdrs, method="PUT"
                         )
                         with urllib.request.urlopen(req) as resp:
                             result = json.loads(resp.read().decode())

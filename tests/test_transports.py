@@ -467,3 +467,45 @@ def test_prometheus_endpoint_serves_reference_metric_names():
             urllib.request.urlopen(f"http://127.0.0.1:{port}/other")
     finally:
         server.shutdown()
+
+
+def test_streamload_deterministic_labels_on_replay(spark):
+    """With label_prefix set, every chunk carries a deterministic
+    {prefix}_{batch}_{partition}_{chunk} label and a replayed batch
+    regenerates EXACTLY the same label set — the FE-side dedup key that
+    turns at-least-once delivery into effectively-once ingestion
+    (the reference ships this header commented out, starrocks.go:173)."""
+    srv = _CannedStreamLoad([])
+    try:
+        loader = _loader(srv.port, label_prefix="dw_orders", batch_size=4)
+        changes = spark.createDataFrame(
+            [(i, f"n{i}", "insert", i) for i in range(10)],
+            "id long, name string, op string, seq long",
+        ).repartition(2)
+        loader.load_batch(changes, batch_id=7)
+        labels1 = sorted(
+            {k.lower(): v for k, v in r["headers"].items()}["label"]
+            for r in srv.requests
+        )
+        assert labels1 and all(lb.startswith("dw_orders_7_") for lb in labels1)
+        assert len(set(labels1)) == len(labels1)  # unique per chunk
+
+        srv.requests.clear()
+        loader.load_batch(changes, batch_id=7)  # replay of the same batch
+        labels2 = sorted(
+            {k.lower(): v for k, v in r["headers"].items()}["label"]
+            for r in srv.requests
+        )
+        assert labels2 == labels1  # FE would dedup every one of these
+    finally:
+        srv.stop()
+
+
+def test_streamload_no_label_header_by_default(spark):
+    srv = _CannedStreamLoad([])
+    try:
+        _loader(srv.port).send(['{"id":1,"_delete_sign_":0}'])
+        h = {k.lower() for k in srv.requests[0]["headers"]}
+        assert "label" not in h  # reference's shipped behavior
+    finally:
+        srv.stop()
