@@ -176,6 +176,9 @@ def envelope_source_from_config(
       ``[input.config]`` keys: ``bootstrap-servers``, ``topics``,
       ``format`` (debezium | canal | aliyun_dts_canal),
       ``starting-offsets``.
+    - ``type = "binlog-dir"``: the explicit-offset Python DataSource
+      over an append-only envelope directory (file index = binlog
+      position analog; sources/binlog_dir.py).
     - ``type = "mysql"`` (and anything else): the file envelope stand-in
       (no MySQL server exists here); ``envelope_dir`` or
       ``[input.config] envelope-dir`` points at the directory.
@@ -199,6 +202,17 @@ def envelope_source_from_config(
         raise ValueError(
             f"input type {config.input_type!r}: no envelope directory configured "
             "(pass envelope_dir or set [input.config] envelope-dir)"
+        )
+    if config.input_type == "binlog-dir":
+        # explicit-offset Python DataSource (file index = binlog
+        # position analog); see sources/binlog_dir.py
+        from qin_cdc_spark.sources.binlog_dir import register
+
+        register(spark)
+        return (
+            spark.readStream.format("qin_binlog_dir")
+            .option("path", directory)
+            .load()
         )
     return file_envelope_stream(spark, directory, max_files_per_trigger=batch_size)
 
