@@ -79,3 +79,82 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState (Spark 4): the successor API to
+# applyInPandasWithState — typed named-state slots in the state store,
+# optional per-state TTL, and timers.  NOTE: its Python worker protocol
+# needs protobuf + the RocksDB state store provider; this container
+# ships neither protobuf nor allows installs, so the operator is
+# import-guarded and its test skips with a documented reason (the same
+# pattern as the Kafka connector jar).  Implemented here: cross-batch
+# first-seen admission with expiring memory (the streaming
+# rate-limiter/dedup-with-TTL primitive: admit a key's event only if the
+# key was NOT seen within the TTL window — re-crawl suppression,
+# notification throttling, sliding uniqueness).  A plain
+# dropDuplicates-with-watermark can't express "seen within T of the
+# PREVIOUS admission" semantics; value-state + TTL can.
+# --------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstSeenTTLProcessor(StatefulProcessor):
+        """Admit the first event per key; suppress repeats while the
+        key's state lives.  ``ttl_ms=None`` = remember forever (exact
+        cross-batch dedup); with a TTL the state store expires the
+        memory and the key admits again — bounded state by design (the
+        100 TB property: store size tracks the ACTIVE key set, not
+        history)."""
+
+        def __init__(self, ttl_ms: int | None = None):
+            self.ttl_ms = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "n long", ttlDurationMs=self.ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            admitted = not self._seen.exists()
+            n_sup = 0
+            total = 0
+            for pdf in rows:
+                total += len(pdf)
+            if admitted:
+                self._seen.update((1,))
+                n_sup = total - 1
+            else:
+                n_sup = total
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "admitted": [admitted],
+                    "n_suppressed": [n_sup],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def first_seen_admission(
+        keyed_stream: DataFrame, *, ttl_ms: int | None = None
+    ) -> DataFrame:
+        """Streaming first-seen admission over a frame with a ``key``
+        column; one output row per (batch, key present in batch)."""
+        return keyed_stream.groupBy("key").transformWithStateInPandas(
+            FirstSeenTTLProcessor(ttl_ms),
+            outputStructType="key string, admitted boolean, n_suppressed long",
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+
+except ImportError:  # pragma: no cover — Spark 3.x fallback surface
+    FirstSeenTTLProcessor = None
+
+    def first_seen_admission(keyed_stream: DataFrame, *, ttl_ms: int | None = None):
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")
