@@ -509,3 +509,57 @@ def test_streamload_no_label_header_by_default(spark):
         assert "label" not in h  # reference's shipped behavior
     finally:
         srv.stop()
+
+
+def test_streamload_datasource_sink_end_to_end(spark, tmp_path):
+    """writeStream.format('qin_streamload'): a streaming change feed
+    lands on the canned FE via the DSv2 Python sink — executor-side
+    POSTs, JVM-side row formatting, correct envelope and delete signs."""
+    from qin_cdc_spark.sinks.starrocks import streamload_rows
+    from qin_cdc_spark.sinks.streamload_sink import register
+
+    register(spark)
+    srv = _CannedStreamLoad([])
+    try:
+        src = str(tmp_path / "src")
+        changes = spark.createDataFrame(
+            [(1, "a", "insert", 1), (2, "b", "insert", 2), (2, None, "delete", 3)],
+            "id long, name string, op string, seq long",
+        )
+        changes.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "id long, name string, op string, seq long"
+        ).parquet(src)
+        q = (
+            streamload_rows(stream)
+            .writeStream.format("qin_streamload")
+            .option("host", "127.0.0.1")
+            .option("load-port", srv.port)
+            .option("database", "dw")
+            .option("table", "ods_orders")
+            .option("columns", "id,name")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sent = [r for req in srv.requests for r in json.loads(req["body"])]
+        assert {(r["id"], r["_delete_sign_"]) for r in sent} == {
+            (1, 0),
+            (2, 0),
+            (2, 1),
+        }
+        assert all(
+            req["path"] == "/api/dw/ods_orders/_stream_load" for req in srv.requests
+        )
+    finally:
+        srv.stop()
+
+
+def test_streamload_datasource_requires_options(spark):
+    from qin_cdc_spark.sinks.streamload_sink import StreamLoadStreamWriter
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing options"):
+        StreamLoadStreamWriter({"host": "h"})
