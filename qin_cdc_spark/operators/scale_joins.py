@@ -252,3 +252,85 @@ def scan_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["scan_sorted_zonemap"] = scan_sorted_zonemap
 ORACLES["scan_sorted_zonemap"] = ZONEMAP_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Binned interval join: events × OVERLAPPING time intervals with NO equi
+# key.  Naively this is a pure theta join — a BroadcastNestedLoopJoin
+# (or worse, a cartesian) that the registry's join audit forbids.  The
+# scale pattern: quantize time into fixed-width bins, explode each
+# interval to the bins it touches (intervals are the small side — the
+# replication is |intervals|·bins_per_interval rows), map each event to
+# its single bin, equi-join on the bin, then filter the exact range
+# predicate.  The shuffle is keyed by bin; no nested loop anywhere.
+# Events pair at most once per interval by construction (an event's one
+# bin meets each interval at most once in the exploded table).
+#
+# Intervals here are 20 deterministic overlapping 10-day campaign
+# windows derived from min(ts) — the stand-in for a real campaign/promo
+# dimension.  All boundary arithmetic is integer epoch-seconds.
+
+BIN_SECONDS = 7 * 86400  # bin width = 7 days
+N_INTERVALS = 20
+INTERVAL_LEN_S = 10 * 86400  # 10-day windows, overlapping
+
+
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(
+        F.min(F.unix_timestamp("ts").cast("long")).alias("t0")
+    )  # 1-row
+    intervals = t0.select(
+        F.explode(F.sequence(F.lit(0), F.lit(N_INTERVALS - 1))).alias("iv"),
+        "t0",
+    ).select(
+        "iv",
+        (F.col("t0") + F.col("iv") * F.lit(7 * 86400)).alias("start_s"),
+        (F.col("t0") + F.col("iv") * F.lit(7 * 86400) + F.lit(INTERVAL_LEN_S)).alias(
+            "end_s"
+        ),
+    )
+    # explode each interval to every bin it overlaps
+    iv_bins = intervals.select(
+        "iv",
+        "start_s",
+        "end_s",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_s div {BIN_SECONDS}"),
+                # end is exclusive: last touched bin is (end_s - 1) div W
+                F.expr(f"(end_s - 1) div {BIN_SECONDS}"),
+            )
+        ).alias("bin"),
+    )
+    ev_binned = ev.select(
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    ).withColumn("bin", F.expr(f"ts_s div {BIN_SECONDS}"))
+    joined = ev_binned.join(F.broadcast(iv_bins), "bin").filter(
+        (F.col("ts_s") >= F.col("start_s")) & (F.col("ts_s") < F.col("end_s"))
+    )
+    return joined.groupBy(F.col("iv").cast("long").alias("iv")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("double")).alias("sum_value"),
+    )
+
+
+INTERVAL_BINNED_ORACLE = f"""
+WITH t0 AS (SELECT min(epoch(ts)) AS t0 FROM events),
+intervals AS (
+  SELECT iv, t0 + iv * {7 * 86400} AS start_s,
+         t0 + iv * {7 * 86400} + {INTERVAL_LEN_S} AS end_s
+  FROM t0, unnest(range(0, {N_INTERVALS})) AS u(iv)),
+j AS (
+  SELECT i.iv, e.value
+  FROM events e JOIN intervals i
+    ON epoch(e.ts) >= i.start_s AND epoch(e.ts) < i.end_s)
+SELECT iv, count(*) AS n_events,
+       sum(CAST(value AS DOUBLE)) AS sum_value
+FROM j GROUP BY iv
+"""
+
+QUERIES["join_interval_binned"] = join_interval_binned
+ORACLES["join_interval_binned"] = INTERVAL_BINNED_ORACLE

@@ -110,3 +110,14 @@ def test_salted_twophase_equals_plain_join(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dv").alias("s"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_interval_binned_join_no_nested_loop(spark):
+    """The binned interval join must plan as an equi join on the bin
+    (broadcast of the exploded interval side) — never a nested-loop /
+    cartesian, which is what a naive theta-range join becomes."""
+    from qin_cdc_spark.operators.scale_joins import join_interval_binned
+
+    plan = _plan(join_interval_binned(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
