@@ -140,3 +140,52 @@ ORACLES.update(
         "udf_python_rowwise": UDF_PYTHON_ROWWISE_ORACLE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow: the Arrow-native sibling of mapInPandas — batches arrive as
+# pyarrow RecordBatches with NO pandas conversion, the lowest-overhead
+# Python entry point for columnar kernels (pandas adds a copy + dtype
+# coercion per batch; Arrow compute works on the wire format directly).
+# Kernel here: utf8 byte length + whitespace-token count via pyarrow
+# compute — oracle-exact against SQL equivalents.
+# --------------------------------------------------------------------------
+
+
+def _arrow_text_stats(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column(batch.schema.get_field_index("text"))
+        out = pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                pc.binary_length(pc.cast(text, pa.binary())).cast(pa.int32()),
+                pc.list_value_length(
+                    pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+                ).cast(pa.int32()),
+            ],
+            names=["doc_id", "n_bytes", "n_tokens"],
+        )
+        yield out
+
+
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select("doc_id", "text").mapInArrow(
+        _arrow_text_stats, schema="doc_id long, n_bytes int, n_tokens int"
+    )
+
+
+UDF_MAP_IN_ARROW_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+FROM documents
+"""
+
+QUERIES["udf_map_in_arrow"] = udf_map_in_arrow
+ORACLES["udf_map_in_arrow"] = UDF_MAP_IN_ARROW_ORACLE
