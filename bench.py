@@ -64,6 +64,12 @@ HEADLINE = [
     "mm_decode_meta",
     "text_chunk_dedup",
     "rollup_continuous_agg",
+    # round-3 additions (keep the 24 above frozen for cross-round
+    # comparability; per-query timings are the comparison unit)
+    "mix_token_budget",
+    "dedup_segments_crossdoc",
+    "curriculum_quality_bins",
+    "join_interval_binned",
 ]
 
 

@@ -34,7 +34,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   dedup_semantic_clustered udf_pandas_grouped_agg udf_python_rowwise
 #   sim_ann_ivf ev_sliding_window ev_dedup_first_by_key mm_resize_meta
 #   mm_frame_sample + the round-3 additions (mix_token_budget,
-#   dedup_segments_crossdoc, text_gopher_rules, curriculum_quality_bins)
+#   dedup_segments_crossdoc, text_gopher_rules, curriculum_quality_bins,
+#   join_interval_binned, udf_map_in_arrow)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge
