@@ -1184,3 +1184,176 @@ QUERIES["join_null_safe_eq"] = join_null_safe_eq
 QUERIES["win_time_range"] = win_time_range
 ORACLES["join_null_safe_eq"] = JOIN_NULL_SAFE_EQ_ORACLE
 ORACLES["win_time_range"] = WIN_TIME_RANGE_ORACLE
+
+
+# --------------------------------------------------------------------------
+# As-of join, FORWARD direction: for every 'error' event, the user's
+# FIRST 'purchase' at-or-after it.  Same scalable shape as the backward
+# form (one union + one window per user, no pair blow-up), scanned in
+# descending time.  Tie rules pinned for determinism: inclusive at
+# equal ts, smallest purchase event_id on equal-ts ties — the oracle's
+# LATERAL ... ORDER BY ts, event_id LIMIT 1 independently encodes the
+# same rule.
+# --------------------------------------------------------------------------
+
+
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("p_eid"),
+        F.col("value").alias("p_val"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("p_eid"),
+        F.lit(None).cast("double").alias("p_val"),
+        "event_id",
+    )
+    # descending scan: carry the most-recently-seen purchase, which is
+    # the NEXT one in time; at equal ts purchases come first (side asc)
+    # so the bound is inclusive, and equal-ts purchases scan in p_eid
+    # DESC so the carried value ends at the smallest p_eid
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(), F.col("side").asc(), F.col("p_eid").desc_nulls_last()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    combined = p.unionByName(e).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("p_eid", ignorenulls=True).over(w).alias("purch_event_id"),
+        F.last("p_val", ignorenulls=True).over(w).alias("purch_value"),
+    )
+    return combined.filter(F.col("side") == 1).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("err_ts"),
+        "purch_event_id",
+        "purch_value",
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+SELECT e.user_id, e.event_id, e.ts AS err_ts,
+       p.p_eid AS purch_event_id, p.p_val AS purch_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN LATERAL (
+  SELECT event_id AS p_eid, value AS p_val
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+    AND p.ts >= e.ts
+  ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+"""
+
+QUERIES["asof_join_next_purchase"] = asof_join_next_purchase
+ORACLES["asof_join_next_purchase"] = ASOF_FORWARD_ORACLE
+
+
+# --------------------------------------------------------------------------
+# As-of join, NEAREST within a tolerance: the closest purchase within
+# ±30 minutes of each error, backward preferred on exact distance ties.
+# Two window passes over one tagged union (backward asc scan + forward
+# desc scan, each carrying the candidate purchase id/value/timestamp),
+# then a row-local pick — still one shuffle key (user_id), no pair
+# explosion.  Distances are exact integer microseconds (unix_micros /
+# epoch_us), so the tolerance predicate and tie rule are bit-identical
+# across engines.
+# --------------------------------------------------------------------------
+
+ASOF_TOL_US = 30 * 60 * 1_000_000  # ±30 minutes
+
+
+def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("p_us"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("p_eid"),
+        F.col("value").alias("p_val"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("p_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("p_eid"),
+        F.lit(None).cast("double").alias("p_val"),
+        "event_id",
+    )
+    union = p.unionByName(e)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("p_eid").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("side").asc(), F.col("p_eid").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = union.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("p_eid", ignorenulls=True).over(wb).alias("b_eid"),
+        F.last("p_val", ignorenulls=True).over(wb).alias("b_val"),
+        F.last("p_us", ignorenulls=True).over(wb).alias("b_us"),
+        F.last("p_eid", ignorenulls=True).over(wf).alias("f_eid"),
+        F.last("p_val", ignorenulls=True).over(wf).alias("f_val"),
+        F.last("p_us", ignorenulls=True).over(wf).alias("f_us"),
+    ).filter(F.col("side") == 1)
+    e_us = F.unix_micros("ts")
+    b_d = e_us - F.col("b_us")  # >= 0 when present
+    f_d = F.col("f_us") - e_us  # >= 0 when present
+    b_ok = F.col("b_us").isNotNull() & (b_d <= ASOF_TOL_US)
+    f_ok = F.col("f_us").isNotNull() & (f_d <= ASOF_TOL_US)
+    # backward preferred on ties (b_d <= f_d keeps backward)
+    pick_b = b_ok & (~f_ok | (b_d <= f_d))
+    pick_f = f_ok & ~pick_b
+    return both.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("err_ts"),
+        F.when(pick_b, F.col("b_eid"))
+        .when(pick_f, F.col("f_eid"))
+        .alias("purch_event_id"),
+        F.when(pick_b, F.col("b_val"))
+        .when(pick_f, F.col("f_val"))
+        .alias("purch_value"),
+        F.when(pick_b, b_d).when(pick_f, f_d).alias("dist_us"),
+    )
+
+
+ASOF_NEAREST_ORACLE = f"""
+SELECT e.user_id, e.event_id, e.ts AS err_ts,
+       p.p_eid AS purch_event_id, p.p_val AS purch_value,
+       p.dist_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN LATERAL (
+  SELECT event_id AS p_eid, value AS p_val,
+         abs(epoch_us(p.ts) - epoch_us(e.ts)) AS dist_us
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+    AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= {ASOF_TOL_US}
+  ORDER BY dist_us,
+           CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END,
+           CASE WHEN p.ts <= e.ts THEN -event_id ELSE event_id END
+  LIMIT 1) p ON true
+"""
+
+QUERIES["asof_join_nearest_purchase"] = asof_join_nearest_purchase
+ORACLES["asof_join_nearest_purchase"] = ASOF_NEAREST_ORACLE

@@ -35,7 +35,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   sim_ann_ivf ev_sliding_window ev_dedup_first_by_key mm_resize_meta
 #   mm_frame_sample + the round-3 additions (mix_token_budget,
 #   dedup_segments_crossdoc, text_gopher_rules, curriculum_quality_bins,
-#   join_interval_binned, udf_map_in_arrow)
+#   join_interval_binned, udf_map_in_arrow, asof_join_next_purchase,
+#   asof_join_nearest_purchase)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge
