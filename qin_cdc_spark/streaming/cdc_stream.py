@@ -39,6 +39,25 @@ from qin_cdc_spark.cdc.apply import decode_envelope, latest_by_key
 DEFAULT_N_BUCKETS = 32
 
 
+def _align_to_incoming(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Cast the STORED side's columns to the incoming batch's types
+    where they differ — the merge half of MODIFY-column schema
+    evolution (A12).  Evolution direction is always toward the
+    registry's current (incoming) schema; without this, the union's
+    implicit coercion picks an arbitrary common type and a widened
+    int→varchar column crashes the stream on the first non-numeric
+    value."""
+    inc = {f.name: f.dataType for f in incoming.schema.fields}
+    cols = []
+    for f in current.schema.fields:
+        t = inc.get(f.name)
+        if t is not None and t != f.dataType:
+            cols.append(F.col(f.name).cast(t).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return current.select(*cols)
+
+
 class ParquetUpsertTable:
     """A primary-keyed table materialized as a parquet directory with
     atomic swap-on-write — the local stand-in for a MERGE-capable sink.
@@ -123,12 +142,15 @@ class ParquetUpsertTable:
         current = self.read_internal()
         # allowMissingColumns: schema evolution support — a batch decoded
         # under a NEWER schema version (added column) merges into an older
-        # table (old rows take NULL), and vice versa for dropped columns
+        # table (old rows take NULL), and vice versa for dropped columns;
+        # type alignment covers MODIFY-column widening
         # (A12 DDL-apply semantics at the sink).
         union = (
             incoming
             if current is None
-            else current.unionByName(incoming, allowMissingColumns=True)
+            else _align_to_incoming(current, incoming).unionByName(
+                incoming, allowMissingColumns=True
+            )
         )
         merged = latest_by_key(union, self.keys, seq_col="_seq")
         self._swap_write(merged)
@@ -203,6 +225,31 @@ class BucketedUpsertTable(ParquetUpsertTable):
             merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(self.path)
             return
 
+        # MODIFY-column type evolution: a type change is TABLE-WIDE —
+        # parquet files are physically typed, so rewriting only touched
+        # buckets would leave a mixed-type directory that breaks every
+        # later read (int files + binary files under one schema).  Fall
+        # back to a full aligned rewrite for exactly those batches; the
+        # steady-state path below stays touched-buckets-only.
+        stored_types = {
+            f.name: f.dataType
+            for f in self.spark.read.parquet(self.path).schema.fields
+        }
+        type_changed = any(
+            f.name in stored_types and stored_types[f.name] != f.dataType
+            for f in incoming.schema.fields
+        )
+        if type_changed:
+            current_all = self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+            union = _align_to_incoming(
+                current_all, incoming.drop(self.BUCKET_COL)
+            ).unionByName(
+                incoming.drop(self.BUCKET_COL), allowMissingColumns=True
+            )
+            merged = latest_by_key(union, self.keys, seq_col="_seq")
+            self._swap_write(merged)
+            return
+
         # The batch is consumed twice (touched-bucket probe + merge
         # union); persist so the envelope decode runs once per batch.
         incoming = incoming.persist()
@@ -217,8 +264,9 @@ class BucketedUpsertTable(ParquetUpsertTable):
             )
             # allowMissingColumns: same schema-evolution contract as the flat
             # table — a batch decoded under a newer schema merges into an
-            # older table (old rows take NULL for added columns)
-            union = current.unionByName(
+            # older table (old rows take NULL for added columns); type
+            # alignment covers MODIFY-column widening
+            union = _align_to_incoming(current, incoming).unionByName(
                 incoming.filter(F.col(self.BUCKET_COL).isin(touched)),
                 allowMissingColumns=True,
             )

@@ -1065,3 +1065,80 @@ def test_transform_with_state_first_seen_admission(spark, tmp_path):
     assert got[(1, "a")] == (False, 1)
     assert got[(1, "b")] == (False, 1)
     assert got[(1, "c")] == (True, 1)
+
+
+def test_ddl_modify_column_type_mid_stream(spark, tmp_path):
+    """MODIFY-column type widening applied mid-stream (int → varchar):
+    the evolved batch must merge into the pre-evolution target with
+    stored values recast to the new type — previously the union's
+    implicit coercion picked BIGINT and the first non-numeric value
+    killed the stream."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+
+    env_dir = str(tmp_path / "env")
+    t1 = spark.createDataFrame(
+        [(1, 10, "insert", 1), (2, 20, "insert", 2)],
+        "id long, val int, op string, seq long",
+    )
+    envelope_from_typed(t1, db="src", table="t").coalesce(1).write.mode(
+        "append"
+    ).parquet(env_dir)
+    ddl = spark.createDataFrame(
+        [
+            (
+                "src",
+                "t",
+                "ddl",
+                3,
+                None,
+                None,
+                "ALTER TABLE t MODIFY val varchar(20)",
+                None,
+            )
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    t2 = spark.createDataFrame(
+        [(1, "ten", "update", 4), (3, "thirty", "insert", 5)],
+        "id long, val string, op string, seq long",
+    )
+    ddl.unionByName(envelope_from_typed(t2, db="src", table="t")).coalesce(
+        1
+    ).write.mode("append").parquet(env_dir)
+
+    reg = SchemaRegistry()
+    reg.add(
+        "src",
+        "t",
+        StructType(
+            [StructField("id", LongType(), False), StructField("val", IntegerType(), True)]
+        ),
+    )
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=reg.get("src", "t"),
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+    )
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        registry=reg,
+    )
+    q.awaitTermination(300)
+    got = sorted((r.id, r.val) for r in route.target.read().collect())
+    # stored int 20 recast to '20'; updated/new rows carry strings
+    assert got == [(1, "ten"), (2, "20"), (3, "thirty")]
+    assert dict(route.target.read().dtypes)["val"] == "string"
