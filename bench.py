@@ -196,6 +196,8 @@ BNLJ_ALLOWED = {
     "q22_dormant_customers",
     # single-row corpus-count broadcast into the idf expression
     "text_tfidf_topk",
+    # single-row (N, avgdl) corpus-stats broadcast into the BM25 expression
+    "text_bm25_topk",
     # the declared cross-join API surface itself, over two tiny dims
     # (5 × 25 rows) — its own docstring forbids larger sides
     "join_cross",
@@ -205,6 +207,11 @@ BNLJ_ALLOWED = {
     "sim_cosine_topk",
     "sim_knn_label_vote",
     "decontaminate_embedding",
+    # flat ADC scan IS the declared shape: the broadcast side is the
+    # bounded query block (each row reduced to an M×K distance table) and
+    # the corpus side streams CODES (M bytes/vector, 32× smaller than the
+    # vectors); sim_ivf_pq_topk is the registered cluster-pruned scale path
+    "sim_pq_adc_topk",
 }
 
 

@@ -36,7 +36,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   mm_frame_sample + the round-3 additions (mix_token_budget,
 #   dedup_segments_crossdoc, text_gopher_rules, curriculum_quality_bins,
 #   join_interval_binned, udf_map_in_arrow, asof_join_next_purchase,
-#   asof_join_nearest_purchase, text_bm25_topk, decontaminate_bloom)
+#   asof_join_nearest_purchase, text_bm25_topk, decontaminate_bloom,
+#   sim_pq_adc_topk, sim_ivf_pq_topk [rows-only])
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge
@@ -156,6 +157,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         import qin_cdc_spark.operators.retrieval as retrieval
 
         modules.append(retrieval)
+    except ImportError:
+        pass
+    try:
+        import qin_cdc_spark.operators.pq as pq
+
+        modules.append(pq)
     except ImportError:
         pass
     try:
