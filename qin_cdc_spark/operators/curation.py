@@ -1127,3 +1127,72 @@ FROM b GROUP BY source, bin
 
 QUERIES["curriculum_quality_bins"] = curriculum_quality_bins
 ORACLES["curriculum_quality_bins"] = _curriculum_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: the split UNIT is the near-dup
+# CLUSTER, not the document — a near-duplicate of a training doc landing
+# in the eval split is contamination the plain hash split can't prevent.
+# Composes the converged CC labels (session-cached, like keep-best) with
+# the deterministic hash-split rule: every doc inherits its component's
+# split, singletons split on their own id.  At 100 TB the cost over the
+# plain split is one broadcast-ish join against the (small) clustered-doc
+# label table; the hash-split itself stays row-local and engine-portable.
+# The DuckDB oracle recomputes the components with a recursive CTE, so
+# the whole composition is hash-checked.
+# ---------------------------------------------------------------------------
+
+LEAKAGE_SPLIT_BUCKETS = 20  # 18 train / 1 val / 1 test
+
+
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qin_cdc_spark.functions.text import hash60
+    from qin_cdc_spark.operators.llm_ext import cc_labels_cached
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = cc_labels_cached(spark, sf_dir)
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("lsplit:"), comp.cast("string"))),
+        F.lit(LEAKAGE_SPLIT_BUCKETS),
+    )
+    return (
+        docs.join(broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            comp.alias("component"),
+            F.when(bucket <= 17, "train")
+            .when(bucket == 18, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from qin_cdc_spark.operators.llm_text import HASH60_SQL
+    from qin_cdc_spark.operators.similarity import _minhash_oracle
+
+    h = HASH60_SQL.format(x="concat('lsplit:', CAST(component AS VARCHAR))")
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+cc AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+lab AS (
+  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN {h} % {LEAKAGE_SPLIT_BUCKETS} <= 17 THEN 'train'
+            WHEN {h} % {LEAKAGE_SPLIT_BUCKETS} = 18 THEN 'val'
+            ELSE 'test' END AS split
+FROM lab
+"""
+
+
+QUERIES["sample_split_leakage_safe"] = sample_split_leakage_safe
+ORACLES["sample_split_leakage_safe"] = _leakage_split_oracle()

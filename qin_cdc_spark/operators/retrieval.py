@@ -289,3 +289,102 @@ GROUP BY 1
 """
 
 ORACLES["decontaminate_bloom"] = BLOOM_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the third mergeable sketch in the
+# family (HLL cardinality, Bloom membership, CMS frequency).  D=3 hash
+# rows × W=1024 buckets of int64 counters built with one (d, pos) sum
+# agg — associative, partial-aggregated map-side, mergeable across
+# corpus shards, ≤ D·W rows regardless of stream length.  Estimates
+# read the sketch with min-over-rows; CMS guarantees est ≥ true, and
+# both the sketch and its collisions are md5-deterministic, so the
+# DuckDB oracle reproduces every counter exactly.
+# ---------------------------------------------------------------------------
+
+CMS_D = 3
+CMS_W = 1024
+CMS_TOPK = 10
+
+
+@_q("sketch_countmin_topk")
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K terms by CMS-estimated frequency, with the exact count
+    alongside (est >= exact always; equality unless a bucket collided).
+
+    At 100 TB the sketch replaces a full-vocabulary count when only
+    heavy hitters matter: the counter table is constant-size, candidate
+    terms come from any cheap source (here the corpus's distinct terms),
+    and the estimate join touches D rows per candidate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    hash60(F.concat(F.lit(f"cms{d}:"), F.col("term"))), F.lit(CMS_W)
+                ).alias("pos"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    sketch = (
+        tok.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    est = (
+        exact.select("term", "true_count", F.explode(probes).alias("p"))
+        .join(
+            F.broadcast(sketch),
+            (F.col("p.d") == F.col("d")) & (F.col("p.pos") == F.col("pos")),
+        )
+        .groupBy("term", "true_count")
+        .agg(F.min("counter").alias("est_count"))
+    )
+    w = Window.orderBy(F.col("est_count").desc(), F.col("term").asc())
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CMS_TOPK)
+        .select("term", "est_count", "true_count", "rk")
+    )
+
+
+_CMS_POS = "CAST({h} % {w} AS BIGINT)".format(
+    h=HASH60_SQL.format(x="concat('cms', d, ':', term)"), w=CMS_W
+)
+
+CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({WORDS_SQL.replace("trim(text)", "trim(lower(text))")}) AS term
+  FROM documents
+),
+probes AS (
+  SELECT term, d, {_CMS_POS} AS pos
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2]) AS d)
+),
+sketch AS (SELECT d, pos, count(*) AS counter FROM probes GROUP BY 1, 2),
+exact AS (SELECT term, count(*) AS true_count FROM tok GROUP BY 1),
+cand AS (
+  SELECT term, d, {_CMS_POS} AS pos
+  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2]) AS d)
+),
+est AS (
+  SELECT c.term, min(s.counter) AS est_count
+  FROM cand c JOIN sketch s ON c.d = s.d AND c.pos = s.pos
+  GROUP BY 1
+)
+SELECT term, est_count, true_count, rk FROM (
+  SELECT e.term, e.est_count, x.true_count,
+         CAST(row_number() OVER (ORDER BY e.est_count DESC, e.term ASC)
+              AS INTEGER) AS rk
+  FROM est e JOIN exact x ON e.term = x.term)
+WHERE rk <= {CMS_TOPK}
+"""
+
+ORACLES["sketch_countmin_topk"] = CMS_ORACLE

@@ -61,3 +61,29 @@ def test_bloom_no_false_negatives_and_confirm_bound(spark):
         n_cand, n_conf = got[doc_id]
         assert n_conf == n_exact
         assert n_cand >= n_exact
+
+
+def test_cms_never_underestimates(spark):
+    from qin_cdc_spark.operators.retrieval import sketch_countmin_topk
+
+    rows = sketch_countmin_topk(spark, SF_SMOKE).collect()
+    assert rows, "CMS returned nothing"
+    assert all(r.est_count >= r.true_count for r in rows)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from qin_cdc_spark.operators.curation import sample_split_leakage_safe
+
+    rows = sample_split_leakage_safe(spark, SF_SMOKE).collect()
+    by_comp: dict[int, set] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values()), (
+        "a near-dup cluster straddles splits"
+    )
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    # the 18/1/1 bucket rule must actually produce a dominant train share
+    n = len(rows)
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert n_train / n > 0.6
