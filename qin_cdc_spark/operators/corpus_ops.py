@@ -1,0 +1,384 @@
+"""Corpus-maintenance operators (north-star §2.C extensions): sliding-
+window duplicated-substring spans (the suffix-array dedup approximation
+of Lee et al. 2022 re-expressed as relational ops), hashed-linear
+quality-model inference (fastText-style hashing trick with zero Python),
+snapshot diffing between corpus versions, and a mergeable binned
+quantile sketch.
+
+The reference (qin-cdc) has no text surface — these extend the LLM-data
+north star.  Every output column is scalar integer/string (canon-proof
+per the round-2 lesson), and every oracle mirrors the exact integer
+arithmetic in DuckDB.
+
+Scale notes per operator live on the functions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from qin_cdc_spark.functions.text import hash60, words
+from qin_cdc_spark.operators.llm_text import HASH60_SQL, WORDS_SQL
+from qin_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring spans (Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr criterion).  The
+# paper builds a suffix array; a suffix array is a single-machine
+# artifact, so at 100 TB the standard distributed re-expression is
+# sliding fixed-width windows at EVERY word position (stride 1): any
+# duplicated substring of >= W words contains at least one duplicated
+# W-window, so window-level duplication detection + interval merge
+# recovers the duplicated spans (with at most W-1 words of boundary
+# slop on each side).
+#
+# Plan shape: posexplode to ~n_words rows/doc carrying an 8-byte hash60
+# key; one map-side-combinable groupBy for global occurrence counts +
+# first occurrence (min struct); island merge is a per-doc window (one
+# hashpartition(doc_id) exchange).  Nothing is quadratic; the shuffle
+# volume is O(total words), the same as any tokenization pass.
+
+SUBSTR_W = 8  # window width in words
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring statistics.
+
+    A W-word window (stride 1) is *duplicated* iff its text occurs more
+    than once in the corpus AND this occurrence is not the global first
+    (min (doc_id, pos) keeps one canonical copy, the keep-first rule
+    the paper's dedup applies).  Overlapping duplicated windows in a
+    document merge into spans (gaps-and-islands on the covered word
+    intervals [pos, pos+W-1]).
+
+    Output (all scalar ints): doc_id, n_windows, n_dup_windows,
+    n_spans, dup_cover_words (word positions covered by merged spans).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n_win = F.greatest(F.lit(0), F.size(w) - F.lit(SUBSTR_W - 1))
+    # filter BEFORE the sequence: sequence(1, 0) would descend, not empty
+    wins = docs.filter(F.size(w) >= SUBSTR_W).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(SUBSTR_W - 1)),
+                lambda i: hash60(F.array_join(F.slice(w, i, SUBSTR_W), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    occ = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    dups = (
+        wins.join(occ, "h")
+        .filter(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("first.doc_id") == F.col("doc_id"))
+                & (F.col("first.pos") == F.col("pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    bypos = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dups.withColumn("prev", F.lag("pos").over(bypos))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") > F.col("prev") + F.lit(SUBSTR_W - 1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(bypos))
+    )
+    per_island = islands.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + F.lit(SUBSTR_W)).alias("cover")
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("cover").alias("dup_cover_words"),
+    )
+    dup_counts = dups.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    base = docs.select("doc_id", n_win.cast("long").alias("n_windows"))
+    return (
+        base.join(dup_counts, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_cover_words", F.lit(0))
+            .cast("long")
+            .alias("dup_cover_words"),
+        )
+    )
+
+
+W = SUBSTR_W  # short alias for the oracle f-string below
+_WIN_HASH_SQL = HASH60_SQL.format(
+    x=f"array_to_string(w[u.i : u.i + {W} - 1], ' ')"
+)
+
+_SUBSTR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+wins AS (
+  SELECT doc_id, u.i AS pos, {_WIN_HASH_SQL} AS h
+  FROM d, unnest(range(1, greatest(0, len(w) - {W} + 1) + 1)) AS u(i)),
+occ AS (
+  SELECT h, count(*) AS cnt,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM wins GROUP BY h),
+dups AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w JOIN occ o ON w.h = o.h
+  WHERE o.cnt > 1
+    AND NOT ((o.first).doc_id = w.doc_id AND (o.first).pos = w.pos)),
+islands AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {W} - 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM dups),
+numbered AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM islands),
+per_island AS (
+  SELECT doc_id, island, max(pos) - min(pos) + {W} AS cover
+  FROM numbered GROUP BY doc_id, island),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(cover) AS dup_cover_words
+  FROM per_island GROUP BY doc_id),
+dup_counts AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM dups GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(greatest(0, len(d.w) - {W} + 1) AS BIGINT) AS n_windows,
+       CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_cover_words, 0) AS BIGINT) AS dup_cover_words
+FROM d LEFT JOIN dup_counts c ON d.doc_id = c.doc_id
+       LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+QUERIES["dedup_substring_spans"] = dedup_substring_spans
+ORACLES["dedup_substring_spans"] = _SUBSTR_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality model inference (fastText-style).  Real curation
+# pipelines score every document with a linear classifier over hashed
+# unigram+bigram features (the hashing trick bounds the weight table).
+# The inference pattern at 100 TB: weights live in a broadcast array /
+# map, features hash row-locally, the dot product is a row-local
+# aggregate — ZERO shuffles, zero Python, whole-stage codegen end to
+# end.  `score_hashed_linear` takes an arbitrary weights DataFrame
+# (the trained-model path, exercised in tests); the gate query derives
+# the weight of each bucket from md5 so DuckDB reproduces the exact
+# integer score without shipping a weights artifact.
+
+HASH_BUCKETS = 1 << 18  # 262144 — fastText default-ish table size
+
+
+def _feature_weight(bucket: F.Column) -> F.Column:
+    """Deterministic pseudo-weight in [-1000, 1000] (integer milli-units)."""
+    return hash60(F.concat(F.lit("w#"), bucket.cast("string"))) % 2001 - 1000
+
+
+def score_hashed_linear(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append hashed-linear score columns to ``df`` (row-local)."""
+    w = words(F.col(text_col))
+    unigrams = F.array_distinct(w)
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        )
+    )
+    feats = F.array_union(unigrams, bigrams)
+    buckets = F.transform(feats, lambda t: hash60(t) % HASH_BUCKETS)
+    score = F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + _feature_weight(b),
+    )
+    return df.withColumn("n_feats", F.size(buckets).cast("long")).withColumn(
+        "score_milli", score
+    )
+
+
+def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_hashed_linear(docs)
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score_milli",
+        (F.col("score_milli") > 0).cast("int").alias("keep"),
+    )
+
+
+_HLS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+f AS (
+  SELECT doc_id,
+         list_distinct(
+           list_concat(
+             list_distinct(w),
+             list_distinct(list_transform(
+               range(1, greatest(1, len(w) - 1) + 1),
+               i -> array_to_string(w[i:i+1], ' ')))))
+         AS feats
+  FROM d),
+b AS (
+  SELECT doc_id,
+         list_transform(feats,
+           t -> {HASH60_SQL.format(x="t")} % {HASH_BUCKETS}) AS buckets
+  FROM f)
+SELECT doc_id,
+       CAST(len(buckets) AS BIGINT) AS n_feats,
+       CAST(coalesce(list_sum(list_transform(buckets,
+              bk -> {HASH60_SQL.format(x="concat('w#', CAST(bk AS VARCHAR))")}
+                    % 2001 - 1000)), 0) AS BIGINT) AS score_milli,
+       CAST(coalesce(list_sum(list_transform(buckets,
+              bk -> {HASH60_SQL.format(x="concat('w#', CAST(bk AS VARCHAR))")}
+                    % 2001 - 1000)), 0) > 0 AS INT) AS keep
+FROM b
+"""
+
+QUERIES["text_hashed_linear_score"] = text_hashed_linear_score
+ORACLES["text_hashed_linear_score"] = _HLS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff.  Dataset releases are versioned; the diff
+# between version N and N+1 (added / removed / changed / unchanged by
+# content hash) is the basic audit artifact.  Plan shape: both sides
+# prune to (doc_id, md5(text)) at the scan, one full-outer sort-merge
+# join on doc_id — shuffle carries 40-byte rows regardless of document
+# size, which is the point: never diff text bodies, diff fingerprints.
+# The two "versions" here are deterministic derivations of the fixture
+# (v2 drops doc_id%10==1, adds a revision suffix to doc_id%7==0).
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id", F.md5(F.col("text")).alias("h1")
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 10 != 1)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+                ).otherwise(F.col("text"))
+            ).alias("h2"),
+        )
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("h1").isNull(), F.lit("added"))
+            .when(F.col("h2").isNull(), F.lit("removed"))
+            .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+
+
+_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 != 9),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' [rev2]')
+                  ELSE text END) AS h2
+  FROM documents WHERE doc_id % 10 != 1)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN h1 != h2 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+QUERIES["corpus_snapshot_diff"] = corpus_snapshot_diff
+ORACLES["corpus_snapshot_diff"] = _DIFF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Mergeable binned quantile sketch.  Exact percentiles need a global
+# sort; at 100 TB the standard answer is a mergeable sketch.  Fixed
+# integer bins (width 256 chars) give a deterministic, additively-
+# mergeable histogram whose cumulative walk yields percentile upper
+# bounds with error <= bin width — the t-digest trade-off with
+# cross-engine-exact integer arithmetic (a float-centroid digest can
+# never be hash-checked across engines).  One map-side-combinable
+# groupBy; the percentile walk runs over |bins| rows per source.
+
+QBIN_WIDTH = 256
+
+
+def sketch_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 upper-bound estimates of n_chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    bins = docs.groupBy(
+        "source", F.expr(f"n_chars div {QBIN_WIDTH}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bysrc = Window.partitionBy("source").orderBy("bin")
+    cum = bins.withColumn("cum", F.sum("cnt").over(bysrc)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("source"))
+    )
+
+    def est(p_num: int, p_den: int) -> F.Column:
+        # smallest bin whose cumulative count reaches ceil(p * total):
+        # integer threshold avoids float rank comparisons entirely.
+        reach = F.col("cum") * p_den >= F.col("total") * p_num
+        return F.min(F.when(reach, (F.col("bin") + 1) * QBIN_WIDTH))
+
+    return cum.groupBy("source").agg(
+        F.max("total").alias("n_docs"),
+        est(50, 100).alias("p50_chars_ub"),
+        est(90, 100).alias("p90_chars_ub"),
+        est(99, 100).alias("p99_chars_ub"),
+    )
+
+
+_QBIN_ORACLE = f"""
+WITH bins AS (
+  SELECT source, CAST(n_chars // {QBIN_WIDTH} AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, bin, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS total
+  FROM bins)
+SELECT source,
+       CAST(max(total) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum * 100 >= total * 50
+                THEN (bin + 1) * {QBIN_WIDTH} END) AS BIGINT) AS p50_chars_ub,
+       CAST(min(CASE WHEN cum * 100 >= total * 90
+                THEN (bin + 1) * {QBIN_WIDTH} END) AS BIGINT) AS p90_chars_ub,
+       CAST(min(CASE WHEN cum * 100 >= total * 99
+                THEN (bin + 1) * {QBIN_WIDTH} END) AS BIGINT) AS p99_chars_ub
+FROM cum GROUP BY source
+"""
+
+QUERIES["sketch_quantile_bins"] = sketch_quantile_bins
+ORACLES["sketch_quantile_bins"] = _QBIN_ORACLE

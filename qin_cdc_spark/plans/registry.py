@@ -37,7 +37,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   dedup_segments_crossdoc, text_gopher_rules, curriculum_quality_bins,
 #   join_interval_binned, udf_map_in_arrow, asof_join_next_purchase,
 #   asof_join_nearest_purchase, text_bm25_topk, decontaminate_bloom,
-#   sim_pq_adc_topk, sim_ivf_pq_topk [rows-only])
+#   sim_pq_adc_topk, sim_ivf_pq_topk [rows-only], dedup_substring_spans,
+#   text_hashed_linear_score, corpus_snapshot_diff, sketch_quantile_bins)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge
@@ -163,6 +164,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         import qin_cdc_spark.operators.pq as pq
 
         modules.append(pq)
+    except ImportError:
+        pass
+    try:
+        import qin_cdc_spark.operators.corpus_ops as corpus_ops
+
+        modules.append(corpus_ops)
     except ImportError:
         pass
     try:
