@@ -382,3 +382,148 @@ FROM cum GROUP BY source
 
 QUERIES["sketch_quantile_bins"] = sketch_quantile_bins
 ORACLES["sketch_quantile_bins"] = _QBIN_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style).  Fixed-width chunking
+# (text_chunk_dedup, dedup_segments_crossdoc) breaks on insertion: one
+# added word shifts every later segment boundary, so unchanged content
+# re-hashes differently.  Content-defined boundaries — "cut where a
+# rolling hash of the last G words satisfies h % B == 0" — move only
+# locally under edits, which is why CDC-chunking underpins dedup
+# storage (LBFS, restic, borg) and is the right chunk-level dedup for
+# corpora that get revised between crawls.
+#
+# All chunking is ROW-LOCAL higher-order-array work (zero shuffle);
+# only the chunk-hash groupBy and the per-doc stats join shuffle, both
+# map-side combinable on 8-byte keys.  Expected chunk length B words.
+
+CDC_G = 4  # rolling window (words) feeding the boundary test
+CDC_B = 16  # boundary modulus ⇒ expected chunk length in words
+
+
+def cdc_chunk_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, idx, chunk_words, ch) — the content-defined chunk set of
+    ``docs`` (needs doc_id + text columns).  Fully row-local."""
+    M = 2147483647
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).withColumn("hs", F.transform(F.col("w"), lambda t: hash60(t) % M))
+    n = F.size("w")
+
+    def g(i):
+        # windowed polynomial hash of words i-3..i (1-based); every term
+        # < M*31^3 + M < 2^46, exact in int64 on both engines
+        e = lambda k: F.element_at(F.col("hs"), i - k)
+        return (((e(3) * 31 + e(2)) * 31 + e(1)) * 31 + e(0)) % M
+
+    bpos = F.when(
+        n >= CDC_G,
+        F.filter(F.sequence(F.lit(CDC_G), n), lambda i: g(i) % CDC_B == 0),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(n))
+    spans = F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    return (
+        base.select("doc_id", "w", F.posexplode(spans).alias("idx", "sp"))
+        .filter(F.col("sp.e") >= F.col("sp.s"))
+        .select(
+            "doc_id",
+            "idx",
+            (F.col("sp.e") - F.col("sp.s") + 1).alias("chunk_words"),
+            hash60(
+                F.array_join(
+                    F.slice(F.col("w"), F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1),
+                    " ",
+                )
+            ).alias("ch"),
+        )
+    )
+
+
+def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-chunk stats over content-defined chunks.
+
+    Output per doc (scalar ints): n_chunks, n_dup_chunks (occurrences
+    whose chunk text repeats globally, minus the global first
+    occurrence), dup_chunk_words (word mass of those occurrences).
+    """
+    chunks = cdc_chunk_relation(load_table(spark, sf_dir, "documents"))
+    occ = chunks.groupBy("ch").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "idx")).alias("first"),
+    )
+    dups = chunks.join(occ, "ch").filter(
+        (F.col("cnt") > 1)
+        & ~(
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.idx") == F.col("idx"))
+        )
+    )
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    dup_doc = dups.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_chunks"),
+        F.sum("chunk_words").alias("dup_chunk_words"),
+    )
+    return (
+        per_doc.join(dup_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.coalesce("dup_chunk_words", F.lit(0))
+            .cast("long")
+            .alias("dup_chunk_words"),
+        )
+    )
+
+
+_CDC_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+h AS (
+  SELECT doc_id, w, len(w) AS n,
+         list_transform(w, t -> {HASH60_SQL.format(x="t")} % 2147483647) AS hs
+  FROM d),
+b AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n >= {CDC_G} THEN
+           list_filter(range({CDC_G}, n + 1),
+             i -> (((hs[i-3]*31 + hs[i-2])*31 + hs[i-1])*31 + hs[i])
+                  % 2147483647 % {CDC_B} = 0)
+         ELSE [] END AS bpos
+  FROM h),
+sp AS (
+  SELECT doc_id, w,
+         list_concat([1], list_transform(bpos, x -> x + 1)) AS starts,
+         list_concat(bpos, [n]) AS ends
+  FROM b),
+chunks AS (
+  SELECT doc_id, u.k - 1 AS idx,
+         ends[u.k] - starts[u.k] + 1 AS chunk_words,
+         {HASH60_SQL.format(x="array_to_string(w[starts[u.k] : ends[u.k]], ' ')")} AS ch
+  FROM sp, unnest(range(1, len(starts) + 1)) AS u(k)
+  WHERE ends[u.k] >= starts[u.k]),
+occ AS (
+  SELECT ch, count(*) AS cnt,
+         min(struct_pack(doc_id := doc_id, idx := idx)) AS first
+  FROM chunks GROUP BY ch),
+dups AS (
+  SELECT c.doc_id, c.chunk_words
+  FROM chunks c JOIN occ o ON c.ch = o.ch
+  WHERE o.cnt > 1
+    AND NOT ((o.first).doc_id = c.doc_id AND (o.first).idx = c.idx)),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id),
+dup_doc AS (
+  SELECT doc_id, count(*) AS n_dup_chunks, sum(chunk_words) AS dup_chunk_words
+  FROM dups GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(dd.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(coalesce(dd.dup_chunk_words, 0) AS BIGINT) AS dup_chunk_words
+FROM per_doc p LEFT JOIN dup_doc dd ON p.doc_id = dd.doc_id
+"""
+
+QUERIES["chunk_content_defined"] = chunk_content_defined
+ORACLES["chunk_content_defined"] = _CDC_CHUNK_ORACLE

@@ -145,3 +145,44 @@ def test_quantile_bins_is_mergeable(spark):
     a = {(r.source, r.bin): r.cnt for r in bins.collect()}
     b = {(r.source, r.bin): r.cnt for r in merged.collect()}
     assert a == b
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """The content-defined property: inserting one word near the front
+    must leave most chunk hashes intact (a fixed-width segmenter would
+    shift every boundary and share ~nothing)."""
+    import random
+
+    from qin_cdc_spark.operators.corpus_ops import cdc_chunk_relation
+
+    rng = random.Random(7)
+    base_words = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    edited = base_words[:5] + ["INSERTED"] + base_words[5:]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    chunks = cdc_chunk_relation(docs).collect()
+    a = {r.ch for r in chunks if r.doc_id == 1}
+    b = {r.ch for r in chunks if r.doc_id == 2}
+    assert a and b
+    shared = len(a & b) / max(len(a), len(b))
+    assert shared >= 0.5, f"only {shared:.0%} of chunks survived the edit"
+
+
+def test_cdc_chunks_partition_every_doc_exactly(spark):
+    """Chunk word masses must sum to the doc's word count — chunking is
+    a partition of the token stream, no loss, no overlap."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.corpus_ops import cdc_chunk_relation
+    from qin_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chunks = cdc_chunk_relation(docs)
+    per_doc = chunks.groupBy("doc_id").agg(F.sum("chunk_words").alias("cw"))
+    joined = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("nw")
+    ).join(per_doc, "doc_id")
+    bad = joined.filter(F.col("cw") != F.col("nw")).count()
+    assert bad == 0
