@@ -190,6 +190,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         modules.append(neardup_store)
     except ImportError:
         pass
+    try:
+        import qin_cdc_spark.streaming.cms_store as cms_store
+
+        modules.append(cms_store)
+    except ImportError:
+        pass
 
     for mod in modules:
         for name, fn in getattr(mod, "QUERIES", {}).items():
