@@ -527,3 +527,88 @@ FROM per_doc p LEFT JOIN dup_doc dd ON p.doc_id = dd.doc_id
 
 QUERIES["chunk_content_defined"] = chunk_content_defined
 ORACLES["chunk_content_defined"] = _CDC_CHUNK_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency drift between two corpus slices.  Distribution drift
+# between crawls (or between a source and the blend) is a standard
+# curation monitor; the usual KL/chi-square statistics divide floats,
+# which can't be hash-checked across engines (round-2/3 lesson).  The
+# exact-integer reformulation: rank terms by |n1*N2 - n2*N1| — the
+# cross-multiplied difference of the two relative frequencies scaled by
+# N1*N2 — which preserves the |p1 - p2| ordering exactly with 64-bit
+# integer arithmetic (counts < 2^20, totals < 2^40 at any per-slice
+# term mass this fixture or a 100 TB shard sees per executor; overflow
+# would need n*N >= 2^63).
+#
+# Plan shape: one tokenize+groupBy per slice (map-side combinable),
+# full-outer join on term, scalar totals via a single-row cross join
+# (constant broadcast), TakeOrderedAndProject top-K — no window over
+# the full vocabulary.
+
+DRIFT_TOPK = 20
+
+
+def corpus_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K drifting terms between even- and odd-doc_id slices."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    c1 = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    c2 = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    both = (
+        c1.join(c2, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+    totals = both.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    scored = both.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "n1",
+        "n2",
+        F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1")).alias(
+            "drift_num"
+        ),
+    )
+    return scored.orderBy(
+        F.col("drift_num").desc(), F.col("term").asc()
+    ).limit(DRIFT_TOPK)
+
+
+_DRIFT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({WORDS_SQL.replace("trim(text)", "trim(lower(text))")}) AS term
+  FROM documents),
+c1 AS (SELECT term, count(*) AS n1 FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+c2 AS (SELECT term, count(*) AS n2 FROM tok WHERE doc_id % 2 = 1 GROUP BY 1),
+both_sides AS (
+  SELECT coalesce(c1.term, c2.term) AS term,
+         CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+         CAST(coalesce(n2, 0) AS BIGINT) AS n2
+  FROM c1 FULL OUTER JOIN c2 ON c1.term = c2.term),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+        FROM both_sides)
+SELECT term, n1, n2,
+       CAST(abs(n1 * t2 - n2 * t1) AS BIGINT) AS drift_num
+FROM both_sides CROSS JOIN tot
+ORDER BY drift_num DESC, term ASC
+LIMIT {DRIFT_TOPK}
+"""
+
+QUERIES["corpus_term_drift"] = corpus_term_drift
+ORACLES["corpus_term_drift"] = _DRIFT_ORACLE

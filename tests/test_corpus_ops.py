@@ -186,3 +186,17 @@ def test_cdc_chunks_partition_every_doc_exactly(spark):
     ).join(per_doc, "doc_id")
     bad = joined.filter(F.col("cw") != F.col("nw")).count()
     assert bad == 0
+
+
+def test_term_drift_uses_topk_not_full_sort(spark):
+    """Global top-K must compile to TakeOrderedAndProject, not a full
+    sort of the vocabulary."""
+    import contextlib
+    import io
+
+    from qin_cdc_spark.operators.corpus_ops import corpus_term_drift
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus_term_drift(spark, SF_SMOKE).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
