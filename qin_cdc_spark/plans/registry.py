@@ -179,6 +179,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.dq as dq
+
+        modules.append(dq)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.cdc.queries as cdc_queries
 
         modules.append(cdc_queries)
