@@ -185,6 +185,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.shards as shards
+
+        modules.append(shards)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.cdc.queries as cdc_queries
 
         modules.append(cdc_queries)
