@@ -38,7 +38,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   join_interval_binned, udf_map_in_arrow, asof_join_next_purchase,
 #   asof_join_nearest_purchase, text_bm25_topk, decontaminate_bloom,
 #   sim_pq_adc_topk, sim_ivf_pq_topk [rows-only], dedup_substring_spans,
-#   text_hashed_linear_score, corpus_snapshot_diff, sketch_quantile_bins)
+#   text_hashed_linear_score, corpus_snapshot_diff, sketch_quantile_bins,
+#   chunk_content_defined, corpus_term_drift, sketch_countmin_stream_merge,
+#   tokenize_bpe_counts [rows-only], dq_constraint_report,
+#   dq_profile_orders, shards_plan_stats)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge
