@@ -467,3 +467,226 @@ FROM b
 
 QUERIES["mm_byte_histogram"] = mm_byte_histogram
 ORACLES["mm_byte_histogram"] = MM_BYTE_HIST_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Perceptual near-dup over the payload itself (average-hash).  Image
+# dedup at corpus scale runs a perceptual hash (aHash/pHash) + hamming
+# banding; the aHash recipe — resample to a fixed grid, threshold each
+# cell against the global mean, band the sign bits — needs only integer
+# byte arithmetic, so here it runs ENTIRELY JVM-side over the payload
+# bytes (hex-decoded, 64-cell resample) and the DuckDB oracle
+# reproduces every bit.  A real deployment swaps the byte grid for the
+# pixel grid from the mapInPandas decode kernel; the signature/banding/
+# verify stages below are unchanged — they never know what the 64 cells
+# were computed from.
+#
+# Scale shape: signatures are row-local; banding shuffles short
+# (band, bits) keys; hamming verify touches candidate pairs only (the
+# same candidate-bounded contract as the MinHash/SimHash family).
+
+AHASH_CELLS = 64
+AHASH_BANDS = 8
+AHASH_HAMMING_MAX = 6
+
+
+def ahash_signatures(media: DataFrame) -> DataFrame:
+    """(doc_id, bits array<int>, bands array<string>), MATERIALIZED.
+
+    Two projection stages with a persist barrier between them: stage 1
+    hex-parses the payload ONCE per row into byte values and per-cell
+    (sum, n) stats; stage 2 derives the 64 sign bits and band keys from
+    those bound columns.  Without the barrier CollapseProject would
+    inline the parse into all 64 bit expressions (the same hazard the
+    MinHash pipeline hit — see PLANS.md)."""
+    hx = F.hex(F.col("payload"))
+    nb = F.length(F.col("payload"))
+    vals = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.conv(F.substring(hx, i * 2 + 1, 2), 16, 10).cast("long"),
+    )
+    stage = (
+        media.filter(F.length("payload") > 0)
+        .select("doc_id", vals.alias("vals"), nb.cast("long").alias("nb"))
+        .select(
+            "doc_id",
+            "nb",
+            F.aggregate(
+                "vals", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("ts"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(AHASH_CELLS - 1)),
+                lambda j: F.struct(
+                    F.aggregate(
+                        F.filter(
+                            F.sequence(F.lit(0), F.size("vals") - 1),
+                            # exact integer floor-div: (x - x%nb)/nb; a bare
+                            # double floor(i*64/nb) can misround at exact
+                            # multiples and disagree with DuckDB's // by 1
+                            lambda i: (
+                                i * AHASH_CELLS
+                                - F.pmod(i * AHASH_CELLS, F.size("vals"))
+                            )
+                            / F.size("vals")
+                            == j,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, i: a + F.element_at(F.col("vals"), i + 1),
+                    ).alias("s"),
+                    (
+                        F.least(
+                            F.size("vals"),
+                            F.ceil((j + 1) * F.size("vals") / AHASH_CELLS),
+                        )
+                        - F.ceil(j * F.size("vals") / AHASH_CELLS)
+                    ).cast("long").alias("n"),
+                ),
+            ).alias("st"),
+        )
+        .persist()
+    )
+    bits = F.transform(
+        F.col("st"),
+        lambda s: F.when(
+            (s["n"] > 0) & (s["s"] * F.col("nb") >= F.col("ts") * s["n"]),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    rows_per_band = AHASH_CELLS // AHASH_BANDS
+    sigs = stage.select("doc_id", bits.alias("bits"))
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.element_at(F.col("bits"), b * rows_per_band + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
+                ),
+            )
+            for b in range(AHASH_BANDS)
+        ]
+    )
+    out = sigs.withColumn("bands", bands).persist()
+    out.count()
+    stage.unpersist()
+    return out
+
+
+def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup payload pairs across two corpus revisions: shared aHash
+    band → hamming ≤ 6 verify.
+
+    The fixture corpus has no byte-identical payloads, so the query
+    unions a deterministic second revision (doc_id + 1_000_000, an
+    in-place same-length edit) — the re-crawl scenario perceptual dedup
+    exists for: the revised payload's cell means barely move, so the
+    (orig, rev) pairs survive banding + hamming while unrelated
+    payloads don't."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # SAME-LENGTH in-place edit (spaces→underscores in the first 40
+    # chars): cell boundaries stay put, only the leading cells' means
+    # move — a revision pHash-style dedup must still catch.  A
+    # length-changing edit shifts every cell window and is the aHash
+    # family's known blind spot (content-defined chunking covers that).
+    rev2 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.translate(F.substring(F.col("text"), 1, 40), " ", "_"),
+            F.expr("substring(text, 41)"),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    both = docs.unionByName(rev2)
+    sigs = ahash_signatures(with_payload(both))  # returns materialized
+    bands = sigs.select("doc_id", F.explode("bands").alias("bk"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "bk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with(
+                    "bits_a", "bits_b", lambda x, y: (x != y).cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    out = verified.persist()
+    out.count()
+    sigs.unpersist()
+    return out
+
+
+_AHASH_BITS_SQL = """
+  list_transform(range(0, 64), j -> CASE WHEN
+      coalesce(list_sum(list_transform(
+        list_filter(range(0, nb), i -> (i * 64) // nb = j),
+        i -> vals[i + 1])), 0) * nb
+      >= ts * len(list_filter(range(0, nb), i -> (i * 64) // nb = j))
+     AND len(list_filter(range(0, nb), i -> (i * 64) // nb = j)) > 0
+    THEN 1 ELSE 0 END)
+"""
+
+MM_AHASH_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         concat(replace(substr(text, 1, 40), ' ', '_'), substr(text, 41)) AS text
+  FROM documents),
+b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM corpus WHERE octet_length(encode(text)) > 0),
+v AS (
+  SELECT doc_id, nb,
+         list_transform(range(0, nb),
+           i -> CAST(concat('0x', substr(hx, 2 * i + 1, 2)) AS BIGINT)) AS vals
+  FROM b),
+t AS (
+  SELECT doc_id, nb, vals, coalesce(list_sum(vals), 0) AS ts FROM v),
+sigs AS (
+  SELECT doc_id, {_AHASH_BITS_SQL} AS bits FROM t),
+bands AS (
+  SELECT doc_id, u.b AS band,
+         concat(CAST(u.b AS VARCHAR), ':',
+                array_to_string(bits[u.b * 8 + 1 : u.b * 8 + 8], '')) AS bk
+  FROM sigs, unnest(range(0, 8)) AS u(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands a JOIN bands bb ON a.bk = bb.bk AND a.doc_id < bb.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_filter(range(1, 65),
+           i -> sa.bits[i] <> sb.bits[i])) AS BIGINT) AS hamming
+  FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+              JOIN sigs sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= 6
+"""
+
+QUERIES["mm_ahash_neardup"] = mm_ahash_neardup
+ORACLES["mm_ahash_neardup"] = MM_AHASH_ORACLE

@@ -200,3 +200,34 @@ def test_term_drift_uses_topk_not_full_sort(spark):
     with contextlib.redirect_stdout(buf):
         corpus_term_drift(spark, SF_SMOKE).explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_ahash_finds_identical_and_edited_payloads(spark):
+    """Identical payloads must pair at hamming 0; a small in-place edit
+    must still pair within the hamming budget; unrelated payloads with
+    different content must not flood the output."""
+    import random
+
+    from qin_cdc_spark.operators.multimodal import (
+        AHASH_HAMMING_MAX,
+        ahash_signatures,
+        with_payload,
+    )
+
+    rng = random.Random(3)
+    base = " ".join(f"w{rng.randrange(50)}" for _ in range(120))
+    edited = "_".join(base.split(" ", 3)[:3]) + " " + base.split(" ", 3)[3]
+    other = " ".join(f"z{rng.randrange(50, 99)}" for _ in range(150))
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, base, "en", "s", len(base)),        # identical copy
+         (3, edited, "en", "s", len(edited)),     # small in-place edit
+         (4, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sigs = ahash_signatures(with_payload(docs))
+    bits = {r.doc_id: r.bits for r in sigs.collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(bits[a], bits[b]))
+    assert ham(1, 2) == 0
+    assert ham(1, 3) <= AHASH_HAMMING_MAX
+    sigs.unpersist()
