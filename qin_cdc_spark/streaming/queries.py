@@ -358,3 +358,117 @@ FROM events GROUP BY 1, 2
 
 QUERIES["rollup_continuous_agg"] = rollup_continuous_agg
 ORACLES["rollup_continuous_agg"] = ROLLUP_CONTINUOUS_ORACLE
+
+
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the user's most
+    recent click/view within a 72 h lookback.
+
+    One window pass over (user_id, ts): a running ``max(struct(ts,
+    event_id))`` over touch rows gives the last preceding touch without
+    a self-join — the shuffle is one hashpartition on user_id, and the
+    state per row is a single struct (contrast the naive purchases ⋈
+    touches range join, which explodes on active users).  72 h
+    staleness yields touch_id 0 / secs_since -1 ('organic')."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    last_touch = F.max(
+        F.when(
+            is_touch,
+            F.struct(F.col("ts").alias("tts"), F.col("event_id").alias("tid")),
+        )
+    ).over(w)
+    tagged = ev.select(
+        "event_id", "user_id", "ts", "event_type", last_touch.alias("lt")
+    ).filter(F.col("event_type") == "purchase")
+    fresh = F.col("lt").isNotNull() & (
+        F.col("ts").cast("long") - F.col("lt.tts").cast("long") <= 259200
+    )
+    return tagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(fresh, F.col("lt.tid")).otherwise(F.lit(0)).alias("touch_id"),
+        F.when(
+            fresh, F.col("ts").cast("long") - F.col("lt.tts").cast("long")
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("secs_since_touch"),
+    )
+
+
+EV_ATTRIBUTION_ORACLE = """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type IN ('click', 'view')
+               THEN struct_pack(tts := ts, tid := event_id) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+  FROM events)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN lt IS NOT NULL
+             AND CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch((lt).tts)) AS BIGINT) <= 259200
+            THEN (lt).tid ELSE 0 END AS touch_id,
+       CAST(CASE WHEN lt IS NOT NULL
+             AND CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch((lt).tts)) AS BIGINT) <= 259200
+            THEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch((lt).tts)) AS BIGINT)
+            ELSE -1 END AS BIGINT) AS secs_since_touch
+FROM tagged WHERE event_type = 'purchase'
+"""
+
+QUERIES["ev_attribution_last_touch"] = ev_attribution_last_touch
+ORACLES["ev_attribution_last_touch"] = EV_ATTRIBUTION_ORACLE
+
+
+def ev_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event rates with an integer-exact spike flag:
+    a window is anomalous when its count exceeds 3× the type's mean
+    active-window rate (cnt * n_windows > 3 * total — cross-multiplied,
+    no float division).  One groupBy + a per-type single-row broadcast
+    join; the monitor any streaming rollup consumer runs."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("win_hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_type = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_windows")
+    )
+    return (
+        hourly.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "win_hour",
+            "cnt",
+            (F.col("cnt") * F.col("n_windows") > 3 * F.col("total"))
+            .cast("int")
+            .alias("anomalous"),
+        )
+    )
+
+
+EV_RATE_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+per_type AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+         count(*) AS n_windows
+  FROM hourly GROUP BY 1)
+SELECT h.event_type, h.win_hour, h.cnt,
+       CAST(h.cnt * p.n_windows > 3 * p.total AS INT) AS anomalous
+FROM hourly h JOIN per_type p ON h.event_type = p.event_type
+"""
+
+QUERIES["ev_rate_anomaly"] = ev_rate_anomaly
+ORACLES["ev_rate_anomaly"] = EV_RATE_ANOMALY_ORACLE

@@ -1142,3 +1142,43 @@ def test_ddl_modify_column_type_mid_stream(spark, tmp_path):
     # stored int 20 recast to '20'; updated/new rows carry strings
     assert got == [(1, "ten"), (2, "20"), (3, "thirty")]
     assert dict(route.target.read().dtypes)["val"] == "string"
+
+
+def test_attribution_last_touch_semantics(spark):
+    """Planted sequence: purchase credits the latest prior touch within
+    72 h; stale or missing touches are organic (0 / -1)."""
+    import datetime as dt
+
+    import qin_cdc_spark.streaming.queries as q
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # user 1: click 2h before purchase -> attributed to event 11
+        (10, ts(0), 1, "view", 1.0, ""),
+        (11, ts(1), 1, "click", 1.0, ""),
+        (12, ts(3), 1, "purchase", 9.0, ""),
+        # user 2: only touch is 100h stale -> organic
+        (20, ts(0), 2, "click", 1.0, ""),
+        (21, ts(100), 2, "purchase", 9.0, ""),
+        # user 3: no touch at all -> organic
+        (30, ts(5), 3, "purchase", 9.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = q.load_table
+    q.load_table = lambda s, d, n: ev
+    try:
+        out = {r.purchase_id: r for r in q.ev_attribution_last_touch(spark, "x").collect()}
+    finally:
+        q.load_table = orig
+    assert out[12].touch_id == 11
+    assert out[12].secs_since_touch == 2 * 3600
+    assert out[21].touch_id == 0 and out[21].secs_since_touch == -1
+    assert out[30].touch_id == 0 and out[30].secs_since_touch == -1
