@@ -9,6 +9,7 @@ window idiom from FIXTURES.md §5.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from qin_cdc_spark.cdc.apply import apply_changes, decode_envelope, latest_by_key
@@ -248,3 +249,57 @@ FROM customer
 
 QUERIES["kafka_default_format"] = kafka_default_format
 ORACLES["kafka_default_format"] = KAFKA_DEFAULT_FORMAT_ORACLE
+
+
+def snapshot_as_changes(
+    snapshot: DataFrame, keys: list[str], snapshot_seq: int
+) -> DataFrame:
+    """A consistent snapshot re-expressed as a change batch at its
+    binlog watermark: every row is an insert carrying ``snapshot_seq``.
+
+    This is the Debezium-style initial-load seed: because the rows
+    carry the snapshot's REAL watermark (not a sentinel like seq=-1),
+    redelivered events from before the watermark lose the LWW merge and
+    cannot regress the table — the property that makes
+    snapshot-then-stream-with-overlap safe under at-least-once
+    delivery."""
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    return snapshot.select(
+        F.lit("insert").alias("op"),
+        F.lit(snapshot_seq).cast("long").alias("seq"),
+        *[F.col(c) for c in keys],
+        *[F.col(c) for c in value_cols],
+    )
+
+
+def bootstrap_route(route, snapshot: DataFrame, snapshot_seq: int) -> None:
+    """Seed a CdcStreamRoute's local target with an initial table load
+    taken at binlog position ``snapshot_seq``; the stream then starts
+    anywhere at-or-before that position and converges by LWW."""
+    route.bind_target()
+    route.target.merge(snapshot_as_changes(snapshot, route.keys, snapshot_seq))
+
+
+def cdc_bootstrap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-then-stream with a redelivery overlap must equal the
+    full replay (the initial-load contract): snapshot at watermark S,
+    then re-apply every event with seq > S/2 — half the snapshot's own
+    events are redelivered on top of it — and the LWW result is the
+    same final table the whole stream produces (the oracle replays
+    everything)."""
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    s = decoded.agg(F.max("seq")).collect()[0][0] // 2  # watermark (scalar)
+    snapshot = apply_changes(
+        None, decoded.filter(F.col("seq") <= s), ["o_orderkey"]
+    )
+    seeded = snapshot_as_changes(snapshot, ["o_orderkey"], s)
+    overlap_and_tail = decoded.filter(F.col("seq") > s // 2).select(seeded.columns)
+    merged = latest_by_key(seeded.unionByName(overlap_and_tail), ["o_orderkey"])
+    return merged.filter(F.col("op") != "delete").drop("op", "seq")
+
+
+# the contract IS "equals the full replay": reuse the full-stream oracle
+QUERIES["cdc_bootstrap_overlap"] = cdc_bootstrap_overlap
+ORACLES["cdc_bootstrap_overlap"] = CDC_APPLY_ORDERS_ORACLE

@@ -1182,3 +1182,73 @@ def test_attribution_last_touch_semantics(spark):
     assert out[12].secs_since_touch == 2 * 3600
     assert out[21].touch_id == 0 and out[21].secs_since_touch == -1
     assert out[30].touch_id == 0 and out[30].secs_since_touch == -1
+
+
+def test_bootstrap_then_stream_with_overlap(spark, tmp_path):
+    """Debezium-style initial load: seed the target with a snapshot at
+    watermark S (rows carry seq=S), then stream a tail that REDELIVERS
+    events from before S — the final table must equal the full-stream
+    apply, and stale redelivered events must not regress snapshot rows."""
+    from qin_cdc_spark.cdc.apply import apply_changes, decode_envelope
+    from qin_cdc_spark.cdc.queries import bootstrap_route, snapshot_as_changes
+
+    env = envelope_from_typed(
+        orders_change_stream(spark, SF_SMOKE), db="src", table="orders"
+    )
+    schema = load_table(spark, SF_SMOKE, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+
+    snapshot = apply_changes(None, decoded.filter(F.col("seq") <= s), ["o_orderkey"])
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="orders",
+        schema=schema,
+        keys=["o_orderkey"],
+        target_path=str(tmp_path / "orders_tbl"),
+    )
+    bootstrap_route(route, snapshot, s)
+
+    # stream the tail WITH a redelivery overlap (everything after s/2)
+    tail_dir = str(tmp_path / "tail")
+    env.filter(F.col("seq") > s // 2).repartition(3).write.parquet(tail_dir)
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, tail_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    expected = apply_changes(None, decoded, ["o_orderkey"])
+    got = route.target.read()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+    # teeth: OUT-OF-ORDER redelivery of an old batch that does NOT
+    # contain the key's last event (a lost-and-found file).  With the
+    # watermark seed the stale insert loses LWW; a sentinel seq=-1 seed
+    # would regress the row to v1 — the watermark is load-bearing.
+    from qin_cdc_spark.cdc.apply import latest_by_key
+
+    tiny = spark.createDataFrame(
+        [("insert", 1, 1, "v1"), ("update", 2, 1, "v2")],
+        "op string, seq long, k long, val string",
+    )
+    snap = apply_changes(None, tiny, ["k"])  # state: v2
+    stale_batch = tiny.filter(F.col("seq") == 1)
+
+    def final(seed_seq):
+        seed = snapshot_as_changes(snap, ["k"], seed_seq)
+        return {
+            r.k: r.val
+            for r in latest_by_key(
+                seed.unionByName(stale_batch.select(seed.columns)), ["k"]
+            )
+            .filter(F.col("op") != "delete")
+            .collect()
+        }
+
+    assert final(10) == {1: "v2"}  # watermark seed: stale insert loses
+    assert final(-1) == {1: "v1"}  # sentinel seed: silent regression
