@@ -334,3 +334,84 @@ FROM j GROUP BY iv
 
 QUERIES["join_interval_binned"] = join_interval_binned
 ORACLES["join_interval_binned"] = INTERVAL_BINNED_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-dimension file pruning.  A 1-D sorted
+# layout (scan_sorted_zonemap) prunes range scans on ONE column; a
+# query box on (custkey, orderday) still reads every file because the
+# secondary column's per-file min/max spans the whole domain.  Bit-
+# interleaving the two keys into one Morton key and range-laying-out on
+# THAT gives every file a bounded extent in BOTH dimensions, so parquet
+# min/max stats prune 2-D boxes — the Delta/Iceberg OPTIMIZE ZORDER
+# pattern, here as a plain column expression + repartitionByRange.
+# The z-key is pure integer bit arithmetic (exact on both engines).
+
+ZBITS = 21  # per-dimension bits; 2×21 = 42-bit Morton key fits int64
+
+
+def morton_key(x: F.Column, y: F.Column, bits: int = ZBITS) -> F.Column:
+    """Bit-interleave two non-negative int columns (x even, y odd bits)."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("long"), b) % 2, 2 * b)
+            + F.shiftleft(F.shiftright(y.cast("long"), b) % 2, 2 * b + 1)
+        )
+    return z
+
+
+def _orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(o_orderdate AS LONG) div 86400")
+    return orders.withColumn("order_day", day)
+
+
+def write_zorder_layout(df: DataFrame, path: str, n_files: int = 8) -> None:
+    z = morton_key(F.col("o_custkey"), F.col("order_day"))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def scan_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box aggregate over a z-ordered layout.  The VALUES are
+    layout-independent (the oracle filters the raw table); the layout
+    is the perf artifact — tests/test_scale_joins.py measures that the
+    z-order needs strictly fewer candidate files on both-dimension
+    boxes than a 1-D sort."""
+    d2 = _orders_2d(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="zorder_") + "/orders_z"
+    write_zorder_layout(d2, path)
+    lo_day = d2.agg(F.min("order_day")).collect()[0][0]
+    back = spark.read.parquet(path).filter(
+        F.col("o_custkey").between(100, 400)
+        & F.col("order_day").between(lo_day + 5, lo_day + 12)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS LONG)")).alias("sum_cents"),
+    )
+
+
+ZORDER_2D_ORACLE = """
+WITH d AS (
+  SELECT o_custkey, o_totalprice,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS order_day
+  FROM orders),
+lo AS (SELECT min(order_day) AS lo_day FROM d)
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM d, lo
+WHERE o_custkey BETWEEN 100 AND 400
+  AND order_day BETWEEN lo_day + 5 AND lo_day + 12
+"""
+
+QUERIES["scan_zorder_2d"] = scan_zorder_2d
+ORACLES["scan_zorder_2d"] = ZORDER_2D_ORACLE

@@ -22,6 +22,7 @@ from pyspark.sql.functions import broadcast
 
 from qin_cdc_spark.functions.text import (
     MERSENNE31,
+    hash60,
     lsh_band_keys,
     minhash_from_hashes,
     perm_params_sql,
@@ -678,3 +679,109 @@ def dedup_embedding_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataF
 
 QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
 ORACLES["dedup_embedding_cosine"] = _dedup_emb_cos_oracle()
+
+
+# --------------------------------------------------------------------------
+# Exact similarity join with prefix filtering (PPJoin-style, Xiao et
+# al. 2008).  The LSH family above is probabilistic (tunable recall);
+# this is its EXACT counterpart: for Jaccard ≥ t, order every doc's
+# shingles by global rarity (df asc, hash asc — one total order both
+# engines agree on) and index only each doc's first
+# p = n − ceil(t·n) + 1 shingles.  Any pair at Jaccard ≥ t must share a
+# prefix shingle (the globally-smallest common shingle lands in both
+# prefixes — pigeonhole on the ≥ ceil(t·n) common shingles), so the
+# prefix self-join yields a COMPLETE candidate set with no false
+# negatives; exact verify then makes the result provably equal to the
+# all-pairs answer, which is exactly what the oracle computes.
+#
+# Scale shape: the join is on PREFIX shingles — rare-first ordering
+# means hot boilerplate shingles never enter the index (they sort
+# last), killing the stop-shingle candidate blowup WITHOUT the df-cut
+# approximation dedup_ngram_jaccard declares.  Verify is
+# candidate-bounded size(array_intersect) like the MinHash path.
+
+PREFIX_JACCARD_T = 0.5
+
+
+def dedup_jaccard_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_num, t_den = 1, 2  # t = 0.5 as an exact ratio (p uses integer ceil)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    ex = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", hash60(F.col("s")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    # p = n - ceil(t*n) + 1, all-integer: ceil(a/b) = (a + b - 1) div b
+    p = F.col("n_sh") - F.expr(
+        f"(n_sh * {t_num} + {t_den} - 1) div {t_den}"
+    ) + F.lit(1)
+    prefix = (
+        ex.join(dfreq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= p)
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = ex.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("sarr")
+    ).persist()
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .persist()
+    )
+    out.count()
+    ex.unpersist()
+    sets.unpersist()
+    return out
+
+
+# the oracle is the BRUTE-FORCE all-pairs answer (no df-cut, no prefix
+# machinery): passing the hash check PROVES the prefix filter lost no
+# pair on this corpus.
+_PREFIX_EXACT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id, {HASH60_SQL.format(x="sgl")} AS h
+  FROM (SELECT doc_id, unnest({SHINGLES_SQL.format(w="w")}) AS sgl FROM d)
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE)
+             / (na.n + nb.n - n_inter), 6) AS jaccard_r
+FROM inter JOIN sizes na ON inter.doc_a = na.doc_id
+           JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= {PREFIX_JACCARD_T}
+"""
+
+QUERIES["dedup_jaccard_prefix_exact"] = dedup_jaccard_prefix_exact
+ORACLES["dedup_jaccard_prefix_exact"] = _PREFIX_EXACT_ORACLE

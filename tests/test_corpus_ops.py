@@ -231,3 +231,33 @@ def test_ahash_finds_identical_and_edited_payloads(spark):
     assert ham(1, 2) == 0
     assert ham(1, 3) <= AHASH_HAMMING_MAX
     sigs.unpersist()
+
+
+def test_prefix_exact_jaccard_keeps_hot_shingle_pairs(spark):
+    """Docs whose overlap consists ENTIRELY of corpus-hot shingles: a
+    df-cut approximation (dedup_ngram_jaccard's declared trade-off)
+    drops those shingles and misses the pair; the prefix-filtered EXACT
+    join must report it — hot shingles sort to the END of the rarity
+    order, out of the index, but the verify still counts them."""
+    import qin_cdc_spark.operators.similarity as sim
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, boiler + " alpha"), (2, boiler + " beta")]
+    # 8 more docs that all carry the boilerplate (making its shingles
+    # hot: df = 100%) plus enough unique text to stay under 0.5 with
+    # everything else
+    for i in range(3, 11):
+        uniq = " ".join(f"unique{i}word{j}" for j in range(30))
+        rows.append((i, boiler + " " + uniq))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    orig = sim.load_table
+    sim.load_table = lambda s, d, n: docs
+    try:
+        out = {(r.doc_a, r.doc_b) for r in
+               sim.dedup_jaccard_prefix_exact(spark, "x").collect()}
+    finally:
+        sim.load_table = orig
+    assert (1, 2) in out  # the hot-overlap pair is found
+    # docs 3..10 share only the boilerplate, diluted by 30 unique words
+    assert all(a in (1, 2) and b in (1, 2) for a, b in out), out

@@ -121,3 +121,55 @@ def test_interval_binned_join_no_nested_loop(spark):
     plan = _plan(join_interval_binned(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Evidence for the layout claim: on a 2-D box, the z-order layout
+    must admit strictly fewer candidate files (per-file min/max on BOTH
+    columns) than a 1-D custkey sort, which must beat nothing at all."""
+    import glob
+
+    import pyarrow.parquet as papq
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.scale_joins import _orders_2d, write_zorder_layout
+    from tests.conftest import SF_SMOKE
+
+    d2 = _orders_2d(spark, SF_SMOKE)
+    lo_day = d2.agg(F.min("order_day")).collect()[0][0]
+    box = {"o_custkey": (100, 400), "order_day": (lo_day + 5, lo_day + 12)}
+
+    zpath = str(tmp_path / "z")
+    write_zorder_layout(d2, zpath)
+    spath = str(tmp_path / "s")
+    (
+        d2.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(spath)
+    )
+
+    def candidate_files(path):
+        n_cand = n_total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = papq.ParquetFile(f).metadata
+            n_total += 1
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            overlaps = True
+            for col, (lo, hi) in box.items():
+                idx = schema_names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if min(mins) > hi or max(maxs) < lo:
+                    overlaps = False
+                    break
+            n_cand += overlaps
+        return n_cand, n_total
+
+    z_cand, z_total = candidate_files(zpath)
+    s_cand, s_total = candidate_files(spath)
+    assert z_total >= 8 and s_total >= 8
+    # 1-D sort prunes on custkey only; z-order must do strictly better
+    assert z_cand < s_cand, (z_cand, s_cand)
