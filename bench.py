@@ -215,6 +215,8 @@ BNLJ_ALLOWED = {
     # single-row (t1, t2) slice-totals broadcast into the exact-integer
     # drift numerator
     "corpus_term_drift",
+    # the FK check's (1-row total) × (1-row orphan count) scalar combine
+    "dq_constraint_report",
 }
 
 
