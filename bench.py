@@ -70,6 +70,9 @@ HEADLINE = [
     "dedup_segments_crossdoc",
     "curriculum_quality_bins",
     "join_interval_binned",
+    # round-3 session-2 additions
+    "dedup_substring_spans",
+    "dedup_jaccard_prefix_exact",
 ]
 
 

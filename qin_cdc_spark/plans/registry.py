@@ -41,7 +41,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   text_hashed_linear_score, corpus_snapshot_diff, sketch_quantile_bins,
 #   chunk_content_defined, corpus_term_drift, sketch_countmin_stream_merge,
 #   tokenize_bpe_counts [rows-only], dq_constraint_report,
-#   dq_profile_orders, shards_plan_stats)
+#   dq_profile_orders, shards_plan_stats, mm_ahash_neardup,
+#   ev_attribution_last_touch, ev_rate_anomaly, cdc_bootstrap_overlap,
+#   scan_zorder_2d, dedup_jaccard_prefix_exact)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge
