@@ -415,3 +415,57 @@ WHERE o_custkey BETWEEN 100 AND 400
 
 QUERIES["scan_zorder_2d"] = scan_zorder_2d
 ORACLES["scan_zorder_2d"] = ZORDER_2D_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (DPP): runtime pruning through a join.  A
+# static partition filter (scan_partitioned_pruned) needs the pruning
+# predicate as a literal; in star-schema reality the restriction lives
+# on a DIMENSION ("promo months only") and reaches the fact table only
+# through the join key.  Catalyst's DPP inserts a runtime subquery —
+# the fact scan waits for the broadcast dim, collects its join keys,
+# and opens only matching partitions: at 100 TB this is the difference
+# between scanning 2 months and scanning all of them, with zero query
+# changes.  tests assert DynamicPruningExpression in the fact scan.
+
+
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    path = tempfile.mkdtemp(prefix="dpp_") + "/orders_by_month"
+    orders.withColumn("order_month", month).write.partitionBy(
+        "order_month"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    # tiny dim: month attributes; the filter ('promo') selects months
+    # ending in 1 or 6 — the fact side learns this only via the join
+    dim = (
+        fact.select("order_month")
+        .distinct()
+        .withColumn(
+            "campaign",
+            F.when(
+                F.substring("order_month", 7, 1).isin("1", "6"), "promo"
+            ).otherwise("none"),
+        )
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("campaign") == "promo")), "order_month"
+    )
+    return joined.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS LONG)")).alias("sum_cents"),
+    )
+
+
+DPP_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+WHERE substr(strftime(o_orderdate, '%Y-%m'), 7, 1) IN ('1', '6')
+GROUP BY 1
+"""
+
+QUERIES["join_dpp_pruned"] = join_dpp_pruned
+ORACLES["join_dpp_pruned"] = DPP_ORACLE

@@ -173,3 +173,19 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert z_total >= 8 and s_total >= 8
     # 1-D sort prunes on custkey only; z-order must do strictly better
     assert z_cand < s_cand, (z_cand, s_cand)
+
+
+def test_dpp_runtime_pruning_in_plan(spark):
+    """The fact scan must carry a DynamicPruningExpression — partitions
+    open only after the broadcast dim's join keys arrive at runtime."""
+    import contextlib
+    import io
+
+    from qin_cdc_spark.operators.scale_joins import join_dpp_pruned
+    from tests.conftest import SF_SMOKE
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        join_dpp_pruned(spark, SF_SMOKE).explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "dynamicpruningexpression" in plan
