@@ -218,6 +218,9 @@ BNLJ_ALLOWED = {
     # single-row (t1, t2) slice-totals broadcast into the exact-integer
     # drift numerator
     "corpus_term_drift",
+    # dense leg is the declared brute baseline (broadcast query block,
+    # same contract as sim_cosine_topk); ANN legs are drop-in at scale
+    "retrieval_rrf_fusion",
     # the FK check's (1-row total) × (1-row orphan count) scalar combine
     "dq_constraint_report",
 }

@@ -303,3 +303,44 @@ def cdc_bootstrap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the contract IS "equals the full replay": reuse the full-stream oracle
 QUERIES["cdc_bootstrap_overlap"] = cdc_bootstrap_overlap
 ORACLES["cdc_bootstrap_overlap"] = CDC_APPLY_ORDERS_ORACLE
+
+
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation on the versioned target: apply the orders
+    change stream in two halves (split at the median seq), then TIME
+    TRAVEL back to the first snapshot — ``read_at(v1)`` must equal the
+    LWW materialization of exactly the first half, even though a later
+    version has since overwritten/deleted many of its rows.
+
+    The versioned table retains history as immutable per-bucket data
+    dirs + per-version manifests (file reuse across versions), so the
+    historical read is manifest selection — no log replay, no undo."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    tbl = VersionedBucketedTable(
+        spark, tempfile.mkdtemp(prefix="ttravel_gate_") + "/t", ["o_orderkey"]
+    )
+    v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    return tbl.read_at(v1)
+
+
+CDC_TIME_TRAVEL_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (SELECT * FROM ev WHERE seq <= (SELECT max(seq) // 2 FROM ev)),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM half
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+QUERIES["cdc_time_travel"] = cdc_time_travel
+ORACLES["cdc_time_travel"] = CDC_TIME_TRAVEL_ORACLE

@@ -43,7 +43,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   tokenize_bpe_counts [rows-only], dq_constraint_report,
 #   dq_profile_orders, shards_plan_stats, mm_ahash_neardup,
 #   ev_attribution_last_touch, ev_rate_anomaly, cdc_bootstrap_overlap,
-#   scan_zorder_2d, dedup_jaccard_prefix_exact)
+#   scan_zorder_2d, dedup_jaccard_prefix_exact, retrieval_rrf_fusion,
+#   retrieval_hard_negatives, mix_temperature_alloc)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge
@@ -163,6 +164,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         import qin_cdc_spark.operators.retrieval as retrieval
 
         modules.append(retrieval)
+    except ImportError:
+        pass
+    try:
+        import qin_cdc_spark.operators.fusion as fusion
+
+        modules.append(fusion)
     except ImportError:
         pass
     try:

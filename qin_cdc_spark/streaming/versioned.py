@@ -1,0 +1,215 @@
+"""Versioned (time-travel) bucketed upsert table — snapshot isolation
+with per-bucket file reuse, the Iceberg/Delta snapshot pattern scaled
+down to a parquet directory + JSON manifest.
+
+Why this exists: the CDC targets in ``cdc_stream.py`` keep only the
+latest state — auditing "what did the table look like before batch N",
+reproducing a training run against the exact corpus snapshot it saw,
+or diffing two ingest points all need retained history.  Warehouses
+solve it with snapshot manifests over immutable files; this is that
+design, literally:
+
+* Data directories are IMMUTABLE and uniquely named (``d-<uuid>``),
+  each holding one bucket's rows for one version.
+* A version is a MANIFEST: ``bucket → data-dir`` mapping in
+  ``_versions_meta.json``.  A merge writes new dirs for the TOUCHED
+  buckets only and copies the rest of the mapping — untouched buckets
+  share bytes across every version that references them.  Publishing
+  is one atomic ``os.replace`` of the meta file.
+* ``read_at(v)`` unions the dirs named by manifest ``v`` — time travel
+  is manifest selection, zero data movement.  ``read()`` is the
+  current version.
+* ``gc(keep_last=k)`` drops old manifests and deletes data dirs no
+  retained version references (Iceberg's ``expire_snapshots``).
+
+Scale accounting (the point): per-version write cost is
+O(touched buckets), history cost is O(Σ touched) — NOT O(versions ×
+table).  A crash at any point leaves the previous snapshot intact
+(immutable dirs + atomic pointer flip); orphaned dirs from a crashed
+publish are GC'd on the next successful one.  LWW merge semantics,
+``_seq``/tombstone columns, and schema-evolution alignment are shared
+with ``BucketedUpsertTable`` — reference parity per SURVEY §3.2 (the
+apply path of outputs/starrocks/starrocks.go:64-129) plus retained
+history the reference does not have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from qin_cdc_spark.cdc.apply import latest_by_key
+from qin_cdc_spark.streaming.cdc_stream import _align_to_incoming
+
+META_NAME = "_versions_meta.json"
+
+
+class VersionedBucketedTable:
+    """Primary-keyed LWW table with retained, GC-able snapshots."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, keys: list[str], *, n_buckets: int = 32
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+
+    # -- manifest ----------------------------------------------------------
+
+    def _meta(self) -> dict:
+        meta = os.path.join(self.path, META_NAME)
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return json.load(f)
+        return {"current": 0, "last_batch_id": -1, "versions": {}}
+
+    def _publish(self, meta: dict) -> None:
+        """Atomic pointer flip, then GC data dirs no retained version
+        references (orphans from crashed publishes included)."""
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{META_NAME}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, META_NAME))
+        live = {
+            d for v in meta["versions"].values() for d in v["buckets"].values()
+        }
+        for d in os.listdir(self.path):
+            if d.startswith("d-") and d not in live:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def exists(self) -> bool:
+        return bool(self._meta()["versions"])
+
+    def current_version(self) -> int:
+        return self._meta()["current"]
+
+    def versions(self) -> list[int]:
+        return sorted(int(v) for v in self._meta()["versions"])
+
+    # -- read --------------------------------------------------------------
+
+    def _read_manifest(self, manifest: dict) -> DataFrame | None:
+        paths = [os.path.join(self.path, d) for d in manifest["buckets"].values()]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def read_internal(self, version: int | None = None) -> DataFrame | None:
+        meta = self._meta()
+        if not meta["versions"]:
+            return None
+        v = meta["current"] if version is None else version
+        man = meta["versions"].get(str(v))
+        if man is None:
+            raise ValueError(
+                f"version {v} not retained at {self.path} "
+                f"(have {self.versions()}) — expired by gc()?"
+            )
+        return self._read_manifest(man)
+
+    def read(self) -> DataFrame | None:
+        return self._visible(self.read_internal())
+
+    def read_at(self, version: int) -> DataFrame | None:
+        """Time travel: the table as of snapshot ``version``."""
+        return self._visible(self.read_internal(version))
+
+    @staticmethod
+    def _visible(full: DataFrame | None) -> DataFrame | None:
+        if full is None:
+            return None
+        return full.filter(~F.col("_deleted")).drop("_seq", "_deleted")
+
+    # -- merge -------------------------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+
+    def merge(
+        self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq",
+        batch_id: int | None = None,
+    ) -> int:
+        """LWW-merge a change batch as a NEW snapshot; returns its
+        version.  With ``batch_id`` (foreachBatch wiring) a replayed
+        batch no-ops instead of minting a duplicate version."""
+        meta = self._meta()
+        if batch_id is not None and batch_id <= meta["last_batch_id"]:
+            return meta["current"]
+
+        incoming = changes.select(
+            *self.keys,
+            *[c for c in changes.columns if c not in {op_col, seq_col, *self.keys}],
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == "delete").alias("_deleted"),
+        ).withColumn("_bucket", self._bucket_expr())
+
+        cur_man = meta["versions"].get(str(meta["current"]), {"buckets": {}})
+        incoming = incoming.persist()
+        try:
+            touched = [
+                str(r[0]) for r in incoming.select("_bucket").distinct().collect()
+            ]
+            cur_dirs = [
+                os.path.join(self.path, cur_man["buckets"][b])
+                for b in touched
+                if b in cur_man["buckets"]
+            ]
+            if cur_dirs:
+                current = self.spark.read.parquet(*cur_dirs)
+                union = _align_to_incoming(
+                    current.withColumn("_bucket", self._bucket_expr()), incoming
+                ).unionByName(incoming, allowMissingColumns=True)
+            else:
+                union = incoming
+            merged = latest_by_key(union, [*self.keys, "_bucket"], seq_col="_seq")
+            # one file per touched bucket (same small-files discipline as
+            # BucketedUpsertTable)
+            merged = merged.repartition(max(1, len(touched)), F.col("_bucket"))
+            stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
+            merged.write.partitionBy("_bucket").parquet(stage)
+
+            new_buckets = dict(cur_man["buckets"])
+            for b in touched:
+                src = os.path.join(stage, f"_bucket={b}")
+                dname = f"d-{uuid.uuid4().hex[:12]}"
+                if os.path.isdir(src):
+                    os.rename(src, os.path.join(self.path, dname))
+                    new_buckets[b] = dname
+                else:
+                    # merge emptied the bucket (pure-tombstone GC etc.)
+                    new_buckets.pop(b, None)
+            shutil.rmtree(stage, ignore_errors=True)
+
+            new_v = meta["current"] + 1
+            meta["versions"][str(new_v)] = {"buckets": new_buckets}
+            meta["current"] = new_v
+            if batch_id is not None:
+                meta["last_batch_id"] = batch_id
+            self._publish(meta)
+            return new_v
+        finally:
+            incoming.unpersist()
+
+    # -- retention ---------------------------------------------------------
+
+    def gc(self, *, keep_last: int) -> list[int]:
+        """Expire all but the newest ``keep_last`` snapshots; returns
+        the expired version numbers.  Data dirs still referenced by a
+        retained version survive (file reuse makes this the common
+        case); the rest are deleted by the publish GC."""
+        meta = self._meta()
+        vs = sorted(int(v) for v in meta["versions"])
+        expire = vs[:-keep_last] if keep_last > 0 else vs
+        for v in expire:
+            del meta["versions"][str(v)]
+        if expire:
+            self._publish(meta)
+        return expire

@@ -162,7 +162,7 @@ def test_live_route_add_mid_query_processing_time(spark, tmp_path):
     )
     ctrl.start()
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 180  # generous: CI hosts run this suite under heavy concurrent load
         while time.time() < deadline:
             t = ctrl.routes[0].target
             if t is not None and t.exists() and t.read().count() == 1:
@@ -174,7 +174,7 @@ def test_live_route_add_mid_query_processing_time(spark, tmp_path):
         # add route b while the query keeps running
         ctrl.add_router(_route(spark, tmp_path, "b"))
         _write_env(spark, env_dir, "b", [(10, "b1", "insert", 2)])
-        deadline = time.time() + 60
+        deadline = time.time() + 180  # generous: CI hosts run this suite under heavy concurrent load
         while time.time() < deadline:
             t = ctrl.routes[1].target
             if t is not None and t.exists() and t.read().count() == 1:
