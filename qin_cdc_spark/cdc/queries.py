@@ -344,3 +344,80 @@ FROM last WHERE rn = 1 AND op <> 'delete'
 
 QUERIES["cdc_time_travel"] = cdc_time_travel
 ORACLES["cdc_time_travel"] = CDC_TIME_TRAVEL_ORACLE
+
+
+def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff between two snapshots of the versioned target: which
+    keys were added / updated / deleted between v1 (first half of the
+    stream) and v2 (full stream).
+
+    Change detection rides on the persisted ``_seq`` (any change to a
+    row arrives as an event with a new seq) — integer-exact, no
+    value-column comparison and so no cross-engine float-format hazard.
+    The diff is one full-outer join on the key over two manifest-pruned
+    reads; unchanged keys (same seq both sides) are excluded."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    tbl = VersionedBucketedTable(
+        spark, tempfile.mkdtemp(prefix="vdiff_gate_") + "/t", ["o_orderkey"]
+    )
+    v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    v2 = tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+
+    def _live(v):
+        return (
+            tbl.read_internal(v)
+            .filter(~F.col("_deleted"))
+            .select("o_orderkey", F.col("_seq").alias("seq"))
+        )
+
+    a = _live(v1).withColumnRenamed("seq", "seq_before")
+    b = _live(v2).withColumnRenamed("seq", "seq_after")
+    joined = a.join(b, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("seq_before").isNull(), F.lit("added"))
+        .when(F.col("seq_after").isNull(), F.lit("deleted"))
+        .when(F.col("seq_before") != F.col("seq_after"), F.lit("updated"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("o_orderkey", "status", "seq_before", "seq_after")
+    )
+
+
+CDC_VERSION_DIFF_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (
+  SELECT o_orderkey, seq FROM (
+    SELECT o_orderkey, op, seq,
+           row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM ev WHERE seq <= (SELECT max(seq) // 2 FROM ev)
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+full_s AS (
+  SELECT o_orderkey, seq FROM (
+    SELECT o_orderkey, op, seq,
+           row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT coalesce(h.o_orderkey, f.o_orderkey) AS o_orderkey,
+       CASE WHEN h.o_orderkey IS NULL THEN 'added'
+            WHEN f.o_orderkey IS NULL THEN 'deleted'
+            WHEN h.seq <> f.seq THEN 'updated' END AS status,
+       h.seq AS seq_before, f.seq AS seq_after
+FROM half h FULL OUTER JOIN full_s f ON h.o_orderkey = f.o_orderkey
+WHERE CASE WHEN h.o_orderkey IS NULL THEN 'added'
+           WHEN f.o_orderkey IS NULL THEN 'deleted'
+           WHEN h.seq <> f.seq THEN 'updated' END IS NOT NULL
+"""
+
+QUERIES["cdc_version_diff"] = cdc_version_diff
+ORACLES["cdc_version_diff"] = CDC_VERSION_DIFF_ORACLE

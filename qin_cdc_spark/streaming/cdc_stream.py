@@ -327,6 +327,7 @@ class CdcStreamRoute:
         n_buckets: int | None = DEFAULT_N_BUCKETS,
         dlq_path: str | None = None,
         sink=None,
+        versioned: bool = False,
     ):
         self.spark = spark
         self.db = db
@@ -343,6 +344,11 @@ class CdcStreamRoute:
         # target exactly like the reference's output plugins push to the
         # remote store instead of materializing locally.
         self.sink = sink
+        # versioned=True: the target retains every batch as a snapshot
+        # (VersionedBucketedTable) — time travel + audit on the synced
+        # table; batch-id replay guard means a redelivered batch mints
+        # no duplicate version.
+        self.versioned = versioned
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -356,7 +362,7 @@ class CdcStreamRoute:
             null_key = null_key | parsed.getField(k).isNull()
         return F.col("data").isNotNull() & null_key
 
-    def apply_batch(self, env_batch: DataFrame) -> None:
+    def apply_batch(self, env_batch: DataFrame, batch_id: int | None = None) -> None:
         # Dead-letter quarantine: rows whose `data` fails to parse are
         # appended to the DLQ instead of killing the stream (the
         # reference log.Fatalfs on decode errors,
@@ -392,7 +398,10 @@ class CdcStreamRoute:
             self.sink(latest_by_key(reduced, self.keys))
             return
         self.bind_target()
-        self.target.merge(reduced)
+        if self.versioned:
+            self.target.merge(reduced, batch_id=batch_id)
+        else:
+            self.target.merge(reduced)
 
     def replay_dlq(self) -> tuple[int, int]:
         """Re-attempt quarantined envelope rows under the route's
@@ -461,7 +470,16 @@ class CdcStreamRoute:
         column set first).  One binding rule for apply AND read paths —
         a bucketed target must never be read through the flat class."""
         if self.target is None:
-            if self.n_buckets:
+            if self.versioned:
+                from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+                self.target = VersionedBucketedTable(
+                    self.spark,
+                    self.target_path,
+                    self.keys,
+                    n_buckets=self.n_buckets or DEFAULT_N_BUCKETS,
+                )
+            elif self.n_buckets:
                 self.target = BucketedUpsertTable(
                     self.spark, self.target_path, self.keys, n_buckets=self.n_buckets
                 )
@@ -525,10 +543,12 @@ def start_cdc_stream(
                     for route in routes:
                         if route.sink is None:
                             tgt = route.bind_target()
-                            if tgt.exists():
+                            # versioned targets keep history by design —
+                            # retention is gc(keep_last=…), not tombstone GC
+                            if tgt.exists() and hasattr(tgt, "gc_tombstones"):
                                 tgt.gc_tombstones(low)
             for route in routes:
-                route.apply_batch(batch_df)
+                route.apply_batch(batch_df, batch_id=batch_id)
         finally:
             batch_df.unpersist()
 

@@ -157,6 +157,12 @@ class VersionedBucketedTable:
             touched = [
                 str(r[0]) for r in incoming.select("_bucket").distinct().collect()
             ]
+            if not touched:
+                # empty batch: advance the replay guard, mint no snapshot
+                if batch_id is not None:
+                    meta["last_batch_id"] = batch_id
+                    self._publish(meta)
+                return meta["current"]
             cur_dirs = [
                 os.path.join(self.path, cur_man["buckets"][b])
                 for b in touched

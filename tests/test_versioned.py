@@ -112,3 +112,68 @@ def test_out_of_order_seq_across_versions(spark, tmp_path):
     v3 = tbl.merge(_changes(spark, [("delete", 20, 1, "new")]))
     assert tbl.read_at(1).count() == 1
     assert tbl.read_at(v3).count() == 0
+
+
+def test_versioned_route_streaming_time_travel(spark, tmp_path):
+    """CdcStreamRoute(versioned=True) end to end: each micro-batch mints
+    a snapshot, the final version equals the LWW oracle, intermediate
+    versions are stable, and a full redelivery from a fresh checkpoint
+    mints NO duplicate versions (batch-id guard)."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.cdc.changestream import orders_change_stream
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.sources.tables import load_table
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    env = envelope_from_typed(
+        orders_change_stream(spark, SF), db="src", table="orders"
+    )
+    env_dir = str(tmp_path / "envelope")
+    # two explicit appends → two files → two micro-batches at
+    # maxFilesPerTrigger=1, seq-ordered so per-version content is stable
+    env.filter(F.col("seq") <= 3000).coalesce(1).write.mode("append").parquet(env_dir)
+    env.filter(F.col("seq") > 3000).coalesce(1).write.mode("append").parquet(env_dir)
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="orders",
+        schema=load_table(spark, SF, "orders").schema,
+        keys=["o_orderkey"],
+        target_path=str(tmp_path / "orders_tbl"),
+        versioned=True,
+    )
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    n_del = orders.filter((F.col("o_orderkey") % 10).isin(7, 9)).count()
+    assert route.target.read().count() == n - n_del
+    versions = route.target.versions()
+    assert len(versions) >= 2  # one snapshot per non-empty micro-batch
+    v1_rows = route.target.read_at(versions[0]).count()
+    assert 0 < v1_rows <= n
+
+    # fresh-checkpoint redelivery: batch ids restart at 0, every merge
+    # no-ops on the guard — same final state, no duplicate versions
+    q2 = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert route.target.versions() == versions
+    assert route.target.read().count() == n - n_del
+    assert route.target.read_at(versions[0]).count() == v1_rows
