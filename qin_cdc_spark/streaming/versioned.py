@@ -100,7 +100,12 @@ class VersionedBucketedTable:
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: after mid-stream schema evolution a version's
+        # buckets legitimately hold different schemas (only touched
+        # buckets were rewritten under the new one); without it Spark
+        # picks one file's schema and silently drops the added column
+        # for every untouched bucket.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_internal(self, version: int | None = None) -> DataFrame | None:
         meta = self._meta()

@@ -177,3 +177,23 @@ def test_versioned_route_streaming_time_travel(spark, tmp_path):
     assert route.target.versions() == versions
     assert route.target.read().count() == n - n_del
     assert route.target.read_at(versions[0]).count() == v1_rows
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """Mid-stream add-column: a later batch carries an extra column and
+    touches only SOME buckets.  The current read must surface the new
+    column (nulls for rows in untouched buckets — mergeSchema read),
+    while read_at(v1) keeps the old shape."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=8)
+    v1 = tbl.merge(_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 9)]))
+    wide = spark.createDataFrame(
+        [("update", 100, 1, "v1b", "extra1")],
+        "op string, seq long, id long, val string, val2 string",
+    )
+    tbl.merge(wide)
+    cur = tbl.read()
+    assert "val2" in cur.columns
+    got = {(r.id, r.val, r.val2) for r in cur.collect()}
+    assert (1, "v1b", "extra1") in got
+    assert (2, "v2", None) in got  # untouched bucket: new column is null
+    assert "val2" not in tbl.read_at(v1).columns
