@@ -197,3 +197,40 @@ def test_schema_evolution_across_versions(spark, tmp_path):
     assert (1, "v1b", "extra1") in got
     assert (2, "v2", None) in got  # untouched bucket: new column is null
     assert "val2" not in tbl.read_at(v1).columns
+
+
+def test_read_key_prunes_to_one_bucket(spark, tmp_path):
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=8)
+    tbl.merge(_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 17)]))
+    got = tbl.read_key([5]).collect()
+    assert [(r.id, r.val) for r in got] == [(5, "v5")]
+    # the lookup's plan reads ONE data dir, not the whole manifest
+    df = tbl.read_key([5])
+    scanned = [
+        ln for ln in df._jdf.queryExecution().executedPlan().toString().split("\n")
+        if "Location" in ln or "d-" in ln
+    ]
+    all_dirs = {d for d in os.listdir(tbl.path) if d.startswith("d-")}
+    mentioned = {d for d in all_dirs if any(d in ln for ln in scanned)}
+    assert len(mentioned) <= 1
+    # missing key → empty, never an error
+    assert tbl.read_key([999]).count() == 0
+
+
+def test_changes_between_versions(spark, tmp_path):
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    v1 = tbl.merge(
+        _changes(spark, [("insert", 1, 1, "a"), ("insert", 2, 2, "b"), ("insert", 3, 3, "c")])
+    )
+    v2 = tbl.merge(
+        _changes(
+            spark,
+            [("update", 4, 1, "a2"), ("delete", 5, 2, "b"), ("insert", 6, 4, "d")],
+        )
+    )
+    ch = {r.id: r._change for r in tbl.changes_between(v1, v2).collect()}
+    assert ch == {1: "update", 2: "delete", 4: "insert"}  # 3 unchanged → absent
+    # update/insert rows carry the v_to values
+    vals = {r.id: r.val for r in tbl.changes_between(v1, v2).filter(
+        F.col("_change") != "delete").collect()}
+    assert vals == {1: "a2", 4: "d"}
