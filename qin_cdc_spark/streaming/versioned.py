@@ -243,44 +243,59 @@ class VersionedBucketedTable:
             cond = c if cond is None else (cond & c)
         return self._visible(df.filter(cond))
 
-    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+    def changes_between(
+        self, v_from: int, v_to: int, *, include_preimage: bool = False
+    ) -> DataFrame:
         """Change data feed: per-key net change between two retained
         snapshots as (``_change`` ∈ insert/update/delete, *row columns*
         from the v_to side where present).
 
+        With ``include_preimage=True`` every row also carries the
+        v_from values as ``_pre_<col>`` (null for inserts) — the
+        Delta-CDF preimage/postimage shape that makes RETRACTABLE
+        incremental aggregation possible: a consumer maintains
+        sum/count by subtracting the preimage and adding the postimage,
+        never rescanning the table.
+
         Detection rides on the persisted per-key ``_seq`` (every change
         arrives as an event with a new seq) — one full-outer join on
-        the key, no value-column comparison.  Downstream incremental
-        consumers (rollup refresh, index maintenance, cache
-        invalidation) replay just this delta instead of diffing full
-        snapshots."""
+        the key, no value-column comparison."""
         a = self.read_internal(v_from)
         b = self.read_internal(v_to)
         if b is None:
             raise ValueError("changes_between: v_to snapshot is empty")
-        a_live = (
-            a.filter(~F.col("_deleted")).select(
-                *self.keys, F.col("_seq").alias("_seq_from")
-            )
-            if a is not None
-            else None
-        )
         b_live = b.filter(~F.col("_deleted")).select(
             *[F.col(c) for c in b.columns if c != "_deleted"]
         ).withColumnRenamed("_seq", "_seq_to")
-        if a_live is None:
-            return b_live.withColumn("_change", F.lit("insert")).drop("_seq_to")
+        if a is None:
+            out = b_live.withColumn("_change", F.lit("insert")).drop("_seq_to")
+            if include_preimage:
+                for c in b_live.columns:
+                    if c not in self.keys and c != "_seq_to":
+                        out = out.withColumn(f"_pre_{c}", F.lit(None))
+            return out
+        a_value_cols = [
+            c for c in a.columns if c not in {*self.keys, "_seq", "_deleted"}
+        ]
+        a_live = a.filter(~F.col("_deleted")).select(
+            *self.keys,
+            F.col("_seq").alias("_seq_from"),
+            *[F.col(c).alias(f"_pre_{c}") for c in a_value_cols],
+        )
         joined = a_live.join(b_live, self.keys, "full_outer")
         change = (
             F.when(F.col("_seq_from").isNull(), F.lit("insert"))
             .when(F.col("_seq_to").isNull(), F.lit("delete"))
             .when(F.col("_seq_from") != F.col("_seq_to"), F.lit("update"))
         )
-        return (
+        out = (
             joined.withColumn("_change", change)
             .filter(F.col("_change").isNotNull())
             .drop("_seq_from", "_seq_to")
         )
+        if not include_preimage:
+            out = out.drop(*[f"_pre_{c}" for c in a_value_cols])
+        return out
 
     # -- retention ---------------------------------------------------------
 

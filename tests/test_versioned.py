@@ -234,3 +234,45 @@ def test_changes_between_versions(spark, tmp_path):
     vals = {r.id: r.val for r in tbl.changes_between(v1, v2).filter(
         F.col("_change") != "delete").collect()}
     assert vals == {1: "a2", 4: "d"}
+
+
+def test_cdf_preimage_incremental_aggregation(spark, tmp_path):
+    """The CDF preimage/postimage shape supports RETRACTABLE incremental
+    aggregation: maintain per-group (cnt, sum) from the delta alone and
+    land exactly on the full recompute."""
+    rows = spark.createDataFrame(
+        [("insert", i, i, "g%d" % (i % 3), i * 10) for i in range(1, 10)],
+        "op string, seq long, id long, grp string, amt long",
+    )
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    v1 = tbl.merge(rows)
+    v2 = tbl.merge(
+        spark.createDataFrame(
+            [
+                ("update", 100, 1, "g1", 999),   # g1: 10 → 999
+                ("update", 101, 2, "g0", 555),   # moves g2 → g0 (group change!)
+                ("delete", 102, 3, "g0", 30),
+                ("insert", 103, 11, "g2", 70),
+            ],
+            "op string, seq long, id long, grp string, amt long",
+        )
+    )
+    base = {
+        (r.grp): (r["count(1)"], r["sum(amt)"])
+        for r in tbl.read_at(v1).groupBy("grp").agg(F.count(F.lit(1)), F.sum("amt")).collect()
+    }
+    cdf = tbl.changes_between(v1, v2, include_preimage=True).collect()
+    inc = dict(base)
+    for r in cdf:
+        if r._change in ("update", "delete"):  # retract the preimage
+            c, s = inc[r._pre_grp]
+            inc[r._pre_grp] = (c - 1, s - r._pre_amt)
+        if r._change in ("update", "insert"):  # add the postimage
+            c, s = inc.get(r.grp, (0, 0))
+            inc[r.grp] = (c + 1, s + r.amt)
+    inc = {g: v for g, v in inc.items() if v[0] > 0}
+    want = {
+        (r.grp): (r["count(1)"], r["sum(amt)"])
+        for r in tbl.read().groupBy("grp").agg(F.count(F.lit(1)), F.sum("amt")).collect()
+    }
+    assert inc == want
