@@ -343,6 +343,49 @@ MIX_BUDGET = 1_000_000
 _CHARS_PER_TOKEN = 4  # matches operators/curation.py::CHARS_PER_TOKEN
 
 
+def hamilton_alloc(
+    df: DataFrame, key_col: str, weight_col: str, budget: int
+) -> DataFrame:
+    """Exact largest-remainder (Hamilton) apportionment of an integer
+    ``budget`` over the rows' integer weights: adds an ``alloc`` column
+    with Σ alloc == budget and |alloc − budget·w/W| < 1 for every row.
+
+    All-integer arithmetic (div + exact remainders); ties in the
+    remainder rank break by ``key_col`` so the result is deterministic.
+    Precondition: at least one positive weight.  Operates on the
+    (small, post-aggregation) frame — totals are single-partition
+    windows, intended for |rows| = sources/shards/classes, not corpora.
+    """
+    all_w = Window.partitionBy()
+    return (
+        df.withColumn("total_w", F.sum(weight_col).over(all_w))
+        .withColumn(
+            "base", F.expr(f"({budget} * {weight_col}) div total_w").cast("long")
+        )
+        .withColumn(
+            "rem",
+            F.lit(budget) * F.col(weight_col) - F.col("base") * F.col("total_w"),
+        )
+        .withColumn("leftover", F.lit(budget) - F.sum("base").over(all_w))
+        .withColumn(
+            "rem_rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("rem").desc(), F.col(key_col).asc()
+                )
+            ),
+        )
+        .withColumn(
+            "alloc",
+            (
+                F.col("base")
+                + F.when(F.col("rem_rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .drop("total_w", "base", "rem", "leftover", "rem_rk")
+    )
+
+
 @_q("mix_temperature_alloc")
 def mix_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training-mix allocation under α=0.5 temperature
@@ -362,26 +405,9 @@ def mix_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = per_src.withColumn(
         "weight", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
     )
-    all_w = Window.partitionBy()
-    alloc = (
-        weighted.withColumn("total_w", F.sum("weight").over(all_w))
-        .withColumn("base", F.expr(f"({MIX_BUDGET} * weight) div total_w").cast("long"))
-        .withColumn("rem", F.lit(MIX_BUDGET) * F.col("weight") - F.col("base") * F.col("total_w"))
-        .withColumn("leftover", F.lit(MIX_BUDGET) - F.sum("base").over(all_w))
-        .withColumn(
-            "rem_rk",
-            F.row_number().over(
-                Window.partitionBy().orderBy(F.col("rem").desc(), F.col("source").asc())
-            ),
-        )
-        .withColumn(
-            "alloc",
-            (F.col("base") + F.when(F.col("rem_rk") <= F.col("leftover"), 1).otherwise(0)).cast(
-                "long"
-            ),
-        )
+    return hamilton_alloc(weighted, "source", "weight", MIX_BUDGET).select(
+        "source", "n_tokens", "weight", "alloc"
     )
-    return alloc.select("source", "n_tokens", "weight", "alloc")
 
 
 MIX_TEMP_ORACLE = f"""

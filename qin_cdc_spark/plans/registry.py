@@ -44,7 +44,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   dq_profile_orders, shards_plan_stats, mm_ahash_neardup,
 #   ev_attribution_last_touch, ev_rate_anomaly, cdc_bootstrap_overlap,
 #   scan_zorder_2d, dedup_jaccard_prefix_exact, retrieval_rrf_fusion,
-#   retrieval_hard_negatives, mix_temperature_alloc)
+#   retrieval_hard_negatives, mix_temperature_alloc, cdc_time_travel,
+#   cdc_version_diff)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge

@@ -99,3 +99,45 @@ def test_pps_multiplicity_telescopes_to_exact_total(weights, step):
         cum += w
         total_mult += cum // step - prev // step
     assert total_mult == sum(weights) // step
+
+
+def _hamilton_py(weights: list[int], budget: int) -> list[int]:
+    """Pure-Python largest-remainder mirror (ties by index asc)."""
+    total = sum(weights)
+    base = [budget * w // total for w in weights]
+    rem = [budget * w - b * total for w, b in zip(weights, base)]
+    leftover = budget - sum(base)
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    out = list(base)
+    for i in order[:leftover]:
+        out[i] += 1
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=12)
+    .filter(lambda ws: sum(ws) > 0),
+    budget=st.integers(min_value=1, max_value=10**6),
+)
+def test_hamilton_alloc_matches_pure_python(spark, weights, budget):
+    """Spark Hamilton apportionment ≡ the pure-Python mirror, and the
+    two invariants hold: Σ alloc == budget, |alloc − quota| < 1."""
+    from qin_cdc_spark.operators.fusion import hamilton_alloc
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "k int, w long"
+    )
+    got = {
+        r.k: r.alloc for r in hamilton_alloc(df, "k", "w", budget).collect()
+    }
+    want = _hamilton_py(weights, budget)
+    assert [got[i] for i in range(len(weights))] == want
+    assert sum(got.values()) == budget
+    total = sum(weights)
+    for i, w in enumerate(weights):
+        assert abs(got[i] - budget * w / total) < 1.0 + 1e-9
