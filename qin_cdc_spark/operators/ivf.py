@@ -35,11 +35,16 @@ def _centroid_lits(centroids: list[list[float]]):
 
 def _assign_expr(centroids: list[list[float]]):
     """Index of the nearest centroid (squared L2), row-local."""
+    return _assign_expr_on(centroids, "embedding")
+
+
+def _assign_expr_on(centroids: list[list[float]], emb_col: str):
+    """Same, over a caller-named embedding column."""
     cents = _centroid_lits(centroids)
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
-            F.zip_with(F.col("embedding"), c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.zip_with(F.col(emb_col), c, lambda x, y: (x.cast("double") - y) ** 2),
             F.lit(0.0),
             lambda acc, v: acc + v,
         ),
@@ -309,6 +314,22 @@ class IvfIndex:
             f"{self.path}/corpus"
         )
 
+    def _assigned(self, vectors_df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+        """(…, cluster) under the persisted centroids — row-local under
+        either artifact layout (parquet table broadcast / JSON literals)."""
+        import os
+
+        if os.path.isdir(f"{self.path}/centroids_pq"):
+            spark = vectors_df.sparkSession
+            return vectors_df.crossJoin(
+                F.broadcast(_cents_one_row(self.centroids_df(spark)))
+            ).withColumn(
+                "cluster", _assign_from_col(F.col("cents"), emb_col=emb_col)
+            ).drop("cents")
+        return vectors_df.withColumn(
+            "cluster", _assign_expr_on(self.centroids(), emb_col)
+        )
+
     def add_batch(self, vectors_df: DataFrame) -> None:
         """Incremental ingest: assign new vectors (vec_id, embedding) to
         the EXISTING centroids and append to their inverted lists — the
@@ -317,24 +338,87 @@ class IvfIndex:
         row-local; the append touches only the clusters the batch lands
         in.  Centroids drift from the true k-means of the grown corpus —
         the standard IVF trade-off; rebuild() when recall decays."""
-        import os
+        self._assigned(vectors_df).select(
+            "vec_id", "embedding", "cluster"
+        ).write.mode("append").partitionBy("cluster").parquet(f"{self.path}/corpus")
 
-        if os.path.isdir(f"{self.path}/centroids_pq"):
-            spark = vectors_df.sparkSession
-            assigned = vectors_df.crossJoin(
-                F.broadcast(_cents_one_row(self.centroids_df(spark)))
-            ).select(
-                "vec_id", "embedding", _assign_from_col(F.col("cents")).alias("cluster")
+    def apply_cdf(self, changes: DataFrame) -> None:
+        """Index MAINTENANCE from a change-data-feed batch — closes the
+        gap ``add_batch`` leaves open: updates and deletes.
+
+        ``changes``: (vec_id, _change ∈ insert/update/delete,
+        embedding [postimage, null for deletes], _pre_embedding
+        [preimage, null for inserts]) — exactly what
+        ``VersionedBucketedTable.changes_between(include_preimage=True)``
+        emits for an embeddings table keyed by vec_id.
+
+        The trick that keeps this O(touched clusters): the STALE row's
+        cluster is recomputed ROW-LOCALLY from the preimage embedding
+        (assignment under fixed centroids is deterministic), so no
+        corpus scan is needed to locate rows to remove.  Touched
+        partitions = old ∪ new clusters; each is rewritten as
+        (existing − removed vec_ids) ∪ new rows via staged write +
+        per-partition directory swap (the BucketedUpsertTable pattern).
+        Invariant (tested): the maintained corpus equals a full
+        re-assignment of the current snapshot under the same centroids.
+        """
+        import os
+        import shutil
+        import uuid
+
+        spark = changes.sparkSession
+        changes = changes.persist()
+        try:
+            new_rows = self._assigned(
+                changes.filter(F.col("_change").isin("insert", "update")).select(
+                    "vec_id", "embedding"
+                )
+            ).select("vec_id", "embedding", "cluster")
+            old_rows = self._assigned(
+                changes.filter(F.col("_change").isin("update", "delete")).select(
+                    "vec_id", F.col("_pre_embedding").alias("embedding")
+                )
+            ).select("vec_id", "cluster")
+            new_rows = new_rows.persist()
+            old_rows = old_rows.persist()
+            touched = sorted(
+                {
+                    r[0]
+                    for r in new_rows.select("cluster")
+                    .union(old_rows.select("cluster"))
+                    .distinct()
+                    .collect()
+                }
             )
-        else:
-            assigned = vectors_df.select(
-                "vec_id",
-                "embedding",
-                _assign_expr(self.centroids()).alias("cluster"),
+            if not touched:
+                return
+            corpus = f"{self.path}/corpus"
+            keep = (
+                spark.read.parquet(corpus)
+                .filter(F.col("cluster").isin([int(c) for c in touched]))
+                .join(old_rows.select("vec_id"), "vec_id", "left_anti")
             )
-        assigned.write.mode("append").partitionBy("cluster").parquet(
-            f"{self.path}/corpus"
-        )
+            merged = keep.select("vec_id", "embedding", "cluster").unionByName(
+                new_rows
+            )
+            merged = merged.repartition(max(1, len(touched)), F.col("cluster"))
+            stage = f"{corpus}.stage-{uuid.uuid4().hex[:8]}"
+            merged.write.partitionBy("cluster").parquet(stage)
+            for c in touched:
+                src = os.path.join(stage, f"cluster={c}")
+                dst = os.path.join(corpus, f"cluster={c}")
+                old = f"{dst}.old-{uuid.uuid4().hex[:6]}"
+                if os.path.exists(dst):
+                    os.rename(dst, old)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+            shutil.rmtree(stage, ignore_errors=True)
+            new_rows.unpersist()
+            old_rows.unpersist()
+        finally:
+            changes.unpersist()
 
     def exists(self) -> bool:
         import os

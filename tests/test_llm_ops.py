@@ -298,3 +298,63 @@ def test_ivf_distributed_build_matches_literal_build(spark, tmp_path):
     same = sum(len(ga[q] & gb[q]) for q in ga)
     total = sum(len(ga[q]) for q in ga)
     assert same / total >= 0.95, f"neighbor overlap {same}/{total}"
+
+
+def test_ivf_apply_cdf_matches_full_reassign(spark, tmp_path):
+    """apply_cdf (insert+update+delete maintenance) must leave the
+    corpus EXACTLY equal to a one-shot assignment of the post-change
+    snapshot under the same centroids — driven end to end from a
+    VersionedBucketedTable change feed with preimages."""
+    from qin_cdc_spark.operators.ivf import IvfIndex
+    from qin_cdc_spark.sources.tables import load_table
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+
+    # snapshot v1 = fixture; v2 = delete %7==0, re-embed %5==1 (swap in a
+    # rotated vector so most move clusters), insert 3 new ids
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "vt"), ["vec_id"], n_buckets=8)
+    v1 = tbl.merge(
+        emb.select(
+            F.lit("insert").alias("op"), F.col("vec_id").alias("seq"),
+            "vec_id", "embedding",
+        )
+    )
+    upd = emb.filter(F.col("vec_id") % 5 == 1).select(
+        F.lit("update").alias("op"), (F.col("vec_id") + 10_000).alias("seq"),
+        "vec_id", F.reverse("embedding").alias("embedding"),
+    )
+    dele = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.lit("delete").alias("op"), (F.col("vec_id") + 20_000).alias("seq"),
+        "vec_id", "embedding",
+    )
+    ins = emb.filter(F.col("vec_id") < 3).select(
+        F.lit("insert").alias("op"), (F.col("vec_id") + 30_000).alias("seq"),
+        (F.col("vec_id") + 100_000).alias("vec_id"), F.reverse("embedding").alias("embedding"),
+    )
+    v2 = tbl.merge(upd.unionByName(dele).unionByName(ins))
+
+    idx = IvfIndex(str(tmp_path / "idx"))
+    idx.build(spark, SF_SMOKE)
+    # rebase the index corpus onto snapshot v1 under the trained centroids
+    import shutil
+
+    shutil.rmtree(f"{idx.path}/corpus")
+    idx.add_batch(tbl.read_at(v1))
+
+    cdf = tbl.changes_between(v1, v2, include_preimage=True)
+    idx.apply_cdf(cdf)
+
+    got = sorted(
+        (r.vec_id, r.cluster, tuple(round(float(x), 6) for x in r.embedding))
+        for r in idx.corpus(spark).collect()
+    )
+    ref = IvfIndex(str(tmp_path / "ref"))
+    ref.build(spark, SF_SMOKE)  # same deterministic centroids
+    shutil.rmtree(f"{ref.path}/corpus")
+    ref.add_batch(tbl.read_at(v2))
+    want = sorted(
+        (r.vec_id, r.cluster, tuple(round(float(x), 6) for x in r.embedding))
+        for r in ref.corpus(spark).collect()
+    )
+    assert got == want and len(got) > 0
