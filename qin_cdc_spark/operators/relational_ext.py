@@ -1357,3 +1357,73 @@ LEFT JOIN LATERAL (
 
 QUERIES["asof_join_nearest_purchase"] = asof_join_nearest_purchase
 ORACLES["asof_join_nearest_purchase"] = ASOF_NEAREST_ORACLE
+
+
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments with EXACT integer arithmetic: per
+    (returnflag, ship-month) group, the sample-variance numerator
+    n·Σq² − (Σq)² and the covariance numerator n·Σqd − Σq·Σd between
+    quantity and discount-percent.
+
+    Float variance/corr aggregates are not bit-portable across engines
+    (different summation orders and algorithms — Welford vs two-pass),
+    so the published statistics are the cross-multiplied integer
+    numerators over integer-valued columns (quantity is 1..50; discount
+    ×100 is 0..10): any engine computes them bit-identically, and the
+    real-valued statistic is numerator/(n·(n−1)) downstream.  Bounds:
+    with per-group n ≤ ~1e8 and q ≤ 50, d ≤ 10 the numerators stay well
+    inside int64; grouping by month keeps per-group n bounded at any
+    corpus scale (use DECIMAL(38,0) sums if a coarser grouping is
+    required).  One partial-agg shuffle carrying 5 longs per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    g = (
+        li.select(
+            "l_returnflag",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+            q.alias("q"),
+            d.alias("d"),
+        )
+        .groupBy("l_returnflag", "ym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_q"),
+            F.sum(F.col("q") * F.col("q")).alias("sum_q2"),
+            F.sum("d").alias("sum_d"),
+            F.sum(F.col("q") * F.col("d")).alias("sum_qd"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "ym",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_q").cast("long").alias("sum_q"),
+        (F.col("n") * F.col("sum_q2") - F.col("sum_q") * F.col("sum_q"))
+        .cast("long")
+        .alias("varnum_q"),
+        (F.col("n") * F.col("sum_qd") - F.col("sum_q") * F.col("sum_d"))
+        .cast("long")
+        .alias("covnum_qd"),
+    )
+
+
+AGG_STATS_EXACT_ORACLE = """
+SELECT l_returnflag, ym,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_q AS BIGINT) AS sum_q,
+       CAST(n * sum_q2 - sum_q * sum_q AS BIGINT) AS varnum_q,
+       CAST(n * sum_qd - sum_q * sum_d AS BIGINT) AS covnum_qd
+FROM (
+  SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ym,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_q2,
+         sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_d,
+         sum(CAST(l_quantity AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS sum_qd
+  FROM lineitem GROUP BY 1, 2
+)
+"""
+
+QUERIES["agg_stats_exact"] = agg_stats_exact
+ORACLES["agg_stats_exact"] = AGG_STATS_EXACT_ORACLE
