@@ -421,3 +421,62 @@ WHERE CASE WHEN h.o_orderkey IS NULL THEN 'added'
 
 QUERIES["cdc_version_diff"] = cdc_version_diff
 ORACLES["cdc_version_diff"] = CDC_VERSION_DIFF_ORACLE
+
+
+def cdc_derived_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance over the mutating CDC target: a
+    per-status (count, revenue-cents) aggregate refreshed INCREMENTALLY
+    from the versioned table's preimage CDF across two apply batches —
+    the update stream moves rows between status groups (U/V rewrites)
+    and deletes others, so this exercises true retraction, which the
+    additive RollupStore cannot express.  The oracle recomputes the
+    aggregate from scratch on the full-stream LWW materialization; the
+    hash check proves incremental == recompute.
+
+    Cents are floor(price·100) — the price mutations are bare IEEE
+    multiplies (bit-identical cross-engine), and integer cents make the
+    retractable sums exact under any refresh composition."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedAggTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders").withColumn(
+        "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+    )
+    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    base = tempfile.mkdtemp(prefix="derived_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"])
+    mv = DerivedAggTable(
+        spark, base + "/mv", group_cols=["o_orderstatus"], sum_cols=["price_c"]
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    mv.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    mv.refresh(tbl)
+    return mv.read().select(
+        "o_orderstatus",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_c").alias("sum_cents"),
+    )
+
+
+CDC_DERIVED_ROLLUP_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(price_c) AS BIGINT) AS sum_cents
+FROM live GROUP BY 1
+"""
+
+QUERIES["cdc_derived_rollup"] = cdc_derived_rollup
+ORACLES["cdc_derived_rollup"] = CDC_DERIVED_ROLLUP_ORACLE

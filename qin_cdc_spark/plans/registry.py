@@ -45,7 +45,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   ev_attribution_last_touch, ev_rate_anomaly, cdc_bootstrap_overlap,
 #   q21_sole_late_shipper, scan_zorder_2d, dedup_jaccard_prefix_exact, retrieval_rrf_fusion,
 #   retrieval_hard_negatives, mix_temperature_alloc, cdc_time_travel,
-#   agg_stats_exact,
+#   agg_stats_exact, cdc_derived_rollup,
 #   cdc_version_diff)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
