@@ -73,6 +73,9 @@ HEADLINE = [
     # round-3 session-2 additions
     "dedup_substring_spans",
     "dedup_jaccard_prefix_exact",
+    # round-3 session-3: versioned target + preimage-CDF materialized
+    # view, end to end (2 snapshot merges + 2 incremental refreshes)
+    "cdc_derived_rollup",
 ]
 
 
