@@ -72,6 +72,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "h"),
     )
+    # materialization barrier: wins feeds BOTH the occurrence agg and the
+    # join back — without it the per-window md5 hashing runs twice (the
+    # repo-wide CollapseProject lesson); repartition first because the
+    # one-file fixture otherwise hashes on a single partition.
+    # Measured at sf0.1: 7.5 s → 4.4 s.
+    wins = wins.repartition(spark.sparkContext.defaultParallelism).persist()
     occ = wins.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
@@ -109,7 +115,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup_counts = dups.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
     base = docs.select("doc_id", n_win.cast("long").alias("n_windows"))
-    return (
+    out = (
         base.join(dup_counts, "doc_id", "left")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -121,7 +127,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dup_cover_words"),
         )
+        .persist()
     )
+    out.count()
+    wins.unpersist()
+    return out
 
 
 W = SUBSTR_W  # short alias for the oracle f-string below
