@@ -83,18 +83,26 @@ RRF_K = 60
 RRF_SCALE = 1_000_000_000
 
 
-def _lexical_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
-    """Top-``topk`` docs per query by distinct 3-word-shingle overlap.
-
-    Returns (query_id, cand_id, inter, lex_rk).  The (doc, hash60)
-    inverted index is built once; the query side is filtered + broadcast
-    so candidate generation is a streaming hash join on 8-byte keys.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    idx = docs.select(
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, shingle-hash60) inverted index.  Callers persist it:
+    every consumer below reads it at least twice (query-side filter +
+    corpus-side join), and without a materialization barrier the
+    explode+md5 recomputes per consumer (the repo-wide CollapseProject
+    lesson)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"))).alias("sh"),
     ).select("doc_id", hash60(F.col("sh")).alias("h"))
+
+
+def _lexical_ranked_from(idx: DataFrame, topk: int) -> DataFrame:
+    """Top-``topk`` docs per query by distinct 3-word-shingle overlap
+    over a (persisted) inverted index.  Returns (query_id, cand_id,
+    inter, lex_rk).  The query side is filtered + broadcast so candidate
+    generation is a streaming hash join on 8-byte keys."""
     q_idx = idx.filter(F.col("doc_id") % QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "h"
     )
@@ -112,6 +120,11 @@ def _lexical_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
         .filter(F.col("lex_rk") <= topk)
         .select("query_id", "cand_id", "inter", "lex_rk")
     )
+
+
+def _lexical_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """Standalone form (fresh index, no sharing) — test hook."""
+    return _lexical_ranked_from(_shingle_index(spark, sf_dir), topk)
 
 
 def _dense_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
@@ -150,7 +163,8 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the candidate — exact integers, so ties and order are
     engine-independent (cand_id breaks residual ties).
     """
-    lex = _lexical_ranked(spark, sf_dir, LEX_TOPK)
+    idx = _shingle_index(spark, sf_dir).persist()
+    lex = _lexical_ranked_from(idx, LEX_TOPK)
     dense = _dense_ranked(spark, sf_dir, DENSE_TOPK)
     fused = (
         lex.select("query_id", "cand_id", "lex_rk")
@@ -178,11 +192,15 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf_e9").desc(), F.col("cand_id").asc()
     )
-    return (
+    out = (
         fused.withColumn("fused_rk", F.row_number().over(w))
         .filter(F.col("fused_rk") <= FUSED_TOPK)
         .select("query_id", "cand_id", "lex_rk", "dense_rk", "rrf_e9", "fused_rk")
+        .persist()
     )
+    out.count()
+    idx.unpersist()
+    return out
 
 
 _SH_SQL = SHINGLES_SQL.format(w=WORDS_SQL)
@@ -280,13 +298,9 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Set sizes join AFTER the pair aggregation (|pairs| ≤ HN_POOL·|Q|
     rows), never against the exploded index.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    idx = docs.select(
-        "doc_id",
-        F.explode(word_shingles(F.col("text"))).alias("sh"),
-    ).select("doc_id", hash60(F.col("sh")).alias("h"))
+    idx = _shingle_index(spark, sf_dir).persist()
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pool = _lexical_ranked(spark, sf_dir, HN_POOL)
+    pool = _lexical_ranked_from(idx, HN_POOL)
     survivors = (
         pool.join(
             broadcast(sizes.withColumnRenamed("doc_id", "query_id").withColumnRenamed("sz", "q_sz")),
@@ -302,11 +316,15 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("inter").desc(), F.col("cand_id").asc()
     )
-    return (
+    out = (
         survivors.withColumn("hn_rk", F.row_number().over(w))
         .filter(F.col("hn_rk") <= HN_TOPK)
         .select("query_id", "cand_id", F.col("inter").cast("long").alias("inter"), "union_sz", "hn_rk")
+        .persist()
     )
+    out.count()
+    idx.unpersist()
+    return out
 
 
 _LEX_POOL_CTE = _LEX_CTE.replace(f"<= {LEX_TOPK}", f"<= {HN_POOL}")
