@@ -497,6 +497,7 @@ def start_cdc_stream(
     trigger: dict | None = None,
     registry=None,
     gc_every: int = 0,
+    post_batch=None,
 ):
     """Start the streaming apply: one foreachBatch fanning out to every
     route (per-table grouping, A21 analog — each route filters its own
@@ -549,6 +550,13 @@ def start_cdc_stream(
                                 tgt.gc_tombstones(low)
             for route in routes:
                 route.apply_batch(batch_df, batch_id=batch_id)
+            # downstream maintenance (derived MVs, index refresh) runs
+            # INSIDE the micro-batch, after every route applied: a crash
+            # replays the whole batch and both the LWW merge and any
+            # version-guarded consumer (DerivedAggTable.refresh,
+            # IvfIndex.apply_cdf driven off changes_between) converge.
+            if post_batch is not None:
+                post_batch(batch_id)
         finally:
             batch_df.unpersist()
 

@@ -92,3 +92,52 @@ def test_derived_agg_publish_is_crash_safe(spark, tmp_path):
     mv.refresh(tbl)
     assert not os.path.exists(orphan)
     assert _view(mv) == {"g": (2, 11)}
+
+
+def test_derived_mv_refreshes_inside_the_stream(spark, tmp_path):
+    """post_batch hook: the MV refreshes within each micro-batch of a
+    running CDC stream over a versioned route and ends equal to the
+    full recompute."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    env_dir = str(tmp_path / "env")
+    typed1 = _changes(spark, [("insert", i, i, "g%d" % (i % 2), i) for i in range(1, 7)])
+    typed2 = _changes(spark, [("update", 10, 1, "g1", 100), ("delete", 11, 2, "g0", 2)])
+    for t in (typed1, typed2):
+        envelope_from_typed(t.select("id", "grp", "amt", "op", "seq"), db="src", table="t").coalesce(1).write.mode(
+            "append"
+        ).parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=_parse_datatype_string("id long, grp string, amt long"),
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+        versioned=True,
+    )
+    mv = DerivedAggTable(
+        spark, str(tmp_path / "mv"), group_cols=["grp"], sum_cols=["amt"]
+    )
+
+    def post_batch(batch_id):
+        if route.target is not None and route.target.exists():
+            mv.refresh(route.target)
+
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=post_batch,
+    )
+    q.awaitTermination(300)
+    assert mv.applied_version() == route.target.current_version()
+    assert _view(mv) == _recompute(route.target)
