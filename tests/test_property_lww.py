@@ -109,3 +109,68 @@ def test_envelope_decode_roundtrip_property(spark, rows):
     got = sorted((r.id, r.name, r.value) for r in dec.collect())
     want = sorted(rows)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# VersionedBucketedTable vs a pure-Python versioned-LWW model: random
+# op sequences partitioned into batches; every retained snapshot must
+# equal the model's state after the corresponding prefix of batches.
+# ---------------------------------------------------------------------------
+
+
+def _model_apply(state, batch):
+    """state: key -> (seq, val, deleted).  LWW by seq (ties: later
+    event in batch order wins only if seq strictly greater — the
+    engine keeps max-seq; equal seq keeps whichever max_by picks, so
+    the generator below never emits duplicate (key, seq) pairs)."""
+    for op, seq, k, v in batch:
+        cur = state.get(k)
+        if cur is None or seq > cur[0]:
+            state[k] = (seq, v, op == "delete")
+    return state
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "update", "delete"]),
+            st.integers(min_value=0, max_value=9),   # key
+            st.integers(min_value=0, max_value=99),  # value payload
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    n_batches=st.integers(min_value=1, max_value=3),
+)
+def test_versioned_table_matches_python_model(spark, tmp_path_factory, ops, n_batches):
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    # unique seq per event (list position) → no equal-seq ambiguity
+    events = [(op, i, k, f"v{val}") for i, (op, k, val) in enumerate(ops)]
+    cut = max(1, len(events) // n_batches)
+    batches = [events[i : i + cut] for i in range(0, len(events), cut)]
+
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path_factory.mktemp("vprop") / "t"), ["id"], n_buckets=4
+    )
+    versions = []
+    for b in batches:
+        df = spark.createDataFrame(
+            [(op, seq, k, v) for op, seq, k, v in b],
+            "op string, seq long, id long, val string",
+        )
+        versions.append(tbl.merge(df))
+
+    state: dict = {}
+    for b, v in zip(batches, versions):
+        state = _model_apply(state, b)
+        want = {
+            (k, val) for k, (seq, val, dead) in state.items() if not dead
+        }
+        got = {(r.id, r.val) for r in tbl.read_at(v).collect()}
+        assert got == want, (v, got, want)
