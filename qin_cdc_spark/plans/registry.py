@@ -43,7 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   tokenize_bpe_counts [rows-only], dq_constraint_report,
 #   dq_profile_orders, shards_plan_stats, mm_ahash_neardup,
 #   ev_attribution_last_touch, ev_rate_anomaly, cdc_bootstrap_overlap,
-#   q21_sole_late_shipper, scan_zorder_2d, dedup_jaccard_prefix_exact, retrieval_rrf_fusion,
+#   q21_sole_late_shipper, q17_small_qty_revenue, scan_zorder_2d, dedup_jaccard_prefix_exact, retrieval_rrf_fusion,
 #   retrieval_hard_negatives, mix_temperature_alloc, cdc_time_travel,
 #   agg_stats_exact, cdc_derived_rollup,
 #   cdc_version_diff)
@@ -98,7 +98,7 @@ _HEAD = [
     "text_pii_redact",
     "sample_hash_bernoulli",
     "q4_order_priority",
-    "q17_small_qty_revenue",
+    "cdc_derived_rollup",  # round-3 derived-MV flagship
     "cdc_time_travel",  # round-3 versioned-target family representative
 ]
 
