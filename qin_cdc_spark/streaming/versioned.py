@@ -297,6 +297,25 @@ class VersionedBucketedTable:
             out = out.drop(*[f"_pre_{c}" for c in a_value_cols])
         return out
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to snapshot ``version`` by minting a NEW
+        version whose manifest is a copy of the old one (Delta RESTORE):
+        zero data movement — the restored snapshot shares every data dir
+        with the original — and history after the bad version stays
+        readable until ``gc()`` expires it."""
+        meta = self._meta()
+        man = meta["versions"].get(str(version))
+        if man is None:
+            raise ValueError(
+                f"restore: version {version} not retained at {self.path} "
+                f"(have {self.versions()})"
+            )
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = {"buckets": dict(man["buckets"])}
+        meta["current"] = new_v
+        self._publish(meta)
+        return new_v
+
     # -- retention ---------------------------------------------------------
 
     def gc(self, *, keep_last: int) -> list[int]:

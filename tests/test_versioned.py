@@ -276,3 +276,20 @@ def test_cdf_preimage_incremental_aggregation(spark, tmp_path):
         for r in tbl.read().groupBy("grp").agg(F.count(F.lit(1)), F.sum("amt")).collect()
     }
     assert inc == want
+
+
+def test_restore_rolls_back_without_data_movement(spark, tmp_path):
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    v1 = tbl.merge(_changes(spark, [("insert", 1, 1, "good"), ("insert", 2, 2, "keep")]))
+    v2 = tbl.merge(_changes(spark, [("update", 10, 1, "BAD"), ("delete", 11, 2, "keep")]))
+    v3 = tbl.restore(v1)
+    assert v3 == v2 + 1 and tbl.current_version() == v3
+    # current state == v1's state; the restored manifest SHARES v1's dirs
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {(1, "good"), (2, "keep")}
+    m = _manifest(tbl)
+    assert m["versions"][str(v3)]["buckets"] == m["versions"][str(v1)]["buckets"]
+    # the bad version stays readable (audit) until gc expires it
+    assert {(r.id, r.val) for r in tbl.read_at(v2).collect()} == {(1, "BAD")}
+    # and LWW continues correctly on top of the restore
+    tbl.merge(_changes(spark, [("update", 20, 2, "newer")]))
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {(1, "good"), (2, "newer")}
