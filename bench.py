@@ -226,6 +226,10 @@ BNLJ_ALLOWED = {
     "retrieval_rrf_fusion",
     # the FK check's (1-row total) × (1-row orphan count) scalar combine
     "dq_constraint_report",
+    # S² pair enumeration over the SOURCE dimension (tiny by definition;
+    # the sketches themselves are S·k rows) — same bound as
+    # corpus_overlap_matrix's pair agg, expressed as a "<" theta join
+    "sketch_kmv_source_overlap",
 }
 
 

@@ -18,8 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from qin_cdc_spark.functions.text import hash60, words
-from qin_cdc_spark.operators.llm_text import HASH60_SQL, WORDS_SQL
+from qin_cdc_spark.functions.text import hash60, word_shingles, words
+from qin_cdc_spark.operators.llm_text import HASH60_SQL, SHINGLES_SQL, WORDS_SQL
 from qin_cdc_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -622,3 +622,201 @@ LIMIT {DRIFT_TOPK}
 
 QUERIES["corpus_term_drift"] = corpus_term_drift
 ORACLES["corpus_term_drift"] = _DRIFT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch with SET OPERATIONS.
+# HLL (sketch_hll_mergeable) answers |A| and |A∪B|, but |A∩B| via
+# inclusion-exclusion is numerically unstable for small overlaps, and
+# HLL registers can't be hash-checked across engines.  The KMV sketch
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 "distinct-value synopses")
+# keeps the k smallest distinct hash values per set: a uniform sample
+# of the hash space that is (a) MERGEABLE — bottom-k of the union of
+# two sketches IS the union's sketch, (b) a direct Jaccard estimator —
+# the match fraction within the union's bottom-k, no inclusion-
+# exclusion, and (c) fully deterministic given the hash, so both
+# engines compute bit-identical sketches and the gate hash-checks an
+# ESTIMATOR, not just an exact rewrite.
+#
+# Estimator: with h uniform on [0, 2^60), the kth smallest of n
+# distinct values ≈ k/n · 2^60, so n̂ = (k-1)·2^60 / h_k (the unbiased
+# form).  (k-1)·2^60 = 127·2^60 overflows int64, so the one division
+# runs in IEEE double — a single deterministic rounding per row,
+# identical across engines (the round-2 float-portability rule: bare
+# single IEEE ops are portable; compositions are not).
+#
+# Scale shape: the per-source bottom-k runs as a rank-limit window —
+# Spark's InferWindowGroupLimit turns rn <= k into a map-side per-
+# partition top-k BEFORE the shuffle, so the exchange carries at most
+# k rows per partition per source, never the distinct-hash relation.
+# Everything after operates on S·k sketch rows (S = #sources): the
+# pair enumeration is S², bounded by the source DIMENSION like
+# corpus_overlap_matrix, never by docs.  This is the sketch-tier
+# answer to corpus_overlap_matrix's exact-tier join: the exact op
+# shuffles the full distinct (source, shingle-hash) relation; at
+# 100 TB you run THIS first and reserve the exact join for the pairs
+# the sketch flags.
+
+KMV_K = 128
+
+
+def _kmv_est(n_k, kth):
+    """n̂ as a Column: exact count below k, (k-1)·2^60/h_k at k."""
+    return F.when(n_k < KMV_K, n_k).otherwise(
+        F.floor(F.lit(float((KMV_K - 1) * (1 << 60))) / kth.cast("double")).cast(
+            "long"
+        )
+    )
+
+
+def kmv_sketch(df: DataFrame, set_col: str, hash_col) -> DataFrame:
+    """Bottom-``KMV_K`` distinct hashes per ``set_col`` value.
+
+    The rank-limit window compiles to WindowGroupLimit (map-side
+    per-partition bottom-k), so the shuffle is O(k) per input
+    partition per set — constant-size sketch state, the mergeable-
+    summary contract."""
+    hs = df.select(set_col, hash_col.alias("h")).distinct()
+    w = Window.partitionBy(set_col).orderBy("h")
+    return (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source pair: KMV estimates of |A|, |B|, |A∪B| and the
+    bottom-k Jaccard match statistics over 3-word shingle sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    sk = kmv_sketch(sh, "source", hash60(F.col("shingle"))).persist()
+
+    per_src = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("h").alias("kth")
+    )
+    per_src = per_src.select(
+        "source", _kmv_est(F.col("n_k"), F.col("kth")).alias("est_distinct")
+    )
+
+    srcs = sk.select("source").distinct()
+    # S² pair enumeration over the source dimension (tiny by definition;
+    # same bound as corpus_overlap_matrix) — BNLJ on the non-equi "<" is
+    # the declared plan here, allowlisted in the bench join audit.
+    pairs = (
+        srcs.alias("a")
+        .join(F.broadcast(srcs.alias("b")), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    side_a = pairs.join(
+        sk.select(F.col("source").alias("src_a"), "h"), "src_a"
+    ).select(
+        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = pairs.join(
+        sk.select(F.col("source").alias("src_b"), "h"), "src_b"
+    ).select(
+        "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    union_rows = (
+        side_a.unionByName(side_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    # merge step: bottom-k of the union of the two sketches (h is unique
+    # within a pair after the groupBy, so the rank order is total).
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    union_k = (
+        union_rows.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    pair_agg = union_k.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("kmv_matches"),
+    )
+    ea = per_src.select(
+        F.col("source").alias("src_a"), F.col("est_distinct").alias("est_a")
+    )
+    eb = per_src.select(
+        F.col("source").alias("src_b"), F.col("est_distinct").alias("est_b")
+    )
+    return (
+        pair_agg.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            _kmv_est(F.col("n_k"), F.col("kth")).alias("est_union"),
+            F.col("kmv_matches").cast("long").alias("kmv_matches"),
+            F.expr("CAST((1000 * kmv_matches) DIV n_k AS BIGINT)").alias(
+                "jaccard_pm"
+            ),
+            "est_a",
+            "est_b",
+        )
+    )
+
+
+_KMV_NUM = float((KMV_K - 1) * (1 << 60))
+
+_KMV_EST_SQL = (
+    "CASE WHEN {n} < " + str(KMV_K) + " THEN CAST({n} AS BIGINT) "
+    "ELSE CAST(floor(" + repr(_KMV_NUM) + " / CAST({kth} AS DOUBLE)) AS BIGINT) END"
+)
+
+_KMV_ORACLE = f"""
+WITH sh AS (
+  SELECT source, unnest({SHINGLES_SQL.format(w=WORDS_SQL)}) AS shingle
+  FROM documents),
+ss AS (SELECT DISTINCT source,
+              {HASH60_SQL.format(x='shingle')} AS h
+       FROM sh),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM ss) WHERE rn <= {KMV_K}),
+per_src AS (
+  SELECT source,
+         {_KMV_EST_SQL.format(n='count(*)', kth='max(h)')} AS est_distinct
+  FROM sk GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sk) a,
+       (SELECT DISTINCT source FROM sk) b
+  WHERE a.source < b.source),
+union_rows AS (
+  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.src_b)
+  GROUP BY 1, 2, 3),
+union_k AS (
+  SELECT * FROM (
+    SELECT union_rows.*,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+    FROM union_rows) WHERE rn <= {KMV_K}),
+pa AS (
+  SELECT src_a, src_b, count(*) AS n_k, max(h) AS kth,
+         CAST(sum(in_a * in_b) AS BIGINT) AS kmv_matches
+  FROM union_k GROUP BY 1, 2)
+SELECT pa.src_a, pa.src_b,
+       {_KMV_EST_SQL.format(n='n_k', kth='kth')} AS est_union,
+       kmv_matches,
+       CAST((1000 * kmv_matches) // n_k AS BIGINT) AS jaccard_pm,
+       ea.est_distinct AS est_a,
+       eb.est_distinct AS est_b
+FROM pa
+JOIN per_src ea ON ea.source = pa.src_a
+JOIN per_src eb ON eb.source = pa.src_b
+"""
+
+QUERIES["sketch_kmv_source_overlap"] = sketch_kmv_source_overlap
+ORACLES["sketch_kmv_source_overlap"] = _KMV_ORACLE

@@ -261,3 +261,69 @@ def test_prefix_exact_jaccard_keeps_hot_shingle_pairs(spark):
     assert (1, 2) in out  # the hot-overlap pair is found
     # docs 3..10 share only the boilerplate, diluted by 30 unique words
     assert all(a in (1, 2) and b in (1, 2) for a, b in out), out
+
+
+def test_kmv_estimates_track_exact_counts(spark):
+    """KMV distinct/union estimates must land within the sketch's
+    statistical error (rel. stderr ≈ 1/√(k−2) ≈ 9% at k=128; assert a
+    generous 35% to stay flake-free) — and be EXACT for any source
+    whose distinct-shingle count is below k."""
+    from qin_cdc_spark.functions.text import hash60, word_shingles
+    from qin_cdc_spark.operators.corpus_ops import (
+        KMV_K,
+        sketch_kmv_source_overlap,
+    )
+    from qin_cdc_spark.sources.tables import load_table
+
+    est = {
+        (r.src_a, r.src_b): r
+        for r in sketch_kmv_source_overlap(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hs = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("sh")
+    ).select("source", hash60(F.col("sh")).alias("h")).distinct()
+    exact = {
+        r.source: r.n for r in hs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    checked_pairs = 0
+    for (a, b), row in est.items():
+        na, nb = exact[a], exact[b]
+        if na < KMV_K:
+            assert row.est_a == na, (a, row.est_a, na)
+        else:
+            assert abs(row.est_a - na) <= 0.35 * na, (a, row.est_a, na)
+        if nb < KMV_K:
+            assert row.est_b == nb, (b, row.est_b, nb)
+        # union estimate: bounded by the same error vs the exact union
+        # (exact union computed only for a few pairs to keep this fast)
+        if checked_pairs < 5:
+            nu = (
+                hs.filter(F.col("source").isin([a, b]))
+                .select("h")
+                .distinct()
+                .count()
+            )
+            if nu < KMV_K:
+                assert row.est_union == nu
+            else:
+                assert abs(row.est_union - nu) <= 0.35 * nu, (a, b, row.est_union, nu)
+            checked_pairs += 1
+    assert checked_pairs > 0
+
+
+def test_kmv_sketch_plan_uses_window_group_limit(spark):
+    """The bottom-k rank filter must compile to WindowGroupLimit — the
+    map-side per-partition top-k that keeps the shuffle O(k) per
+    partition instead of carrying the full distinct-hash relation."""
+    from qin_cdc_spark.functions.text import hash60, word_shingles
+    from qin_cdc_spark.operators.corpus_ops import kmv_sketch
+    from qin_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    sk = kmv_sketch(sh, "source", hash60(F.col("shingle")))
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
