@@ -469,3 +469,145 @@ GROUP BY 1
 
 QUERIES["join_dpp_pruned"] = join_dpp_pruned
 ORACLES["join_dpp_pruned"] = DPP_ORACLE
+
+
+# --------------------------------------------------------------------------
+# File-level Bloom pruning index: data skipping for POINT lookups on a
+# layout that is NOT sorted or range-partitioned by the lookup key.
+# Zone maps (scan_sorted_zonemap) need a sorted layout and z-order
+# (scan_zorder_2d) a rewritten one; a hash-clustered or arbitrary
+# layout has per-file min/max spanning the whole key domain, so every
+# point lookup scans every file.  The Delta/Iceberg answer is a
+# per-file Bloom filter consulted at planning time.  Here the index is
+# a tiny parquet relation ``(file, word, bits)`` — each file's m-bit
+# Bloom filter packed into int64 words via a mergeable bit_or agg (the
+# same packed-bitset idiom as decontaminate_bloom) — built in one
+# distributed pass with input_file_name(), no layout rewrite.
+#
+# Lookup: a key's n_hashes probe bits are computed driver-side with
+# the SAME md5-derived hash60 the build used (engine-portable by
+# construction); a file is a candidate iff every probe bit is set.
+# Bloom guarantee: no false negatives — pruning can only SKIP files
+# that cannot contain the key — so results are exact regardless of
+# layout; false positives only cost extra reads (rate set by
+# m_bits/keys-per-file).  At 100 TB the index is O(files · m/64) rows
+# maintained incrementally per new file — planning-time metadata, the
+# moral equivalent of the manifest math in VersionedBucketedTable.
+
+BLOOM_M_BITS = 1 << 20
+BLOOM_N_HASHES = 3
+
+
+def _bloom_probe_bits(key, m_bits: int = BLOOM_M_BITS, n_hashes: int = BLOOM_N_HASHES):
+    """Driver-side probe bits for one key — must mirror hash60 exactly:
+    int64 of the first 15 hex digits of md5('<i>:<key>')."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(n_hashes)
+    ]
+
+
+def build_bloom_file_index(
+    spark: SparkSession,
+    data_path: str,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> DataFrame:
+    """Per-file packed Bloom bitset over ``key_col`` as a DataFrame
+    ``(file, word, bits)``.  One map-side-combinable bit_or agg keyed
+    by (file, word) — index build is a single scan of the table."""
+    from qin_cdc_spark.functions.text import hash60
+
+    df = spark.read.parquet(data_path).select(
+        F.input_file_name().alias("file"), F.col(key_col).cast("string").alias("k")
+    )
+    probes = F.array(
+        *[
+            F.pmod(
+                hash60(F.concat_ws(":", F.lit(str(i)), F.col("k"))), F.lit(m_bits)
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    bits = df.select("file", F.explode(probes).alias("bit"))
+    return bits.groupBy("file", F.expr("bit div 64").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias("bits")
+    )
+
+
+def bloom_candidate_files(
+    spark: SparkSession,
+    index: DataFrame,
+    keys: list,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> list[str]:
+    """Files that may contain ANY of ``keys`` (no false negatives).
+    The probe relation is n_keys·n_hashes rows (driver-built); the
+    result is bounded by the file count — planning-time metadata."""
+    probe_rows = []
+    for kid, key in enumerate(keys):
+        for bit in _bloom_probe_bits(key, m_bits, n_hashes):
+            word, r = bit // 64, bit % 64
+            mask = (1 << r) - ((1 << 64) if r == 63 else 0)
+            probe_rows.append((kid, word, mask))
+    probes = spark.createDataFrame(
+        probe_rows, "kid long, word long, mask long"
+    )
+    hits = (
+        index.join(F.broadcast(probes), "word")
+        .filter(F.expr("(bits & mask) = mask"))
+        .groupBy("file", "kid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") >= n_hashes)
+        .select("file")
+        .distinct()
+    )
+    return [r.file for r in hits.collect()]
+
+
+def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups on o_orderkey over a HASH-clustered 8-file layout
+    (each key lives in exactly one file, but no file ordering exists to
+    zone-map against): the Bloom index prunes the read to the files
+    that can hold the 5 looked-up keys.  Values are layout-independent
+    (oracle filters the raw table); pruning is asserted in
+    tests/test_scale_joins.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="bloom_") + "/orders_hashed"
+    orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(path)
+    index = build_bloom_file_index(spark, path, "o_orderkey")
+    # deterministic lookup set: the 5 smallest keys ≡ 3 (mod 7) — a
+    # bounded 5-row collect, the same scalar-lookup class as read_key
+    keys = [
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderkey") % 7 == 3)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    files = bloom_candidate_files(spark, index, keys)
+    back = spark.read.parquet(*files).filter(F.col("o_orderkey").isin(keys))
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100) AS LONG)").alias("total_cents"),
+    )
+
+
+BLOOM_ORACLE = """
+WITH keys AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 3
+  ORDER BY o_orderkey LIMIT 5)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders o JOIN keys USING (o_orderkey)
+"""
+
+QUERIES["scan_bloom_pruned"] = scan_bloom_pruned
+ORACLES["scan_bloom_pruned"] = BLOOM_ORACLE

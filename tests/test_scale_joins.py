@@ -189,3 +189,67 @@ def test_dpp_runtime_pruning_in_plan(spark):
         join_dpp_pruned(spark, SF_SMOKE).explain("formatted")
     plan = buf.getvalue().lower()
     assert "dynamicpruningexpression" in plan
+
+
+def test_bloom_index_prunes_files_with_no_false_negatives(spark, tmp_path):
+    """A point lookup through the Bloom index must (a) read strictly
+    fewer files than the layout holds — with each key in exactly one of
+    8 hash-clustered files and 5 keys, candidates ≤ 5 + FPs — and
+    (b) return exactly the rows a full scan returns (Bloom guarantee:
+    skipping is only ever of files that CANNOT contain the key)."""
+    from qin_cdc_spark.operators.scale_joins import (
+        bloom_candidate_files,
+        build_bloom_file_index,
+    )
+    from qin_cdc_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_hashed")
+    orders.repartition(8, "o_orderkey").write.parquet(path)
+    index = build_bloom_file_index(spark, path, "o_orderkey")
+
+    keys = [r.o_orderkey for r in orders.select("o_orderkey").limit(5).collect()]
+    files = bloom_candidate_files(spark, index, keys)
+    n_total = len(
+        [f for f in __import__("os").listdir(path) if f.endswith(".parquet")]
+    )
+    assert n_total == 8
+    assert 1 <= len(files) < n_total, files
+
+    pruned = (
+        spark.read.parquet(*files)
+        .filter(F.col("o_orderkey").isin(keys))
+        .select("o_orderkey", "o_custkey")
+    )
+    full = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderkey").isin(keys))
+        .select("o_orderkey", "o_custkey")
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_bloom_probe_bits_match_sparkside_hash(spark):
+    """The driver-side md5 probe computation must be bit-identical to
+    the hash60 expression the index build uses — otherwise lookups
+    silently miss (a false NEGATIVE, breaking the Bloom contract)."""
+    from qin_cdc_spark.functions.text import hash60
+    from qin_cdc_spark.operators.scale_joins import (
+        BLOOM_M_BITS,
+        BLOOM_N_HASHES,
+        _bloom_probe_bits,
+    )
+
+    df = spark.createDataFrame([(12345,), (7,), (999999,)], "k long")
+    probes = F.array(
+        *[
+            F.pmod(
+                hash60(F.concat_ws(":", F.lit(str(i)), F.col("k").cast("string"))),
+                F.lit(BLOOM_M_BITS),
+            )
+            for i in range(BLOOM_N_HASHES)
+        ]
+    )
+    got = {r.k: list(r.p) for r in df.select("k", probes.alias("p")).collect()}
+    for k, spark_bits in got.items():
+        assert spark_bits == _bloom_probe_bits(k), k
