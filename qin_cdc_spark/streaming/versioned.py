@@ -135,8 +135,17 @@ class VersionedBucketedTable:
 
     # -- merge -------------------------------------------------------------
 
-    def _bucket_expr(self):
-        return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+    def _bucket_expr(self, n_buckets: int | None = None):
+        return F.pmod(
+            F.hash(*[F.col(k) for k in self.keys]),
+            F.lit(self.n_buckets if n_buckets is None else n_buckets),
+        )
+
+    def _manifest_n_buckets(self, man: dict) -> int:
+        """Bucket count the manifest was written under.  Versions minted
+        before bucket-count evolution carry no field and default to the
+        constructor value (the only count that existed then)."""
+        return int(man.get("n_buckets", self.n_buckets))
 
     def merge(
         self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq",
@@ -149,14 +158,14 @@ class VersionedBucketedTable:
         if batch_id is not None and batch_id <= meta["last_batch_id"]:
             return meta["current"]
 
+        cur_man = meta["versions"].get(str(meta["current"]), {"buckets": {}})
+        nb = self._manifest_n_buckets(cur_man)
         incoming = changes.select(
             *self.keys,
             *[c for c in changes.columns if c not in {op_col, seq_col, *self.keys}],
             F.col(seq_col).cast("long").alias("_seq"),
             (F.col(op_col) == "delete").alias("_deleted"),
-        ).withColumn("_bucket", self._bucket_expr())
-
-        cur_man = meta["versions"].get(str(meta["current"]), {"buckets": {}})
+        ).withColumn("_bucket", self._bucket_expr(nb))
         incoming = incoming.persist()
         try:
             touched = [
@@ -176,7 +185,7 @@ class VersionedBucketedTable:
             if cur_dirs:
                 current = self.spark.read.parquet(*cur_dirs)
                 union = _align_to_incoming(
-                    current.withColumn("_bucket", self._bucket_expr()), incoming
+                    current.withColumn("_bucket", self._bucket_expr(nb)), incoming
                 ).unionByName(incoming, allowMissingColumns=True)
             else:
                 union = incoming
@@ -200,7 +209,7 @@ class VersionedBucketedTable:
             shutil.rmtree(stage, ignore_errors=True)
 
             new_v = meta["current"] + 1
-            meta["versions"][str(new_v)] = {"buckets": new_buckets}
+            meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
             meta["current"] = new_v
             if batch_id is not None:
                 meta["last_batch_id"] = batch_id
@@ -229,7 +238,7 @@ class VersionedBucketedTable:
         typed = sample.limit(0).select(*self.keys)
         row = self.spark.createDataFrame(
             [tuple(key_values)], typed.schema
-        ).withColumn("_b", self._bucket_expr())
+        ).withColumn("_b", self._bucket_expr(self._manifest_n_buckets(man)))
         b = str(row.collect()[0]["_b"])
         d = man["buckets"].get(b)
         if d is None:
@@ -311,7 +320,53 @@ class VersionedBucketedTable:
                 f"(have {self.versions()})"
             )
         new_v = meta["current"] + 1
-        meta["versions"][str(new_v)] = {"buckets": dict(man["buckets"])}
+        meta["versions"][str(new_v)] = {
+            "buckets": dict(man["buckets"]),
+            "n_buckets": self._manifest_n_buckets(man),
+        }
+        meta["current"] = new_v
+        self._publish(meta)
+        return new_v
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Bucket-count evolution: rewrite the CURRENT snapshot under a
+        new bucket count and mint it as a new version (Iceberg's bucket
+        partition-spec evolution; Delta has no analog short of a full
+        CLONE).  Needed when the key population outgrows the layout —
+        e.g. 32 buckets chosen at 1 TB make each bucket 3 TB at 100 TB,
+        and every touched-bucket merge rewrites 3 TB.
+
+        Cost: ONE full-table rewrite (unavoidable — every row's bucket
+        assignment changes), after which merges are O(touched buckets)
+        at the new granularity.  History stays readable: older versions
+        keep their manifests, data dirs, and their own recorded bucket
+        count, so ``read_at``/``changes_between`` across the boundary
+        work unchanged and ``read_key`` always hashes with the CURRENT
+        manifest's count.  Tombstones are carried through (they still
+        shield replayed deletes until gc'd)."""
+        if new_n_buckets < 1:
+            raise ValueError(f"rebucket: need >= 1 bucket, got {new_n_buckets}")
+        meta = self._meta()
+        full = self.read_internal()
+        if full is None:
+            raise ValueError(f"rebucket: no current snapshot at {self.path}")
+        rows = full.withColumn("_bucket", self._bucket_expr(new_n_buckets))
+        rows = rows.repartition(new_n_buckets, F.col("_bucket"))
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
+        rows.write.partitionBy("_bucket").parquet(stage)
+        new_buckets: dict[str, str] = {}
+        for b in range(new_n_buckets):
+            src = os.path.join(stage, f"_bucket={b}")
+            if os.path.isdir(src):
+                dname = f"d-{uuid.uuid4().hex[:12]}"
+                os.rename(src, os.path.join(self.path, dname))
+                new_buckets[str(b)] = dname
+        shutil.rmtree(stage, ignore_errors=True)
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = {
+            "buckets": new_buckets,
+            "n_buckets": new_n_buckets,
+        }
         meta["current"] = new_v
         self._publish(meta)
         return new_v

@@ -293,3 +293,53 @@ def test_restore_rolls_back_without_data_movement(spark, tmp_path):
     # and LWW continues correctly on top of the restore
     tbl.merge(_changes(spark, [("update", 20, 2, "newer")]))
     assert {(r.id, r.val) for r in tbl.read().collect()} == {(1, "good"), (2, "newer")}
+
+
+def test_rebucket_preserves_rows_history_and_point_lookups(spark, tmp_path):
+    """Bucket-count evolution: rebucket(16) must (a) preserve the
+    visible rows exactly, (b) leave pre-rebucket snapshots readable
+    (they keep their own manifests and bucket count), (c) route
+    read_key through the NEW layout, and (d) make subsequent merges
+    bucket under the new count."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    v1 = tbl.merge(
+        _changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 33)])
+    )
+    tbl.merge(_changes(spark, [("delete", 100, 5, "v5")]))
+    before = {(r.id, r.val) for r in tbl.read().collect()}
+    v1_rows = {(r.id, r.val) for r in tbl.read_at(v1).collect()}
+
+    v3 = tbl.rebucket(16)
+    man = _manifest(tbl)
+    assert man["versions"][str(v3)]["n_buckets"] == 16
+    assert len(man["versions"][str(v3)]["buckets"]) <= 16
+    # (a) visible rows unchanged, tombstone for id=5 still effective
+    assert {(r.id, r.val) for r in tbl.read().collect()} == before
+    # (b) time travel across the rebucket boundary
+    assert {(r.id, r.val) for r in tbl.read_at(v1).collect()} == v1_rows
+    # (c) point lookup hashes with the current manifest's count
+    got = tbl.read_key([7]).collect()
+    assert [(r.id, r.val) for r in got] == [(7, "v7")]
+    # (d) a post-rebucket merge stays on the new layout
+    v4 = tbl.merge(_changes(spark, [("update", 101, 7, "v7b")]))
+    assert _manifest(tbl)["versions"][str(v4)]["n_buckets"] == 16
+    assert tbl.read_key([7]).collect()[0].val == "v7b"
+    # tombstoned key remains deleted through the rewrite
+    assert tbl.read_key([5]).count() == 0
+
+
+def test_rebucket_then_cdf_spans_layouts(spark, tmp_path):
+    """changes_between across a rebucket boundary must report only the
+    REAL data changes — the physical rewrite itself is invisible to the
+    change feed (it carries every row's _seq through unchanged)."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    v1 = tbl.merge(
+        _changes(spark, [("insert", 1, 1, "a"), ("insert", 2, 2, "b")])
+    )
+    tbl.rebucket(8)
+    v3 = tbl.merge(_changes(spark, [("update", 3, 2, "b2"), ("insert", 4, 3, "c")]))
+    feed = {
+        (r.id, r._change)
+        for r in tbl.changes_between(v1, v3).select("id", "_change").collect()
+    }
+    assert feed == {(2, "update"), (3, "insert")}
