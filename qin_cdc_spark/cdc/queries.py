@@ -480,3 +480,89 @@ FROM live GROUP BY 1
 
 QUERIES["cdc_derived_rollup"] = cdc_derived_rollup
 ORACLES["cdc_derived_rollup"] = CDC_DERIVED_ROLLUP_ORACLE
+
+
+def cdc_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE transactional consistency: orders and lineitem apply
+    their change streams as two coordinated batches; the
+    SnapshotCoordinator stamps which per-table snapshot versions belong
+    to batch 0, and the coordinated read joins BOTH tables as of that
+    same boundary — no table can be observed ahead of another, the gap
+    the reference's single global position (and single-table lakehouse
+    transactions) leave open.
+
+    The returned join/aggregate must hash-equal the oracle's
+    first-half-only LWW materialization of both streams — proving the
+    coordinate really pinned the pair of versions minted by batch 0."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.coordinator import SnapshotCoordinator
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    base = tempfile.mkdtemp(prefix="coord_gate_")
+    o_schema = load_table(spark, sf_dir, "orders").schema
+    l_schema = load_table(spark, sf_dir, "lineitem").schema
+    o_dec = decode_envelope(
+        _orders_envelope(spark, sf_dir), o_schema, db="src", table="orders"
+    )
+    l_env = envelope_from_typed(
+        lineitem_change_stream(spark, sf_dir), db="src", table="lineitem"
+    )
+    l_dec = decode_envelope(l_env, l_schema, db="src", table="lineitem")
+    so = o_dec.agg(F.max("seq")).collect()[0][0] // 2
+    sl = l_dec.agg(F.max("seq")).collect()[0][0] // 2
+
+    o_tbl = VersionedBucketedTable(spark, f"{base}/orders", ["o_orderkey"])
+    l_tbl = VersionedBucketedTable(
+        spark, f"{base}/lineitem", ["l_orderkey", "l_linenumber"]
+    )
+    coord = SnapshotCoordinator(
+        f"{base}/coord", {"src.orders": o_tbl, "src.lineitem": l_tbl}
+    )
+    o_tbl.merge(o_dec.filter(F.col("seq") <= so), batch_id=0)
+    l_tbl.merge(l_dec.filter(F.col("seq") <= sl), batch_id=0)
+    coord.record(0)
+    o_tbl.merge(o_dec.filter(F.col("seq") > so), batch_id=1)
+    l_tbl.merge(l_dec.filter(F.col("seq") > sl), batch_id=1)
+    coord.record(1)
+
+    snap = coord.read_at(0)
+    o, li = snap["src.orders"], snap["src.lineitem"]
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS LONG)")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+
+
+_OEV = ORDERS_STREAM_SQL.replace("ev AS (", "oev AS (", 1)
+_LEV = LINEITEM_STREAM_SQL.replace("ev AS (", "lev AS (", 1)
+
+CDC_CONSISTENT_SNAPSHOT_ORACLE = f"""
+WITH {_OEV},
+{_LEV},
+ohalf AS (SELECT * FROM oev WHERE seq <= (SELECT max(seq) // 2 FROM oev)),
+lhalf AS (SELECT * FROM lev WHERE seq <= (SELECT max(seq) // 2 FROM lev)),
+o AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM ohalf) WHERE rn = 1 AND op <> 'delete'),
+l AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                 ORDER BY seq DESC) AS rn
+    FROM lhalf) WHERE rn = 1 AND op <> 'delete')
+SELECT o.o_orderstatus, count(*) AS n_lines,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+QUERIES["cdc_consistent_snapshot"] = cdc_consistent_snapshot
+ORACLES["cdc_consistent_snapshot"] = CDC_CONSISTENT_SNAPSHOT_ORACLE

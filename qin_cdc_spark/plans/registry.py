@@ -46,7 +46,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   q21_sole_late_shipper, q17_small_qty_revenue, scan_zorder_2d, dedup_jaccard_prefix_exact, retrieval_rrf_fusion,
 #   retrieval_hard_negatives, mix_temperature_alloc, cdc_time_travel,
 #   agg_stats_exact, cdc_derived_rollup,
-#   cdc_version_diff, sketch_kmv_source_overlap, scan_bloom_pruned)
+#   cdc_version_diff, sketch_kmv_source_overlap, scan_bloom_pruned,
+#   cdc_consistent_snapshot)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge

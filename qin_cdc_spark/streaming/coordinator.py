@@ -1,0 +1,152 @@
+"""Cross-table consistent snapshots: a commit coordinator over
+per-route versioned targets.
+
+Why this exists: the reference applies each table independently and
+tracks ONE global position (inputs/mysql/mysql_position.go:37-54), so
+its targets are only consistent with each other at quiescence — a
+reader joining orders to lineitem mid-stream can see orders at batch N
+and lineitem at batch N-1.  Per-table snapshot tables
+(``VersionedBucketedTable``) have the same gap one level up: each
+table's version counter advances independently, and nothing records
+which versions belong together.  Lakehouse formats share this hole
+(Delta/Iceberg transactions are single-table); warehouses close it
+with a commit coordinator — this is that coordinator, scaled to the
+repo's manifest idiom.
+
+Design: after every micro-batch has merged into ALL routes, the
+coordinator appends one entry ``batch_id → {table: version}`` to its
+own JSON manifest (atomic ``os.replace``, same publish discipline as
+the tables themselves).  A coordinated read maps every table to the
+version it had at the SAME batch boundary — transactionally consistent
+by construction, because entries are only written after every route
+applied the batch.
+
+Replay safety: route merges are batch-id idempotent (a redelivered
+batch mints no new version), so ``record`` after a replayed batch
+observes the same versions and no-ops on the duplicate batch_id.  A
+crash between the last merge and ``record`` loses nothing: the batch
+replays, merges no-op, and record lands.
+
+Scale: the manifest is O(batches × routes) driver-side JSON — the same
+planning-time-metadata class as the tables' own manifests; data-path
+cost is zero (coordination is bookkeeping over already-minted
+versions).  Retention composes with ``gc``: ``expire`` drops
+coordinate entries, then each table's ``gc(keep_last=…)`` can reclaim
+the versions no coordinate references.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+COORD_META = "_coordinates.json"
+
+
+class SnapshotCoordinator:
+    """Records which per-table snapshot versions belong to the same
+    micro-batch, and serves consistent multi-table reads."""
+
+    def __init__(self, path: str, tables: dict[str, object]):
+        """``tables``: name → VersionedBucketedTable (every value must
+        expose current_version()/read_at())."""
+        self.path = path
+        self.tables = dict(tables)
+
+    @classmethod
+    def for_routes(cls, path: str, routes: list) -> "SnapshotCoordinator":
+        """Build from CDC stream routes; every route must be a
+        versioned local target (a sink route has no snapshot to
+        coordinate)."""
+        tables = {}
+        for r in routes:
+            if getattr(r, "sink", None) is not None or not getattr(
+                r, "versioned", False
+            ):
+                raise ValueError(
+                    f"SnapshotCoordinator: route {r.db}.{r.table} is not a "
+                    "versioned local target"
+                )
+            tables[f"{r.db}.{r.table}"] = r.bind_target()
+        return cls(path, tables)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _meta(self) -> dict:
+        p = os.path.join(self.path, COORD_META)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"batches": {}}
+
+    def _publish(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{COORD_META}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, COORD_META))
+
+    # -- write side --------------------------------------------------------
+
+    def record(self, batch_id: int) -> dict[str, int]:
+        """Stamp the current version of every table as batch
+        ``batch_id``'s coordinate.  Idempotent: a replayed batch finds
+        its entry present and leaves it untouched (the merges it
+        followed no-oped, so the observed versions are identical
+        anyway)."""
+        meta = self._meta()
+        key = str(batch_id)
+        if key in meta["batches"]:
+            return dict(meta["batches"][key])
+        coord = {name: t.current_version() for name, t in self.tables.items()}
+        meta["batches"][key] = coord
+        self._publish(meta)
+        return coord
+
+    def post_batch_hook(self):
+        """Adapter for ``start_cdc_stream(post_batch=…)`` — records a
+        coordinate after every micro-batch's route fan-out completes."""
+        return lambda batch_id: self.record(batch_id)
+
+    # -- read side ---------------------------------------------------------
+
+    def batches(self) -> list[int]:
+        return sorted(int(b) for b in self._meta()["batches"])
+
+    def versions_at(self, batch_id: int) -> dict[str, int]:
+        meta = self._meta()
+        coord = meta["batches"].get(str(batch_id))
+        if coord is None:
+            raise ValueError(
+                f"no coordinate for batch {batch_id} at {self.path} "
+                f"(have {self.batches()}) — expired?"
+            )
+        return dict(coord)
+
+    def read_at(self, batch_id: int) -> dict[str, DataFrame]:
+        """Every table AS OF the same batch boundary — the consistent
+        multi-table read.  Manifest selection per table; zero data
+        movement."""
+        return {
+            name: self.tables[name].read_at(v)
+            for name, v in self.versions_at(batch_id).items()
+        }
+
+    # -- retention ---------------------------------------------------------
+
+    def expire(self, *, keep_last: int) -> list[int]:
+        """Drop all but the newest ``keep_last`` coordinates; returns
+        the dropped batch ids.  Run BEFORE the tables' own
+        ``gc(keep_last=…)`` so no retained coordinate can name an
+        expired version."""
+        meta = self._meta()
+        bs = sorted(int(b) for b in meta["batches"])
+        drop = bs[:-keep_last] if keep_last > 0 else bs
+        for b in drop:
+            del meta["batches"][str(b)]
+        if drop:
+            self._publish(meta)
+        return drop

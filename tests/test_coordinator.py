@@ -1,0 +1,167 @@
+"""SnapshotCoordinator (streaming/coordinator.py): cross-table
+consistent snapshots over versioned CDC targets."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from qin_cdc_spark.cdc.apply import latest_by_key
+from qin_cdc_spark.cdc.changestream import (
+    lineitem_change_stream,
+    orders_change_stream,
+)
+from qin_cdc_spark.cdc.envelope import envelope_from_typed
+from qin_cdc_spark.sources.tables import load_table
+from qin_cdc_spark.streaming.cdc_stream import (
+    CdcStreamRoute,
+    file_envelope_stream,
+    start_cdc_stream,
+)
+from qin_cdc_spark.streaming.coordinator import SnapshotCoordinator
+
+SF = "/root/testdata/sf0.001"
+O_SPLIT = 3000
+L_SPLIT = 150_000
+
+
+def _lww(decoded, keys):
+    return latest_by_key(decoded, keys).filter(F.col("op") != "delete")
+
+
+def test_coordinated_stream_reads_are_consistent_per_batch(spark, tmp_path):
+    """Two versioned routes fed from the same two-file envelope stream:
+    every recorded coordinate must map BOTH tables to the snapshot
+    minted by that same micro-batch — each table's coordinated content
+    equals the LWW of exactly that batch prefix of its stream — and a
+    fresh-checkpoint redelivery must add no coordinates and change no
+    versions."""
+    o_env = envelope_from_typed(
+        orders_change_stream(spark, SF), db="src", table="orders"
+    )
+    l_env = envelope_from_typed(
+        lineitem_change_stream(spark, SF), db="src", table="lineitem"
+    )
+    env_dir = str(tmp_path / "envelope")
+    # file 1 = both tables' first halves, file 2 = both second halves:
+    # each micro-batch advances BOTH tables
+    o_env.filter(F.col("seq") <= O_SPLIT).unionByName(
+        l_env.filter(F.col("seq") <= L_SPLIT)
+    ).coalesce(1).write.mode("append").parquet(env_dir)
+    o_env.filter(F.col("seq") > O_SPLIT).unionByName(
+        l_env.filter(F.col("seq") > L_SPLIT)
+    ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    def mk_routes():
+        return [
+            CdcStreamRoute(
+                spark,
+                db="src",
+                table="orders",
+                schema=load_table(spark, SF, "orders").schema,
+                keys=["o_orderkey"],
+                target_path=str(tmp_path / "orders_tbl"),
+                versioned=True,
+            ),
+            CdcStreamRoute(
+                spark,
+                db="src",
+                table="lineitem",
+                schema=load_table(spark, SF, "lineitem").schema,
+                keys=["l_orderkey", "l_linenumber"],
+                target_path=str(tmp_path / "lineitem_tbl"),
+                versioned=True,
+            ),
+        ]
+
+    routes = mk_routes()
+    coord = SnapshotCoordinator.for_routes(str(tmp_path / "coord"), routes)
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        routes,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=coord.post_batch_hook(),
+    )
+    q.awaitTermination(300)
+
+    assert coord.batches() == [0, 1]
+
+    from qin_cdc_spark.cdc.apply import decode_envelope
+
+    o_dec = decode_envelope(
+        o_env, load_table(spark, SF, "orders").schema, db="src", table="orders"
+    )
+    l_dec = decode_envelope(
+        l_env,
+        load_table(spark, SF, "lineitem").schema,
+        db="src",
+        table="lineitem",
+    )
+    prefixes = {0: (O_SPLIT, L_SPLIT), 1: (10**12, 10**12)}
+    for b, (so, sl) in prefixes.items():
+        snap = coord.read_at(b)
+        got_o = {
+            (r.o_orderkey, r.o_orderstatus)
+            for r in snap["src.orders"].select("o_orderkey", "o_orderstatus").collect()
+        }
+        want_o = {
+            (r.o_orderkey, r.o_orderstatus)
+            for r in _lww(o_dec.filter(F.col("seq") <= so), ["o_orderkey"])
+            .select("o_orderkey", "o_orderstatus")
+            .collect()
+        }
+        assert got_o == want_o, f"orders inconsistent at batch {b}"
+        got_l = snap["src.lineitem"].count()
+        want_l = _lww(
+            l_dec.filter(F.col("seq") <= sl), ["l_orderkey", "l_linenumber"]
+        ).count()
+        assert got_l == want_l, f"lineitem inconsistent at batch {b}"
+
+    versions_before = {b: coord.versions_at(b) for b in coord.batches()}
+
+    # fresh-checkpoint redelivery: merges no-op on the batch-id guard,
+    # record() no-ops on the duplicate coordinate
+    routes2 = mk_routes()
+    coord2 = SnapshotCoordinator.for_routes(str(tmp_path / "coord"), routes2)
+    q2 = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir),
+        routes2,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        post_batch=coord2.post_batch_hook(),
+    )
+    q2.awaitTermination(300)
+    assert coord2.batches() == [0, 1]
+    assert {b: coord2.versions_at(b) for b in coord2.batches()} == versions_before
+
+
+def test_coordinator_expire_and_errors(spark, tmp_path):
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=2)
+    rows = spark.createDataFrame(
+        [("insert", 1, 1, "a")], "op string, seq long, id long, val string"
+    )
+    coord = SnapshotCoordinator(str(tmp_path / "c"), {"db.t": tbl})
+    tbl.merge(rows, batch_id=0)
+    coord.record(0)
+    tbl.merge(
+        spark.createDataFrame(
+            [("update", 2, 1, "a2")], "op string, seq long, id long, val string"
+        ),
+        batch_id=1,
+    )
+    coord.record(1)
+    assert coord.expire(keep_last=1) == [0]
+    assert coord.batches() == [1]
+    with pytest.raises(ValueError, match="no coordinate"):
+        coord.read_at(0)
+    assert coord.read_at(1)["db.t"].collect()[0].val == "a2"
+
+    # a sink route (no local snapshot) must be rejected at wiring time
+    class FakeSinkRoute:
+        db, table, sink, versioned = "d", "t", object(), True
+
+    with pytest.raises(ValueError, match="not a versioned local target"):
+        SnapshotCoordinator.for_routes(str(tmp_path / "c2"), [FakeSinkRoute()])
