@@ -566,3 +566,60 @@ GROUP BY 1
 
 QUERIES["cdc_consistent_snapshot"] = cdc_consistent_snapshot
 ORACLES["cdc_consistent_snapshot"] = CDC_CONSISTENT_SNAPSHOT_ORACLE
+
+
+def cdc_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-column serving read on the CDC target: the versioned
+    table maintains per-data-dir Bloom bitsets over o_custkey (a
+    NON-key column — read_key's one-bucket manifest math only covers
+    the PK), updated incrementally for the touched dirs of each merge.
+    The lookup opens only the dirs whose bloom can contain the probed
+    custkey; the hash check proves the skipping lost no row across two
+    mutating batches (updates rewrite dirs, deletes tombstone)."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    tbl = VersionedBucketedTable(
+        spark,
+        tempfile.mkdtemp(prefix="bloom_gate_") + "/t",
+        ["o_orderkey"],
+        bloom_cols=["o_custkey"],
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    # deterministic probe: the 3 smallest custkeys in the fixture
+    # (bounded 3-row collect, the serving-lookup class)
+    custkeys = [
+        r.o_custkey
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(3)
+        .collect()
+    ]
+    return tbl.read_where("o_custkey", custkeys)
+
+
+CDC_BLOOM_LOOKUP_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+probe AS (
+  SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM last
+WHERE rn = 1 AND op <> 'delete' AND o_custkey IN (SELECT o_custkey FROM probe)
+"""
+
+QUERIES["cdc_versioned_bloom_lookup"] = cdc_versioned_bloom_lookup
+ORACLES["cdc_versioned_bloom_lookup"] = CDC_BLOOM_LOOKUP_ORACLE

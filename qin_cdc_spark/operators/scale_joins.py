@@ -494,19 +494,15 @@ ORACLES["join_dpp_pruned"] = DPP_ORACLE
 # maintained incrementally per new file — planning-time metadata, the
 # moral equivalent of the manifest math in VersionedBucketedTable.
 
-BLOOM_M_BITS = 1 << 20
-BLOOM_N_HASHES = 3
-
-
-def _bloom_probe_bits(key, m_bits: int = BLOOM_M_BITS, n_hashes: int = BLOOM_N_HASHES):
-    """Driver-side probe bits for one key — must mirror hash60 exactly:
-    int64 of the first 15 hex digits of md5('<i>:<key>')."""
-    import hashlib
-
-    return [
-        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
-        for i in range(n_hashes)
-    ]
+# packed-bitset helpers shared with the versioned table's secondary-
+# column skipping live in functions/bloom.py
+from qin_cdc_spark.functions.bloom import (  # noqa: E402
+    BLOOM_M_BITS,
+    BLOOM_N_HASHES,
+    candidate_units,
+    packed_bloom,
+)
+from qin_cdc_spark.functions.bloom import probe_bits as _bloom_probe_bits  # noqa: E402
 
 
 def build_bloom_file_index(
@@ -517,25 +513,10 @@ def build_bloom_file_index(
     n_hashes: int = BLOOM_N_HASHES,
 ) -> DataFrame:
     """Per-file packed Bloom bitset over ``key_col`` as a DataFrame
-    ``(file, word, bits)``.  One map-side-combinable bit_or agg keyed
-    by (file, word) — index build is a single scan of the table."""
-    from qin_cdc_spark.functions.text import hash60
-
-    df = spark.read.parquet(data_path).select(
-        F.input_file_name().alias("file"), F.col(key_col).cast("string").alias("k")
-    )
-    probes = F.array(
-        *[
-            F.pmod(
-                hash60(F.concat_ws(":", F.lit(str(i)), F.col("k"))), F.lit(m_bits)
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    bits = df.select("file", F.explode(probes).alias("bit"))
-    return bits.groupBy("file", F.expr("bit div 64").alias("word")).agg(
-        F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias("bits")
-    )
+    ``(unit, word, bits)`` with unit = file path.  One map-side-
+    combinable bit_or agg — index build is a single scan of the table."""
+    df = spark.read.parquet(data_path).withColumn("_file", F.input_file_name())
+    return packed_bloom(df, "_file", key_col, m_bits, n_hashes)
 
 
 def bloom_candidate_files(
@@ -548,25 +529,7 @@ def bloom_candidate_files(
     """Files that may contain ANY of ``keys`` (no false negatives).
     The probe relation is n_keys·n_hashes rows (driver-built); the
     result is bounded by the file count — planning-time metadata."""
-    probe_rows = []
-    for kid, key in enumerate(keys):
-        for bit in _bloom_probe_bits(key, m_bits, n_hashes):
-            word, r = bit // 64, bit % 64
-            mask = (1 << r) - ((1 << 64) if r == 63 else 0)
-            probe_rows.append((kid, word, mask))
-    probes = spark.createDataFrame(
-        probe_rows, "kid long, word long, mask long"
-    )
-    hits = (
-        index.join(F.broadcast(probes), "word")
-        .filter(F.expr("(bits & mask) = mask"))
-        .groupBy("file", "kid")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") >= n_hashes)
-        .select("file")
-        .distinct()
-    )
-    return [r.file for r in hits.collect()]
+    return candidate_units(spark, index, keys, m_bits, n_hashes)
 
 
 def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,7 +47,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   retrieval_hard_negatives, mix_temperature_alloc, cdc_time_travel,
 #   agg_stats_exact, cdc_derived_rollup,
 #   cdc_version_diff, sketch_kmv_source_overlap, scan_bloom_pruned,
-#   cdc_consistent_snapshot)
+#   cdc_consistent_snapshot, cdc_versioned_bloom_lookup)
 _HEAD = [
     # -- family representatives (1-15), all green in CORRECTNESS_r02 --
     "cdc_apply_orders",  # CDC apply/merge

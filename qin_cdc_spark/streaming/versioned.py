@@ -53,12 +53,22 @@ class VersionedBucketedTable:
     """Primary-keyed LWW table with retained, GC-able snapshots."""
 
     def __init__(
-        self, spark: SparkSession, path: str, keys: list[str], *, n_buckets: int = 32
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        *,
+        n_buckets: int = 32,
+        bloom_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        # secondary-column data skipping: per-data-dir packed Bloom
+        # bitsets maintained incrementally (touched dirs only) at merge
+        # time — see read_where()
+        self.bloom_cols = list(bloom_cols or [])
 
     # -- manifest ----------------------------------------------------------
 
@@ -197,16 +207,19 @@ class VersionedBucketedTable:
             merged.write.partitionBy("_bucket").parquet(stage)
 
             new_buckets = dict(cur_man["buckets"])
+            new_dnames = []
             for b in touched:
                 src = os.path.join(stage, f"_bucket={b}")
                 dname = f"d-{uuid.uuid4().hex[:12]}"
                 if os.path.isdir(src):
                     os.rename(src, os.path.join(self.path, dname))
                     new_buckets[b] = dname
+                    new_dnames.append(dname)
                 else:
                     # merge emptied the bucket (pure-tombstone GC etc.)
                     new_buckets.pop(b, None)
             shutil.rmtree(stage, ignore_errors=True)
+            self._write_blooms(new_dnames)
 
             new_v = meta["current"] + 1
             meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
@@ -251,6 +264,113 @@ class VersionedBucketedTable:
             c = F.col(k) == F.lit(v)
             cond = c if cond is None else (cond & c)
         return self._visible(df.filter(cond))
+
+    # -- secondary-column Bloom skipping ----------------------------------
+
+    @property
+    def _bloom_idx_path(self) -> str:
+        return os.path.join(self.path, "_bloom_idx")
+
+    def _write_blooms(self, dnames: list[str]) -> None:
+        """Append packed Bloom bitsets for the given (immutable, just-
+        written) data dirs — one extra scan of exactly the touched
+        dirs, the incremental-index-maintenance contract.  A dir whose
+        schema lacks a bloom column (pre-evolution data) simply gets no
+        rows for it and stays a must-read in read_where()."""
+        if not self.bloom_cols or not dnames:
+            return
+        from qin_cdc_spark.functions.bloom import packed_bloom
+
+        # ONE read across all touched dirs (not a job per dir): the dir
+        # name is recovered from input_file_name.  mergeSchema keeps
+        # this correct across schema evolution — a dir predating an
+        # added column reads as null there, and null rows are dropped
+        # below (a NULL can never satisfy an isin() lookup, so skipping
+        # a dir that holds only nulls for the column is exact).
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, d) for d in dnames])
+            .withColumn(
+                "_unit",
+                F.regexp_extract(F.input_file_name(), r"(d-[0-9a-f]{12})", 1),
+            )
+        )
+        parts = []
+        for c in self.bloom_cols:
+            if c not in df.columns:
+                continue
+            rows = df.filter(F.col(c).isNotNull()).select("_unit", c)
+            parts.append(
+                packed_bloom(rows, "_unit", c).withColumn("bcol", F.lit(c))
+            )
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.coalesce(1).write.mode("append").parquet(self._bloom_idx_path)
+
+    def read_where(self, col: str, values: list, version: int | None = None):
+        """Secondary-column lookup with Bloom data skipping: only the
+        data dirs whose Bloom filter can contain one of ``values`` are
+        opened (plus any dir with no index rows for ``col`` — absence
+        means must-read, never skip, so false negatives are impossible
+        even across schema evolution, rebucketing, or a deleted index).
+        The PK path is read_key (exact one-bucket math); this is the
+        non-key path where the manifest alone can't prune."""
+        meta = self._meta()
+        if not meta["versions"]:
+            return None
+        v = meta["current"] if version is None else version
+        man = meta["versions"].get(str(v))
+        if man is None:
+            raise ValueError(
+                f"version {v} not retained at {self.path} (have {self.versions()})"
+            )
+        dirs = set(man["buckets"].values())
+        if not dirs:
+            return self._visible(None)
+        pred = F.col(col).isin(values)
+        if col not in self.bloom_cols or not os.path.isdir(self._bloom_idx_path):
+            full = self._read_manifest(man)
+            return self._visible(full.filter(pred)) if full is not None else None
+        from qin_cdc_spark.functions.bloom import candidate_units
+
+        idx = self.spark.read.parquet(self._bloom_idx_path).filter(
+            (F.col("bcol") == col) & F.col("unit").isin(list(dirs))
+        )
+        present = {r.unit for r in idx.select("unit").distinct().collect()}
+        cands = set(candidate_units(self.spark, idx, values)) & dirs
+        read_dirs = sorted(cands | (dirs - present))
+        if not read_dirs:
+            # provably absent: keep the schema, scan nothing real
+            any_dir = os.path.join(self.path, next(iter(dirs)))
+            empty = self.spark.read.parquet(any_dir).filter(F.lit(False))
+            return self._visible(empty.filter(pred))
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, d) for d in read_dirs]
+        )
+        return self._visible(df.filter(pred))
+
+    def compact_bloom_index(self) -> None:
+        """Rewrite the bloom index keeping only units some retained
+        version still references — stale rows from GC'd dirs are
+        harmless for correctness (read_where intersects with the
+        manifest) but accumulate; this is their expire step."""
+        if not os.path.isdir(self._bloom_idx_path):
+            return
+        meta = self._meta()
+        live = {
+            d for v in meta["versions"].values() for d in v["buckets"].values()
+        }
+        idx = self.spark.read.parquet(self._bloom_idx_path)
+        kept = idx.filter(F.col("unit").isin(list(live)))
+        stage = f"{self._bloom_idx_path}.stage-{uuid.uuid4().hex[:8]}"
+        kept.coalesce(1).write.parquet(stage)
+        old = f"{self._bloom_idx_path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(self._bloom_idx_path, old)
+        os.rename(stage, self._bloom_idx_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def changes_between(
         self, v_from: int, v_to: int, *, include_preimage: bool = False
@@ -362,6 +482,7 @@ class VersionedBucketedTable:
                 os.rename(src, os.path.join(self.path, dname))
                 new_buckets[str(b)] = dname
         shutil.rmtree(stage, ignore_errors=True)
+        self._write_blooms(list(new_buckets.values()))
         new_v = meta["current"] + 1
         meta["versions"][str(new_v)] = {
             "buckets": new_buckets,

@@ -343,3 +343,77 @@ def test_rebucket_then_cdf_spans_layouts(spark, tmp_path):
         for r in tbl.changes_between(v1, v3).select("id", "_change").collect()
     }
     assert feed == {(2, "update"), (3, "insert")}
+
+
+def _kv_changes(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq long, id long, val string")
+
+
+def test_bloom_read_where_prunes_and_stays_exact(spark, tmp_path):
+    """Secondary-column lookup: with per-id-unique values over 8
+    buckets, read_where must open fewer dirs than the manifest holds
+    while returning exactly the plain-filter rows — and must track
+    updates/deletes (old values die with the rewritten dir's bloom; the
+    stale dir's rows are ignored via the manifest intersection)."""
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "t"), ["id"], n_buckets=8, bloom_cols=["val"]
+    )
+    tbl.merge(_kv_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 65)]))
+    man = _manifest(tbl)["versions"]["1"]["buckets"]
+    assert len(man) == 8
+
+    got = tbl.read_where("val", ["v7"]).collect()
+    assert [(r.id, r.val) for r in got] == [(7, "v7")]
+
+    # pruning: the candidate set for one value must be < all dirs
+    import qin_cdc_spark.streaming.versioned as vmod
+    from qin_cdc_spark.functions.bloom import candidate_units
+    import pyspark.sql.functions as FF
+
+    idx = spark.read.parquet(tbl._bloom_idx_path).filter(FF.col("bcol") == "val")
+    cands = candidate_units(spark, idx, ["v7"])
+    assert 1 <= len(cands) < 8, cands
+
+    # update + delete move/kill values
+    tbl.merge(
+        _kv_changes(spark, [("update", 100, 9, "v9b"), ("delete", 101, 7, "v7")])
+    )
+    assert tbl.read_where("val", ["v7"]).count() == 0  # deleted
+    assert tbl.read_where("val", ["v9"]).count() == 0  # superseded
+    assert [r.id for r in tbl.read_where("val", ["v9b"]).collect()] == [9]
+    # historical version still answers with the OLD values
+    assert [r.id for r in tbl.read_where("val", ["v7"], version=1).collect()] == [7]
+
+
+def test_bloom_fallback_without_index_is_correct(spark, tmp_path):
+    """Deleting the index (or querying an unindexed column) must fall
+    back to reading every dir — correct, just unpruned."""
+    import shutil as sh
+
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "t"), ["id"], n_buckets=4, bloom_cols=["val"]
+    )
+    tbl.merge(_kv_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 17)]))
+    sh.rmtree(tbl._bloom_idx_path)
+    assert [r.id for r in tbl.read_where("val", ["v5"]).collect()] == [5]
+    # unindexed column goes straight to the plain path
+    assert tbl.read_where("id", [5]).count() == 1
+
+
+def test_bloom_survives_rebucket_and_compaction(spark, tmp_path):
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "t"), ["id"], n_buckets=4, bloom_cols=["val"]
+    )
+    tbl.merge(_kv_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 33)]))
+    tbl.rebucket(16)
+    assert [r.id for r in tbl.read_where("val", ["v11"]).collect()] == [11]
+    tbl.gc(keep_last=1)
+    tbl.compact_bloom_index()
+    # index now only names live dirs; lookups still exact
+    live = set(_manifest(tbl)["versions"][str(tbl.current_version())]["buckets"].values())
+    units = {
+        r.unit
+        for r in spark.read.parquet(tbl._bloom_idx_path).select("unit").distinct().collect()
+    }
+    assert units <= live
+    assert [r.id for r in tbl.read_where("val", ["v11"]).collect()] == [11]
