@@ -1,0 +1,258 @@
+"""Persisted MinHash-LSH band index with change-feed maintenance.
+
+``dedup_minhash_lsh`` (operators/similarity.py) re-hashes the whole
+corpus per run; at 100 TB the signature pass is the expensive step and
+the corpus changes by a fraction per crawl refresh.  This module makes
+the band index a MAINTAINED ARTIFACT — the near-dup analog of
+``IvfIndex.apply_cdf`` (operators/ivf.py): build once, then apply the
+versioned documents table's change feed incrementally, so re-dedup
+after an ingest touches O(changed docs + their band buckets), never the
+corpus.
+
+Key property making this cheap: a doc's index rows (its 16 band keys)
+are a PURE ROW-LOCAL function of its text.  Stale rows are therefore
+located by recomputing the band keys from the CDF's PREIMAGE text — no
+index scan, no corpus scan — and the partitions to rewrite are exactly
+the band-hash buckets of (old ∪ new) keys, the same touched-partition
+staged-swap discipline every other maintained artifact here uses.
+
+The index layout is ``bucket=<pmod(xxhash(band), n)>`` parquet of
+(doc_id, band): candidate generation for ANY consumer is a self-join
+on band WITHIN buckets (bucket is a function of band, so the join is
+partition-local by construction — co-located at scale, zero extra
+shuffle of the corpus).
+
+Reference parity note: qin-cdc has no similarity surface (SURVEY §2.C
+north star); the maintenance pattern mirrors its schema-registry
+"update metadata incrementally, never rescan" stance
+(inputs/mysql/mysql_meta.go:75-133) applied to a data artifact.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from qin_cdc_spark.functions.text import (
+    lsh_band_keys,
+    minhash_from_hashes,
+    shingle_hashes,
+    word_shingles,
+)
+
+N_MINHASH = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+
+
+class LshBandIndex:
+    """(doc_id, band) relation, hash-bucketed by band key."""
+
+    def __init__(self, spark: SparkSession, path: str, *, n_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+
+    # -- band derivation (row-local) ----------------------------------------
+
+    def _band_rows(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """(doc_id, band, bucket) for a doc batch.  Two materialization
+        barriers (the CollapseProject lesson from dedup_minhash_lsh):
+        without them each band key re-runs the 64-permutation MinHash,
+        and each permutation re-runs every md5."""
+        hashed = docs.select(
+            "doc_id",
+            shingle_hashes(word_shingles(F.col(text_col))).alias("hashed"),
+        ).persist()
+        sig = hashed.select(
+            "doc_id", minhash_from_hashes(F.col("hashed"), N_MINHASH).alias("sig")
+        ).persist()
+        rows = (
+            sig.select(
+                "doc_id",
+                F.explode(
+                    lsh_band_keys(F.col("sig"), N_BANDS, ROWS_PER_BAND)
+                ).alias("band"),
+            )
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col("band")), F.lit(self.n_buckets))
+            )
+            .persist()
+        )
+        rows.count()  # materialize through the barriers, then release
+        hashed.unpersist()
+        sig.unpersist()
+        return rows
+
+    # -- build / read --------------------------------------------------------
+
+    def build(self, docs: DataFrame, text_col: str = "text") -> None:
+        rows = self._band_rows(docs, text_col)
+        try:
+            (
+                rows.repartition(self.n_buckets, F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self.path)
+            )
+        finally:
+            rows.unpersist()
+
+    def exists(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def candidate_pairs(self) -> DataFrame:
+        """Distinct (doc_a < doc_b) sharing any band key.  The equi-join
+        carries bucket alongside band, so it is co-partitioned with the
+        index layout — no corpus-side shuffle, only the index."""
+        idx = self.read()
+        a = idx.alias("x")
+        b = idx.alias("y")
+        return (
+            a.join(b, ["bucket", "band"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+
+    # -- incremental maintenance ---------------------------------------------
+
+    def apply_cdf(self, changes: DataFrame, text_col: str = "text") -> None:
+        """Apply a change-feed batch: (doc_id, _change ∈
+        insert/update/delete, <text_col> [postimage, null for deletes],
+        _pre_<text_col> [preimage, null for inserts]) — the shape
+        ``VersionedBucketedTable.changes_between(include_preimage=True)``
+        emits for a documents table.
+
+        Stale rows are recomputed ROW-LOCALLY from the preimage text;
+        touched partitions = buckets of (old ∪ new) band keys, each
+        rewritten as (existing − changed doc_ids) ∪ new rows via staged
+        write + per-partition dir swap.  Invariant (tested): the
+        maintained index equals a fresh build of the post-change
+        snapshot."""
+        changes = changes.persist()
+        try:
+            new_rows = self._band_rows(
+                changes.filter(F.col("_change").isin("insert", "update")).select(
+                    "doc_id", F.col(text_col)
+                ),
+                text_col,
+            )
+            old_rows = self._band_rows(
+                changes.filter(F.col("_change").isin("update", "delete")).select(
+                    "doc_id", F.col(f"_pre_{text_col}").alias(text_col)
+                ),
+                text_col,
+            )
+            try:
+                touched = sorted(
+                    r[0]
+                    for r in new_rows.select("bucket")
+                    .union(old_rows.select("bucket"))
+                    .distinct()
+                    .collect()
+                )
+                if not touched:
+                    return
+                changed_ids = changes.select("doc_id").distinct()
+                keep = (
+                    self.read()
+                    .filter(F.col("bucket").isin([int(b) for b in touched]))
+                    .join(F.broadcast(changed_ids), "doc_id", "left_anti")
+                )
+                merged = keep.select("doc_id", "band", "bucket").unionByName(
+                    new_rows.select("doc_id", "band", "bucket")
+                )
+                merged = merged.repartition(max(1, len(touched)), F.col("bucket"))
+                stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+                merged.write.partitionBy("bucket").parquet(stage)
+                for b in touched:
+                    src = os.path.join(stage, f"bucket={b}")
+                    dst = os.path.join(self.path, f"bucket={b}")
+                    old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+                    if os.path.isdir(dst):
+                        os.rename(dst, old)
+                    if os.path.isdir(src):
+                        os.rename(src, dst)
+                    shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(stage, ignore_errors=True)
+            finally:
+                new_rows.unpersist()
+                old_rows.unpersist()
+        finally:
+            changes.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Gate query: the INDEXED near-dup pipeline must produce exactly the
+# same verified pairs as the inline dedup_minhash_lsh (same signature
+# family, same bands, same ≥0.5 exact-Jaccard verify) — one oracle
+# serves both, proving the materialized index is a faithful
+# re-expression, not a new approximation.
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def dedup_minhash_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from qin_cdc_spark.functions.text import word_shingles
+    from qin_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    idx = LshBandIndex(spark, tempfile.mkdtemp(prefix="lshidx_gate_") + "/idx")
+    idx.build(docs)
+    cand = idx.candidate_pairs()
+    sets = docs.select(
+        "doc_id",
+        word_shingles(F.col("text")).alias("sh"),
+    ).select("doc_id", F.size("sh").alias("n_sh"), "sh").persist()
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("sh").alias("sh_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("sh").alias("sh_b")
+    )
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .persist()
+    )
+    out.count()
+    sets.unpersist()
+    return out
+
+
+def _indexed_oracle() -> str:
+    from qin_cdc_spark.operators.similarity import _minhash_oracle
+
+    return _minhash_oracle()
+
+
+QUERIES["dedup_minhash_lsh_indexed"] = dedup_minhash_lsh_indexed
+ORACLES["dedup_minhash_lsh_indexed"] = _indexed_oracle()

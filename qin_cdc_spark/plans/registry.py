@@ -188,6 +188,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.lsh_index as lsh_index
+
+        modules.append(lsh_index)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.operators.bpe as bpe
 
         modules.append(bpe)
