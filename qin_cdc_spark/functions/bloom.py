@@ -24,14 +24,34 @@ BLOOM_M_BITS = 1 << 20
 BLOOM_N_HASHES = 3
 
 
+def _render_key(key) -> str:
+    """Driver-side rendering of a probe key, restricted to the types whose
+    Python ``str()`` agrees with Spark's ``cast("string")`` byte-for-byte
+    (int and str).  bool (``True`` vs ``true``), float (``1e+20`` vs
+    ``1.0E20``) and timestamp keys render differently in the two engines,
+    which would silently divert probe bits from the built bits — a FALSE
+    NEGATIVE that drops true units from candidate_units.  Fail loudly
+    instead; callers with other key types must cast the key column to
+    string on the build side and pass the same string here."""
+    if isinstance(key, bool) or not isinstance(key, (int, str)):
+        raise TypeError(
+            f"bloom probe keys must be int or str (got {type(key).__name__}); "
+            "cast the key column to string on the build side and probe with "
+            "the identical string rendering"
+        )
+    return str(key)
+
+
 def probe_bits(
     key, m_bits: int = BLOOM_M_BITS, n_hashes: int = BLOOM_N_HASHES
 ) -> list[int]:
     """Driver-side probe bits for one key — must mirror the Spark-side
     expression in :func:`packed_bloom` exactly: int64 of the first 15
-    hex digits of md5('<i>:<key>')."""
+    hex digits of md5('<i>:<key>').  Key types are restricted by
+    :func:`_render_key` so both sides share one rendering."""
+    rendered = _render_key(key)
     return [
-        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+        int(hashlib.md5(f"{i}:{rendered}".encode()).hexdigest()[:15], 16) % m_bits
         for i in range(n_hashes)
     ]
 

@@ -745,7 +745,7 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = per_src.select(
         F.col("source").alias("src_b"), F.col("est_distinct").alias("est_b")
     )
-    return (
+    out = (
         pair_agg.join(F.broadcast(ea), "src_a")
         .join(F.broadcast(eb), "src_b")
         .select(
@@ -759,7 +759,16 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_a",
             "est_b",
         )
+        .persist()
     )
+    # materialize the S²-bounded pair result, then release the sketch
+    # cache (the repo-wide materialize-then-unpersist discipline —
+    # leaving sk persisted leaked cached blocks for the session life)
+    try:
+        out.count()
+    finally:
+        sk.unpersist()
+    return out
 
 
 _KMV_NUM = float((KMV_K - 1) * (1 << 60))

@@ -29,12 +29,31 @@ ORACLES: dict = {}
 
 N_SALT = 8
 
+"""The revenue sum accumulates in exact DECIMAL, published as fixed-scale
+text: float accumulation order differs between the blanket-salt, two-phase
+and plain-join plans (and between Spark and DuckDB), so a double sum can
+flip the canon's 9th significant digit — observed as the round-3
+`join_salted_twophase` hash mismatch.  Decimal accumulation is
+order-independent, so the hash checks the JOIN strategy, not float luck."""
 SALTED_ORACLE = """
-SELECT o_orderstatus, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+SELECT o_orderstatus,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+            AS VARCHAR) AS revenue,
        count(*) AS n_lines
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus
 """
+
+
+def _salted_revenue_agg(joined: DataFrame) -> DataFrame:
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
 
 
 def salted_join(
@@ -79,10 +98,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     joined = salted_join(li, orders, "l_orderkey", "o_orderkey")
-    return joined.groupBy("o_orderstatus").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
+    return _salted_revenue_agg(joined)
 
 
 QUERIES["join_salted_skew"] = join_salted_skew
@@ -146,10 +162,7 @@ def join_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty at TPC-H's natural fan-out and only the synthetic test would
     # cover it).
     joined = salted_join_twophase(li, orders, "l_orderkey", "o_orderkey", hot_threshold=4)
-    return joined.groupBy("o_orderstatus").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
+    return _salted_revenue_agg(joined)
 
 
 QUERIES["join_salted_twophase"] = join_salted_twophase

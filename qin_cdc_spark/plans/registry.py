@@ -16,91 +16,81 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate evaluates a PREFIX of this registry (rounds
-# 1-2: exactly the first 50 entries), so iteration order is part of the
-# contract.  Round-3 layout per the round-2 verdict: positions 1-15 are ONE
-# known-green representative per operator family (any prefix cap still
-# samples the whole SURVEY §2 matrix, and emb_quantize_int8 stays to prove
-# the round-2 red row is fixed); positions 16-50 ROTATE never-driver-checked
-# names (35 this round) so every registry query gets driver-verified at
-# least once by round 4.
+# 1-3: exactly the first 50 entries), so iteration order is part of the
+# contract.  Round-4 layout: positions 1-8 are ONE known-green family
+# representative each (join_salted_twophase replaces join_salted_skew as
+# the scale-joins rep to prove the round-3 red row — a float-accumulation
+# hash flip, now decimal-exact — is fixed); positions 9-50 ROTATE 42
+# never-driver-checked names.
 #
-# Rotation ledger — still never-driver-checked after round 3 (rotate these
-# into positions 16-50 next round; 32 names, fits one more rotation):
-#   hist_equi_depth sketch_hll_mergeable q2_min_price_part q4… (remaining
-#   q-series: q2,q7,q8,q9,q10,q11,q13,q15,q16,q19,q20,q22) text_rolling_hash
-#   text_clean_canonical sample_stratified_topn text_bigram_logprob
-#   pipeline_corpus_curation text_repetition_ratio text_word_entropy
-#   text_chunk_dedup corpus_top_ngrams decontaminate_embedding
-#   dedup_semantic_clustered udf_pandas_grouped_agg udf_python_rowwise
-#   sim_ann_ivf ev_sliding_window ev_dedup_first_by_key mm_resize_meta
-#   mm_frame_sample + the round-3 additions (mix_token_budget,
-#   dedup_segments_crossdoc, text_gopher_rules, curriculum_quality_bins,
-#   join_interval_binned, udf_map_in_arrow, asof_join_next_purchase,
-#   asof_join_nearest_purchase, text_bm25_topk, decontaminate_bloom,
-#   sim_pq_adc_topk, sim_ivf_pq_topk [rows-only], dedup_substring_spans,
-#   text_hashed_linear_score, corpus_snapshot_diff, sketch_quantile_bins,
-#   chunk_content_defined, corpus_term_drift, sketch_countmin_stream_merge,
-#   tokenize_bpe_counts [rows-only], dq_constraint_report,
-#   dq_profile_orders, shards_plan_stats, mm_ahash_neardup,
-#   ev_attribution_last_touch, ev_rate_anomaly, cdc_bootstrap_overlap,
-#   q21_sole_late_shipper, q17_small_qty_revenue, scan_zorder_2d, dedup_jaccard_prefix_exact, retrieval_rrf_fusion,
-#   retrieval_hard_negatives, mix_temperature_alloc, cdc_time_travel,
-#   agg_stats_exact, cdc_derived_rollup,
-#   cdc_version_diff, sketch_kmv_source_overlap, scan_bloom_pruned,
-#   cdc_consistent_snapshot, cdc_versioned_bloom_lookup)
+# Rotation ledger — still never-driver-checked after round 4 (34 names;
+# rotate into positions 9-50 next round and every registry query will have
+# been driver-verified at least once):
+#   mm_ahash_neardup udf_python_rowwise udf_map_in_arrow text_bm25_topk
+#   decontaminate_bloom sketch_countmin_topk retrieval_rrf_fusion
+#   retrieval_hard_negatives mix_temperature_alloc dedup_substring_spans
+#   text_hashed_linear_score corpus_snapshot_diff sketch_quantile_bins
+#   chunk_content_defined corpus_term_drift sketch_kmv_source_overlap
+#   dedup_minhash_lsh_indexed dq_constraint_report dq_profile_orders
+#   shards_plan_stats cdc_bootstrap_overlap cdc_consistent_snapshot
+#   cdc_versioned_bloom_lookup ev_sliding_window ev_dedup_first_by_key
+#   ev_attribution_last_touch ev_rate_anomaly sketch_countmin_stream_merge
+#   + rows-only: sketch_hll_mergeable dedup_semantic_clustered sim_ann_ivf
+#   sim_pq_adc_topk sim_ivf_pq_topk tokenize_bpe_counts
 _HEAD = [
-    # -- family representatives (1-15), all green in CORRECTNESS_r02 --
+    # -- family representatives (1-8), all green in CORRECTNESS_r03 or
+    #    locally re-verified this round --
     "cdc_apply_orders",  # CDC apply/merge
-    "cdc_replay_idempotent",  # CDC delivery invariants
+    "join_salted_twophase",  # scale joins — round-3 red row, now decimal-exact
     "ev_tumbling_window",  # streaming/event analytics
     "dedup_minhash_lsh",  # near-dup (LSH family)
-    "sim_ann_lsh",  # ANN similarity
-    "text_quality_score",  # LLM text pipeline
-    "sample_split_3way",  # curation/sampling
-    "emb_quantize_int8",  # round-2 red row — now canon-proof (q_csv)
+    "q1_pricing_summary",  # TPC-H relational
     "mm_decode_meta",  # multimodal
     "udf_apply_in_pandas",  # UDF surface
-    "join_salted_skew",  # scale joins
-    "scan_sorted_zonemap",  # scans/layout
-    "q1_pricing_summary",  # TPC-H relational
-    "rollup_continuous_agg",  # continuous-aggregate store
     "neardup_store_two_batch",  # streaming near-dup store
-    # -- rotation block (16-50): first-time driver checks this round --
-    "dedup_containment",
-    "join_salted_twophase",
-    "corpus_overlap_matrix",
-    "sample_weighted_pps",
-    "pack_sequences_concat",
-    "mm_audio_rms",
-    "mm_byte_histogram",
-    "fn_map_ops",
-    "agg_collect_sorted",
-    "fn_regexp",
-    "fn_array_setops",
-    "fn_string_extras",
-    "fn_date_extras",
-    "fn_agg_extras",
-    "fn_bitwise",
-    "win_nth_value",
-    "win_ignore_nulls",
-    "win_time_range",
-    "agg_mode_median",
-    "agg_grouping_id",
-    "unpivot_metrics",
-    "setop_union_missing",
-    "scan_partitioned_pruned",
-    "scan_csv",
-    "scan_orc",
-    "sql_hint_broadcast",
-    "join_null_safe_eq",
-    "subquery_not_in_null",
-    "date_spine_zerofill",
-    "text_fingerprint",
-    "text_pii_redact",
-    "sample_hash_bernoulli",
-    "q4_order_priority",
-    "cdc_derived_rollup",  # round-3 derived-MV flagship
-    "cdc_time_travel",  # round-3 versioned-target family representative
+    # -- rotation block (9-50): first-time driver checks this round --
+    "q2_min_price_part",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_filter",
+    "q20_excess_suppliers",
+    "q21_sole_late_shipper",
+    "q22_dormant_customers",
+    "asof_join_next_purchase",
+    "asof_join_nearest_purchase",
+    "agg_stats_exact",
+    "hist_equi_depth",
+    "text_rolling_hash",
+    "text_clean_canonical",
+    "sample_stratified_topn",
+    "text_bigram_logprob",
+    "pipeline_corpus_curation",
+    "text_repetition_ratio",
+    "text_word_entropy",
+    "text_chunk_dedup",
+    "corpus_top_ngrams",
+    "join_interval_binned",
+    "scan_zorder_2d",
+    "join_dpp_pruned",
+    "scan_bloom_pruned",
+    "dedup_jaccard_prefix_exact",
+    "decontaminate_embedding",
+    "mix_token_budget",
+    "dedup_segments_crossdoc",
+    "text_gopher_rules",
+    "curriculum_quality_bins",
+    "sample_split_leakage_safe",
+    "mm_resize_meta",
+    "mm_frame_sample",
+    "udf_pandas_grouped_agg",
+    "cdc_version_diff",
 ]
 
 

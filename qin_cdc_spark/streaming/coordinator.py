@@ -150,3 +150,29 @@ class SnapshotCoordinator:
         if drop:
             self._publish(meta)
         return drop
+
+    def referenced_versions(self) -> dict[str, set[int]]:
+        """Per table, the versions some retained coordinate still names.
+        This — not a version COUNT — is what table gc must preserve:
+        versions minted outside coordinated batches (rebucket, restore,
+        manual merge) make ``expire(keep_last=k)`` + ``gc(keep_last=k)``
+        count different things, so a retained coordinate could reference
+        a gc-expired version."""
+        refs: dict[str, set[int]] = {name: set() for name in self.tables}
+        for coord in self._meta()["batches"].values():
+            for name, v in coord.items():
+                refs.setdefault(name, set()).add(v)
+        return refs
+
+    def expire_and_gc(self, *, keep_last: int) -> dict[str, list[int]]:
+        """Coordinated retention in one safe step: drop old coordinates,
+        then gc each table keeping EXACTLY the versions the surviving
+        coordinates reference (plus the table's current version).  After
+        this, every retained coordinate is readable by construction —
+        read_at can never raise 'version not retained'."""
+        self.expire(keep_last=keep_last)
+        refs = self.referenced_versions()
+        return {
+            name: t.gc(keep_versions=refs.get(name, set()))
+            for name, t in self.tables.items()
+        }

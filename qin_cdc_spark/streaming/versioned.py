@@ -291,8 +291,14 @@ class VersionedBucketedTable:
             self.spark.read.option("mergeSchema", "true")
             .parquet(*[os.path.join(self.path, d) for d in dnames])
             .withColumn(
+                # anchored to the FINAL directory segment: an unanchored
+                # pattern would match a d-<12hex> substring anywhere in the
+                # table's root path (e.g. /data/prod-1234567890ab/t) and
+                # mis-key every unit, silently disabling pruning
                 "_unit",
-                F.regexp_extract(F.input_file_name(), r"(d-[0-9a-f]{12})", 1),
+                F.regexp_extract(
+                    F.input_file_name(), r"/(d-[0-9a-f]{12})/[^/]*$", 1
+                ),
             )
         )
         parts = []
@@ -343,9 +349,15 @@ class VersionedBucketedTable:
         cands = set(candidate_units(self.spark, idx, values)) & dirs
         read_dirs = sorted(cands | (dirs - present))
         if not read_dirs:
-            # provably absent: keep the schema, scan nothing real
-            any_dir = os.path.join(self.path, next(iter(dirs)))
-            empty = self.spark.read.parquet(any_dir).filter(F.lit(False))
+            # provably absent: keep the FULL merged schema (a single
+            # arbitrary dir may predate a mid-stream added column and
+            # would return an empty frame missing columns the normal
+            # mergeSchema path carries), scan nothing real
+            empty = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, d) for d in sorted(dirs)])
+                .filter(F.lit(False))
+            )
             return self._visible(empty.filter(pred))
         df = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, d) for d in read_dirs]
@@ -494,14 +506,25 @@ class VersionedBucketedTable:
 
     # -- retention ---------------------------------------------------------
 
-    def gc(self, *, keep_last: int) -> list[int]:
-        """Expire all but the newest ``keep_last`` snapshots; returns
-        the expired version numbers.  Data dirs still referenced by a
+    def gc(
+        self, *, keep_last: int = 0, keep_versions: set[int] | None = None
+    ) -> list[int]:
+        """Expire snapshots; returns the expired version numbers.
+        Retained = the newest ``keep_last`` PLUS everything in
+        ``keep_versions`` (a coordinator's still-referenced set — see
+        SnapshotCoordinator.expire_and_gc, which passes it so a
+        coordinate can never name a gc'd version even when table
+        versions were minted outside coordinated batches).  The current
+        version is always retained.  Data dirs still referenced by a
         retained version survive (file reuse makes this the common
         case); the rest are deleted by the publish GC."""
         meta = self._meta()
         vs = sorted(int(v) for v in meta["versions"])
-        expire = vs[:-keep_last] if keep_last > 0 else vs
+        keep = set(keep_versions or ())
+        keep.add(meta["current"])
+        if keep_last > 0:
+            keep.update(vs[-keep_last:])
+        expire = [v for v in vs if v not in keep]
         for v in expire:
             del meta["versions"][str(v)]
         if expire:

@@ -165,3 +165,46 @@ def test_coordinator_expire_and_errors(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not a versioned local target"):
         SnapshotCoordinator.for_routes(str(tmp_path / "c2"), [FakeSinkRoute()])
+
+
+def test_coordinator_expire_and_gc_with_out_of_band_versions(spark, tmp_path):
+    """Versions minted OUTSIDE coordinated batches (manual merges,
+    restore, rebucket) skew a count-based retention: expire(keep_last=k)
+    + per-table gc(keep_last=k) count different things, so a retained
+    coordinate could name a gc-expired version.  expire_and_gc keeps
+    exactly the still-referenced versions, so every retained coordinate
+    stays readable by construction."""
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=2)
+    coord = SnapshotCoordinator(str(tmp_path / "c"), {"db.t": tbl})
+
+    def mk(op, seq, val):
+        return spark.createDataFrame(
+            [(op, seq, 1, val)], "op string, seq long, id long, val string"
+        )
+
+    tbl.merge(mk("insert", 1, "a"), batch_id=0)
+    coord.record(0)
+    v_coord0 = coord.versions_at(0)["db.t"]
+    # two OUT-OF-BAND versions between coordinated batches (manual
+    # merges carry no batch_id, so they don't advance the replay guard)
+    tbl.merge(mk("update", 2, "oob1"))
+    tbl.merge(mk("update", 3, "oob2"))
+    tbl.merge(mk("update", 4, "b"), batch_id=1)
+    coord.record(1)
+    tbl.merge(mk("update", 5, "c"), batch_id=2)
+    coord.record(2)
+
+    # naive count-based retention WOULD break here: keep_last=2 keeps
+    # coordinates {1, 2} but per-table keep_last=2 would gc the version
+    # coordinate 1 references (3 table versions were minted since).
+    coord.expire_and_gc(keep_last=2)
+    assert coord.batches() == [1, 2]
+    for b in coord.batches():
+        dfs = coord.read_at(b)  # must not raise 'version not retained'
+        assert dfs["db.t"].count() == 1
+    assert coord.read_at(1)["db.t"].collect()[0].val == "b"
+    assert coord.read_at(2)["db.t"].collect()[0].val == "c"
+    # the dropped coordinate's version is reclaimed (not referenced)
+    assert v_coord0 not in tbl.versions()

@@ -253,3 +253,40 @@ def test_bloom_probe_bits_match_sparkside_hash(spark):
     got = {r.k: list(r.p) for r in df.select("k", probes.alias("p")).collect()}
     for k, spark_bits in got.items():
         assert spark_bits == _bloom_probe_bits(k), k
+
+
+def test_bloom_probe_rejects_divergent_rendering_types(spark):
+    """bool/double/timestamp keys render differently under Python str()
+    vs Spark cast("string") (True vs true, 1e+20 vs 1.0E20, ...), so the
+    probe bits would silently diverge from the built bits — a false
+    negative.  probe_bits must refuse those types loudly; string keys
+    must still round-trip bit-identically."""
+    import datetime
+
+    import pytest
+
+    from qin_cdc_spark.functions.text import hash60
+    from qin_cdc_spark.operators.scale_joins import (
+        BLOOM_M_BITS,
+        BLOOM_N_HASHES,
+        _bloom_probe_bits,
+    )
+
+    for bad in (True, False, 1e20, 0.1, datetime.datetime(2024, 1, 1)):
+        with pytest.raises(TypeError):
+            _bloom_probe_bits(bad)
+
+    # str keys: one shared rendering on both sides
+    df = spark.createDataFrame([("alpha",), ("b:c",), ("",)], "k string")
+    probes = F.array(
+        *[
+            F.pmod(
+                hash60(F.concat_ws(":", F.lit(str(i)), F.col("k").cast("string"))),
+                F.lit(BLOOM_M_BITS),
+            )
+            for i in range(BLOOM_N_HASHES)
+        ]
+    )
+    got = {r.k: list(r.p) for r in df.select("k", probes.alias("p")).collect()}
+    for k, spark_bits in got.items():
+        assert spark_bits == _bloom_probe_bits(k), k
