@@ -280,6 +280,26 @@ def bootstrap_route(route, snapshot: DataFrame, snapshot_seq: int) -> None:
     route.target.merge(snapshot_as_changes(snapshot, route.keys, snapshot_seq))
 
 
+def _decoded_orders_halved(spark: SparkSession, sf_dir: str, post=None):
+    """Decoded orders change stream behind a persist barrier, plus its
+    half-stream watermark seq.  The synthetic envelope (JSON encode →
+    decode over the whole table) is the expensive upstream of every
+    versioned-target gate query, and each consumes it THREE times
+    (watermark scan + two half-stream merges); materializing it once is
+    the honest real-pipeline shape — a change stream arrives once.
+    ``post`` optionally derives extra columns before the barrier.
+    Callers whose results are file-backed (versioned merges) MUST
+    ``decoded.unpersist()`` before returning."""
+    env = _orders_envelope(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "orders").schema
+    decoded = decode_envelope(env, schema, db="src", table="orders")
+    if post is not None:
+        decoded = post(decoded)
+    decoded = decoded.persist()
+    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    return decoded, s
+
+
 def cdc_bootstrap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-then-stream with a redelivery overlap must equal the
     full replay (the initial-load contract): snapshot at watermark S,
@@ -287,17 +307,22 @@ def cdc_bootstrap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events are redelivered on top of it — and the LWW result is the
     same final table the whole stream produces (the oracle replays
     everything)."""
-    env = _orders_envelope(spark, sf_dir)
-    schema = load_table(spark, sf_dir, "orders").schema
-    decoded = decode_envelope(env, schema, db="src", table="orders")
-    s = decoded.agg(F.max("seq")).collect()[0][0] // 2  # watermark (scalar)
+    decoded, s = _decoded_orders_halved(spark, sf_dir)  # s = watermark
     snapshot = apply_changes(
         None, decoded.filter(F.col("seq") <= s), ["o_orderkey"]
     )
     seeded = snapshot_as_changes(snapshot, ["o_orderkey"], s)
     overlap_and_tail = decoded.filter(F.col("seq") > s // 2).select(seeded.columns)
     merged = latest_by_key(seeded.unionByName(overlap_and_tail), ["o_orderkey"])
-    return merged.filter(F.col("op") != "delete").drop("op", "seq")
+    out = merged.filter(F.col("op") != "delete").drop("op", "seq").persist()
+    # materialize the final table, then release the decoded-stream cache
+    # (the result is lazy over it — the repo's materialize-then-unpersist
+    # discipline keeps sweep sessions leak-free)
+    try:
+        out.count()
+    finally:
+        decoded.unpersist()
+    return out
 
 
 # the contract IS "equals the full replay": reuse the full-stream oracle
@@ -319,15 +344,13 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    env = _orders_envelope(spark, sf_dir)
-    schema = load_table(spark, sf_dir, "orders").schema
-    decoded = decode_envelope(env, schema, db="src", table="orders")
-    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
         spark, tempfile.mkdtemp(prefix="ttravel_gate_") + "/t", ["o_orderkey"]
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    decoded.unpersist()  # read_at is file-backed
     return tbl.read_at(v1)
 
 
@@ -360,15 +383,13 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    env = _orders_envelope(spark, sf_dir)
-    schema = load_table(spark, sf_dir, "orders").schema
-    decoded = decode_envelope(env, schema, db="src", table="orders")
-    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
         spark, tempfile.mkdtemp(prefix="vdiff_gate_") + "/t", ["o_orderkey"]
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     v2 = tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    decoded.unpersist()  # read_internal is file-backed
 
     def _live(v):
         return (
@@ -441,12 +462,13 @@ def cdc_derived_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.derived import DerivedAggTable
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    env = _orders_envelope(spark, sf_dir)
-    schema = load_table(spark, sf_dir, "orders").schema
-    decoded = decode_envelope(env, schema, db="src", table="orders").withColumn(
-        "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn(
+            "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+        ),
     )
-    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
     base = tempfile.mkdtemp(prefix="derived_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"])
     mv = DerivedAggTable(
@@ -456,6 +478,7 @@ def cdc_derived_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv.refresh(tbl)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
     mv.refresh(tbl)
+    decoded.unpersist()  # mv.read is file-backed
     return mv.read().select(
         "o_orderstatus",
         F.col("cnt").cast("long").alias("cnt"),
@@ -500,16 +523,12 @@ def cdc_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
     base = tempfile.mkdtemp(prefix="coord_gate_")
-    o_schema = load_table(spark, sf_dir, "orders").schema
     l_schema = load_table(spark, sf_dir, "lineitem").schema
-    o_dec = decode_envelope(
-        _orders_envelope(spark, sf_dir), o_schema, db="src", table="orders"
-    )
+    o_dec, so = _decoded_orders_halved(spark, sf_dir)
     l_env = envelope_from_typed(
         lineitem_change_stream(spark, sf_dir), db="src", table="lineitem"
     )
-    l_dec = decode_envelope(l_env, l_schema, db="src", table="lineitem")
-    so = o_dec.agg(F.max("seq")).collect()[0][0] // 2
+    l_dec = decode_envelope(l_env, l_schema, db="src", table="lineitem").persist()
     sl = l_dec.agg(F.max("seq")).collect()[0][0] // 2
 
     o_tbl = VersionedBucketedTable(spark, f"{base}/orders", ["o_orderkey"])
@@ -525,6 +544,8 @@ def cdc_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_tbl.merge(o_dec.filter(F.col("seq") > so), batch_id=1)
     l_tbl.merge(l_dec.filter(F.col("seq") > sl), batch_id=1)
     coord.record(1)
+    o_dec.unpersist()  # coordinated reads are file-backed
+    l_dec.unpersist()
 
     snap = coord.read_at(0)
     o, li = snap["src.orders"], snap["src.lineitem"]
@@ -580,10 +601,7 @@ def cdc_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    env = _orders_envelope(spark, sf_dir)
-    schema = load_table(spark, sf_dir, "orders").schema
-    decoded = decode_envelope(env, schema, db="src", table="orders")
-    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
         spark,
         tempfile.mkdtemp(prefix="bloom_gate_") + "/t",
@@ -592,6 +610,7 @@ def cdc_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    decoded.unpersist()  # read_where is file-backed
     # deterministic probe: the 3 smallest custkeys in the fixture
     # (bounded 3-row collect, the serving-lookup class)
     custkeys = [

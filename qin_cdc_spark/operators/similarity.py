@@ -716,18 +716,32 @@ def dedup_jaccard_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
-    # p = n - ceil(t*n) + 1, all-integer: ceil(a/b) = (a + b - 1) div b
-    p = F.col("n_sh") - F.expr(
-        f"(n_sh * {t_num} + {t_den} - 1) div {t_den}"
-    ) + F.lit(1)
-    prefix = (
+    # ONE doc-keyed shuffle builds everything per-doc: the (df asc,
+    # h asc) rarity order via sort_array over structs, the doc's shingle
+    # set for the verify join, and its size — where a window (rn ≤ p) +
+    # a sizes groupBy + a sets collect_list would shuffle the same rows
+    # by doc_id three times.  p = n − ceil(t·n) + 1 all-integer.
+    per_doc = (
         ex.join(dfreq, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(F.col("rn") <= p)
-        .select("doc_id", "h", "n_sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("dh"))
+        .withColumn("n_sh", F.size("dh"))
+        .withColumn(
+            "p",
+            F.col("n_sh")
+            - F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
+            + F.lit(1),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            F.expr("transform(slice(dh, 1, p), x -> x.h)").alias("pre"),
+            F.expr("transform(dh, x -> x.h)").alias("sarr"),
+        )
+        .persist()
+    )
+    prefix = per_doc.select(
+        "doc_id", F.explode("pre").alias("h"), "n_sh"
     )
     # size filter (exactness-preserving): J(A,B) ≥ t ⟹ t·|B| ≤ |A| and
     # t·|A| ≤ |B| (J ≤ min/max), so size-mismatched prefix collisions
@@ -748,11 +762,8 @@ def dedup_jaccard_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = ex.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("h")).alias("sarr")
-    ).persist()
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb"))
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb"))
     out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -768,7 +779,7 @@ def dedup_jaccard_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.count()
     ex.unpersist()
-    sets.unpersist()
+    per_doc.unpersist()
     return out
 
 
