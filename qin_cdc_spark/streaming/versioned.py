@@ -60,6 +60,7 @@ class VersionedBucketedTable:
         *,
         n_buckets: int = 32,
         bloom_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -69,6 +70,18 @@ class VersionedBucketedTable:
         # bitsets maintained incrementally (touched dirs only) at merge
         # time — see read_where()
         self.bloom_cols = list(bloom_cols or [])
+        # within-bucket clustering: every merged/rebucketed bucket file
+        # is written sorted by these columns, so parquet row-group
+        # min/max stats become tight and RANGE predicates on them skip
+        # row groups inside every dir (the range-scan complement to the
+        # equality-only Bloom path — per-dir zone maps would be useless
+        # here because PK hash-bucketing spreads any column's values
+        # over every bucket; within-file clustering is the level where
+        # order can actually be imposed).  Costs one in-memory sort of
+        # each touched bucket during the merge's existing write pass —
+        # no extra shuffle (sortWithinPartitions after the bucket
+        # repartition).
+        self.sort_cols = list(sort_cols or [])
 
     # -- manifest ----------------------------------------------------------
 
@@ -151,6 +164,27 @@ class VersionedBucketedTable:
             F.lit(self.n_buckets if n_buckets is None else n_buckets),
         )
 
+    def _cluster(self, df: DataFrame) -> DataFrame:
+        """Within-partition sort by ``sort_cols`` before a bucket-file
+        write, so each written file's parquet row groups carry tight
+        min/max stats and Spark's parquet pushdown skips row groups on
+        range predicates.  ``sortWithinPartitions`` — never a shuffle;
+        no-op when unconfigured.  Columns absent from ``df`` (a batch
+        written before schema evolution added the sort column) are
+        skipped rather than erroring: clustering is a layout hint, not
+        a correctness requirement."""
+        cols = [c for c in self.sort_cols if c in df.columns]
+        if not cols:
+            return df
+        # _bucket leads the sort: the dynamic-partition writer requires
+        # rows ordered by its partition column and would otherwise
+        # insert its own (_bucket-only, unstable) sort on top, undoing
+        # the clustering.  With the prefix satisfied, our ordering
+        # survives into the files.
+        if "_bucket" in df.columns:
+            cols = ["_bucket", *cols]
+        return df.sortWithinPartitions(*cols)
+
     def _manifest_n_buckets(self, man: dict) -> int:
         """Bucket count the manifest was written under.  Versions minted
         before bucket-count evolution carry no field and default to the
@@ -203,6 +237,7 @@ class VersionedBucketedTable:
             # one file per touched bucket (same small-files discipline as
             # BucketedUpsertTable)
             merged = merged.repartition(max(1, len(touched)), F.col("_bucket"))
+            merged = self._cluster(merged)
             stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
             merged.write.partitionBy("_bucket").parquet(stage)
 
@@ -484,6 +519,7 @@ class VersionedBucketedTable:
             raise ValueError(f"rebucket: no current snapshot at {self.path}")
         rows = full.withColumn("_bucket", self._bucket_expr(new_n_buckets))
         rows = rows.repartition(new_n_buckets, F.col("_bucket"))
+        rows = self._cluster(rows)
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
         rows.write.partitionBy("_bucket").parquet(stage)
         new_buckets: dict[str, str] = {}

@@ -417,3 +417,40 @@ def test_bloom_survives_rebucket_and_compaction(spark, tmp_path):
     }
     assert units <= live
     assert [r.id for r in tbl.read_where("val", ["v11"]).collect()] == [11]
+
+
+def test_sort_cols_cluster_files_and_stay_correct(spark, tmp_path):
+    """With sort_cols, every written bucket file is internally sorted by
+    the clustering column (tight parquet row-group min/max for range
+    skipping) — and merge/rebucket semantics are unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "t"), ["id"], n_buckets=4, sort_cols=["val"]
+    )
+    # values deliberately shuffled relative to key order
+    rows = [("insert", i, i, f"v{(i * 7) % 32:02d}") for i in range(1, 33)]
+    tbl.merge(_changes(spark, rows))
+    tbl.merge(_changes(spark, [("update", 100, 1, "v99"), ("delete", 101, 2, "x")]))
+
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {
+        (i, f"v{(i * 7) % 32:02d}") for i in range(3, 33)
+    } | {(1, "v99")}
+
+    # every parquet file in every data dir is sorted by val
+    files = glob.glob(os.path.join(tbl.path, "d-*", "*.parquet"))
+    assert files
+    for f in files:
+        vals = pq.read_table(f, columns=["val"]).column("val").to_pylist()
+        assert vals == sorted(vals), f
+
+    # rebucket re-clusters too
+    tbl.rebucket(8)
+    for f in glob.glob(os.path.join(tbl.path, "d-*", "*.parquet")):
+        vals = pq.read_table(f, columns=["val"]).column("val").to_pylist()
+        assert vals == sorted(vals), f
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {
+        (i, f"v{(i * 7) % 32:02d}") for i in range(3, 33)
+    } | {(1, "v99")}
