@@ -164,3 +164,50 @@ ev AS (
   FROM li WHERE l_orderkey % 7 = 3
 )
 """
+
+
+def customer_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic customer (dimension) change stream, projected to
+    the join-MV columns (key c_custkey, k = c_custkey % 8):
+
+    - every row:   insert  seq = key*4
+    - k in (2,6):  update  seq = key*4 + 1  (mktsegment -> 'UPDATED')
+    - k = 4:       delete  seq = key*4 + 2
+
+    String-only mutations: no float arithmetic anywhere, so the DuckDB
+    mirror (CUSTOMER_STREAM_SQL) is trivially bit-identical."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    cols = c.columns
+    k = F.col("c_custkey") % 8
+    base_seq = F.col("c_custkey") * 4
+
+    insert_ev = _event_struct("insert", base_seq, cols)
+    upd_ev = _event_struct(
+        "update", base_seq + 1, cols, c_mktsegment=F.lit("UPDATED")
+    )
+    del_ev = _event_struct("delete", base_seq + 2, cols)
+    empty = F.slice(F.array(insert_ev), 1, 0)
+    return _explode_events(
+        c,
+        [
+            F.array(insert_ev),
+            F.when(k.isin(2, 6), F.array(upd_ev)).otherwise(empty),
+            F.when(k == 4, F.array(del_ev)).otherwise(empty),
+        ],
+    )
+
+
+CUSTOMER_STREAM_SQL = """
+cev AS (
+  SELECT 'insert' AS op, c_custkey*4 AS seq, c_custkey, c_name, c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT 'update', c_custkey*4+1, c_custkey, c_name, 'UPDATED'
+  FROM customer WHERE c_custkey % 8 IN (2,6)
+  UNION ALL
+  SELECT 'delete', c_custkey*4+2, c_custkey, c_name, c_mktsegment
+  FROM customer WHERE c_custkey % 8 = 4
+)
+"""

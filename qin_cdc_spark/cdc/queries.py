@@ -642,3 +642,86 @@ WHERE rn = 1 AND op <> 'delete' AND o_custkey IN (SELECT o_custkey FROM probe)
 
 QUERIES["cdc_versioned_bloom_lookup"] = cdc_versioned_bloom_lookup
 ORACLES["cdc_versioned_bloom_lookup"] = CDC_BLOOM_LOOKUP_ORACLE
+
+
+def cdc_derived_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN materialized view over TWO synced
+    CDC tables: orders (fact) ⋈ customer (dim) kept current by
+    ``DerivedJoinTable`` from both versioned targets' change feeds
+    across two refresh rounds — the second round carries fact updates/
+    deletes, dim updates/deletes AND dim inserts that adopt previously
+    orphaned facts (half the customers don't exist yet at round 1).
+    The oracle recomputes the join of the two full-stream LWW
+    materializations from scratch; the hash check proves incremental
+    maintenance == recompute.
+
+    Per-refresh cost is O(|Δfact| + |facts referencing Δdim keys|):
+    the Δdim probe is a broadcast semi-join (or Bloom-pruned read_where
+    when configured), never a join recompute — the engine-side answer
+    to what the reference leaves to the downstream warehouse."""
+    import tempfile
+
+    from qin_cdc_spark.cdc.changestream import (
+        customer_change_stream,
+        orders_change_stream,
+    )
+    from qin_cdc_spark.streaming.derived import DerivedJoinTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    base = tempfile.mkdtemp(prefix="joinmv_gate_")
+    fo = (
+        orders_change_stream(spark, sf_dir)
+        .select("op", "seq", "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .persist()
+    )
+    fc = customer_change_stream(spark, sf_dir).persist()
+    so = fo.agg(F.max("seq")).collect()[0][0] // 2
+    sc = fc.agg(F.max("seq")).collect()[0][0] // 2
+
+    fact = VersionedBucketedTable(spark, base + "/fact", ["o_orderkey"])
+    dim = VersionedBucketedTable(spark, base + "/dim", ["c_custkey"], n_buckets=8)
+    jt = DerivedJoinTable(
+        spark,
+        base + "/jmv",
+        fact_keys=["o_orderkey"],
+        join_col="o_custkey",
+        dim_key="c_custkey",
+    )
+    dim.merge(fc.filter(F.col("seq") <= sc), batch_id=0)
+    fact.merge(fo.filter(F.col("seq") <= so), batch_id=0)
+    jt.refresh(fact, dim)
+    fact.merge(fo.filter(F.col("seq") > so), batch_id=1)
+    dim.merge(fc.filter(F.col("seq") > sc), batch_id=1)
+    jt.refresh(fact, dim)
+    fo.unpersist()  # jt.read() is file-backed
+    fc.unpersist()
+    return jt.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "c_name", "c_mktsegment",
+    )
+
+
+from qin_cdc_spark.cdc.changestream import CUSTOMER_STREAM_SQL  # noqa: E402
+
+CDC_DERIVED_JOIN_MV_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+{CUSTOMER_STREAM_SQL.strip().lstrip()},
+olive AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+clive AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM cev
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       c.c_name, c.c_mktsegment
+FROM olive o JOIN clive c ON o.o_custkey = c.c_custkey
+"""
+
+QUERIES["cdc_derived_join_mv"] = cdc_derived_join_mv
+ORACLES["cdc_derived_join_mv"] = CDC_DERIVED_JOIN_MV_ORACLE

@@ -328,6 +328,7 @@ class CdcStreamRoute:
         dlq_path: str | None = None,
         sink=None,
         versioned: bool = False,
+        table_opts: dict | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -349,6 +350,11 @@ class CdcStreamRoute:
         # table; batch-id replay guard means a redelivered batch mints
         # no duplicate version.
         self.versioned = versioned
+        # layout options forwarded to a versioned target's constructor
+        # (bloom_cols=… for secondary-column data skipping, sort_cols=…
+        # for within-bucket range clustering) — the streaming path gets
+        # the same physical-layout levers as a hand-built table.
+        self.table_opts = dict(table_opts or {})
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -478,6 +484,7 @@ class CdcStreamRoute:
                     self.target_path,
                     self.keys,
                     n_buckets=self.n_buckets or DEFAULT_N_BUCKETS,
+                    **self.table_opts,
                 )
             elif self.n_buckets:
                 self.target = BucketedUpsertTable(

@@ -141,3 +141,131 @@ def test_derived_mv_refreshes_inside_the_stream(spark, tmp_path):
     q.awaitTermination(300)
     assert mv.applied_version() == route.target.current_version()
     assert _view(mv) == _recompute(route.target)
+
+
+# -- DerivedJoinTable ---------------------------------------------------------
+
+
+def _fact_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq long, id long, ck long, amt long"
+    )
+
+
+def _dim_changes(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq long, ck long, name string")
+
+
+def _mv_rows(jt):
+    df = jt.read()
+    return (
+        set()
+        if df is None
+        else {(r.id, r.ck, r.amt, r.name) for r in df.collect()}
+    )
+
+
+def _join_recompute(fact, dim):
+    f, d = fact.read(), dim.read()
+    return {
+        (r.id, r.ck, r.amt, r.name)
+        for r in f.join(d, f.ck == d.ck, "inner").drop(d.ck).collect()
+    }
+
+
+def _mk_join(spark, tmp_path, **kw):
+    from qin_cdc_spark.streaming.derived import DerivedJoinTable
+
+    fact = VersionedBucketedTable(
+        spark, str(tmp_path / "fact"), ["id"], n_buckets=4, **kw
+    )
+    dim = VersionedBucketedTable(spark, str(tmp_path / "dim"), ["ck"], n_buckets=4)
+    jt = DerivedJoinTable(
+        spark,
+        str(tmp_path / "jmv"),
+        fact_keys=["id"],
+        join_col="ck",
+        dim_key="ck",
+        n_buckets=4,
+    )
+    return fact, dim, jt
+
+
+def test_join_mv_tracks_both_change_feeds(spark, tmp_path):
+    """Incremental == recompute through dim updates/deletes, fact
+    FK moves, fact deletes, and dim inserts adopting orphan facts."""
+    fact, dim, jt = _mk_join(spark, tmp_path)
+    dim.merge(_dim_changes(spark, [("insert", 1, 10, "a"), ("insert", 2, 20, "b")]))
+    fact.merge(
+        _fact_changes(
+            spark,
+            [
+                ("insert", 1, 1, 10, 100),
+                ("insert", 2, 2, 20, 200),
+                ("insert", 3, 3, 30, 300),  # orphan: no dim 30 yet
+            ],
+        )
+    )
+    jt.refresh(fact, dim)
+    assert _mv_rows(jt) == _join_recompute(fact, dim)
+    assert (1, 10, 100, "a") in _mv_rows(jt) and len(_mv_rows(jt)) == 2
+
+    # dim update (name change) + dim insert adopting the orphan fact
+    dim.merge(_dim_changes(spark, [("update", 3, 10, "a2"), ("insert", 4, 30, "c")]))
+    jt.refresh(fact, dim)
+    assert _mv_rows(jt) == _join_recompute(fact, dim)
+    assert (3, 30, 300, "c") in _mv_rows(jt)
+
+    # fact FK move (2: 20 -> 10), fact delete (1), dim delete (30)
+    fact.merge(
+        _fact_changes(spark, [("update", 4, 2, 10, 250), ("delete", 5, 1, 10, 0)])
+    )
+    dim.merge(_dim_changes(spark, [("delete", 5, 30, "c")]))
+    jt.refresh(fact, dim)
+    assert _mv_rows(jt) == _join_recompute(fact, dim)
+    assert _mv_rows(jt) == {(2, 10, 250, "a2")}
+
+    # no-op refresh: applied versions unchanged, MV unchanged
+    before = jt.applied_versions()
+    assert jt.refresh(fact, dim) == before
+    assert _mv_rows(jt) == {(2, 10, 250, "a2")}
+
+
+def test_join_mv_bloom_pruned_probe_matches_semijoin(spark, tmp_path):
+    """With bloom_cols on the fact FK the Δdim probe takes the
+    read_where path; result must equal the semi-join fallback."""
+    fact, dim, jt = _mk_join(spark, tmp_path, bloom_cols=["ck"])
+    dim.merge(
+        _dim_changes(spark, [("insert", i, i, f"n{i}") for i in range(1, 9)])
+    )
+    fact.merge(
+        _fact_changes(
+            spark,
+            [("insert", 100 + i, i, (i % 8) + 1, i * 10) for i in range(1, 33)],
+        )
+    )
+    jt.refresh(fact, dim)
+    assert _mv_rows(jt) == _join_recompute(fact, dim)
+    # dim-only change: probe path exercises read_where(ck, changed keys)
+    dim.merge(_dim_changes(spark, [("update", 50, 3, "n3b"), ("delete", 51, 5, "")]))
+    jt.refresh(fact, dim)
+    assert _mv_rows(jt) == _join_recompute(fact, dim)
+    assert all(r[3] == "n3b" for r in _mv_rows(jt) if r[1] == 3)
+    assert not any(r[1] == 5 for r in _mv_rows(jt))
+
+
+def test_join_mv_refresh_is_idempotent_after_crash_window(spark, tmp_path):
+    """A crash between merge and meta publish replays the same CDF
+    range; the LWW merge converges to the same MV."""
+    fact, dim, jt = _mk_join(spark, tmp_path)
+    dim.merge(_dim_changes(spark, [("insert", 1, 10, "a")]))
+    fact.merge(_fact_changes(spark, [("insert", 1, 1, 10, 100)]))
+    jt.refresh(fact, dim)
+    fact.merge(_fact_changes(spark, [("update", 2, 1, 10, 150)]))
+    # simulate the crash: run the merge work, then REVERT the meta so
+    # the next refresh replays the same range
+    meta_before = jt._meta()
+    jt.refresh(fact, dim)
+    jt._publish(meta_before)
+    jt.refresh(fact, dim)  # replay
+    assert _mv_rows(jt) == {(1, 10, 150, "a")}

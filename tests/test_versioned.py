@@ -454,3 +454,30 @@ def test_sort_cols_cluster_files_and_stay_correct(spark, tmp_path):
     assert {(r.id, r.val) for r in tbl.read().collect()} == {
         (i, f"v{(i * 7) % 32:02d}") for i in range(3, 33)
     } | {(1, "v99")}
+
+
+def test_route_forwards_table_opts_to_versioned_target(spark, tmp_path):
+    """CdcStreamRoute(table_opts=…) gives the streaming target the same
+    layout levers (bloom skipping, range clustering) as a hand-built
+    VersionedBucketedTable."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from qin_cdc_spark.streaming.cdc_stream import CdcStreamRoute
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=schema,
+        keys=["id"],
+        target_path=str(tmp_path / "t"),
+        versioned=True,
+        table_opts={"bloom_cols": ["val"], "sort_cols": ["val"]},
+    )
+    tgt = route.bind_target()
+    assert tgt.bloom_cols == ["val"] and tgt.sort_cols == ["val"]
+    tgt.merge(_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 9)]))
+    assert [r.id for r in tgt.read_where("val", ["v3"]).collect()] == [3]
