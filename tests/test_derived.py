@@ -269,3 +269,75 @@ def test_join_mv_refresh_is_idempotent_after_crash_window(spark, tmp_path):
     jt._publish(meta_before)
     jt.refresh(fact, dim)  # replay
     assert _mv_rows(jt) == {(1, 10, 150, "a")}
+
+
+def test_join_mv_refreshes_inside_the_stream(spark, tmp_path):
+    """Two versioned routes (fact + dim) in ONE stream; the post_batch
+    hook refreshes the join MV after every micro-batch, and the final
+    MV equals the recompute join — the engine-side closure of what the
+    reference leaves to the downstream warehouse."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+    from qin_cdc_spark.streaming.derived import DerivedJoinTable
+
+    env_dir = str(tmp_path / "env")
+    fact1 = _fact_changes(spark, [("insert", i, i, 10 + (i % 2) * 10, i * 100) for i in range(1, 5)])
+    dim1 = _dim_changes(spark, [("insert", 1, 10, "a"), ("insert", 2, 20, "b")])
+    fact2 = _fact_changes(spark, [("update", 10, 1, 20, 150), ("delete", 11, 2, 20, 0)])
+    dim2 = _dim_changes(spark, [("update", 12, 10, "a2"), ("delete", 13, 20, "b")])
+    for t, db, tbl, cols in (
+        (fact1, "src", "fact", ["id", "ck", "amt"]),
+        (dim1, "src", "dim", ["ck", "name"]),
+        (fact2, "src", "fact", ["id", "ck", "amt"]),
+        (dim2, "src", "dim", ["ck", "name"]),
+    ):
+        envelope_from_typed(
+            t.select(*cols, "op", "seq"), db=db, table=tbl
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    fact_route = CdcStreamRoute(
+        spark, db="src", table="fact",
+        schema=_parse_datatype_string("id long, ck long, amt long"),
+        keys=["id"], target_path=str(tmp_path / "fact"), versioned=True,
+    )
+    dim_route = CdcStreamRoute(
+        spark, db="src", table="dim",
+        schema=_parse_datatype_string("ck long, name string"),
+        keys=["ck"], target_path=str(tmp_path / "dim"), versioned=True,
+    )
+    jt = DerivedJoinTable(
+        spark, str(tmp_path / "jmv"),
+        fact_keys=["id"], join_col="ck", dim_key="ck", n_buckets=4,
+    )
+
+    def post_batch(batch_id):
+        if (
+            fact_route.target is not None and fact_route.target.exists()
+            and dim_route.target is not None and dim_route.target.exists()
+        ):
+            jt.refresh(fact_route.target, dim_route.target)
+
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [fact_route, dim_route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=post_batch,
+    )
+    q.awaitTermination(300)
+    assert jt.applied_versions() == (
+        fact_route.target.current_version(),
+        dim_route.target.current_version(),
+    )
+    f, d = fact_route.target.read(), dim_route.target.read()
+    expect = {
+        (r.id, r.ck, r.amt, r.name)
+        for r in f.join(d, f.ck == d.ck, "inner").drop(d.ck).collect()
+    }
+    assert _mv_rows(jt) == expect and expect  # non-trivial final state
