@@ -1196,3 +1196,116 @@ FROM lab
 
 QUERIES["sample_split_leakage_safe"] = sample_split_leakage_safe
 ORACLES["sample_split_leakage_safe"] = _leakage_split_oracle()
+
+
+# -- DSIR-style importance ranking -------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_TOPK = 40
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    integer-exact: rank raw-corpus documents by how much their hashed
+    unigram distribution resembles a TARGET (curated) corpus slice.
+
+    DSIR proper scores log(p_target(b)/p_raw(b)) per hashed n-gram
+    bucket; logs are transcendental and not bit-portable across
+    engines, so the score here is the cross-multiplied linear analog
+    (the repo's no-float-division lesson applied to importance
+    weighting, same form as corpus_term_drift):
+
+        w[b]    = c_t[b]·R − c_r[b]·T      (over-represented in target ⇒ +)
+        score_d = Σ_b n_d[b] · w[b]        (per raw doc, exact int64)
+
+    Shape at 100 TB: bucket counts are a B=512-row relation built by
+    one hash-groupBy (map-side combine; 2-byte bucket keys), weights
+    broadcast into the one token-scan scoring pass, per-doc sums
+    partial-aggregate, top-K is TakeOrderedAndProject — no global
+    sort, no float anywhere.  Magnitude bound: |score| ≤ tokens_doc ·
+    max(c_t)·R; beyond ~10^12 corpus tokens right-shift the weights
+    (w >> k) or lift to decimal(38,0) — documented, not needed at
+    fixture scale.  Selection composes with sample_weighted_pps for
+    the resampling step (clamp negative scores to 0 as weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from qin_cdc_spark.functions.text import hash60
+
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    tok = (
+        docs.select(
+            "doc_id",
+            is_tgt.alias("is_tgt"),
+            F.explode(words(F.lower(F.col("text")))).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.pmod(hash60(F.col("w")), F.lit(DSIR_BUCKETS)).alias("b"),
+        )
+        .persist()  # shared by the count pass and the scoring pass
+    )
+    counts = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("long").alias("t_tot"),
+        F.sum("cr").cast("long").alias("r_tot"),
+    )
+    weights = counts.crossJoin(broadcast(totals)).select(
+        "b",
+        (F.col("ct") * F.col("r_tot") - F.col("cr") * F.col("t_tot")).alias("wt"),
+    )
+    scored = (
+        tok.filter(~F.col("is_tgt"))
+        .join(broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("score"))
+    )
+    out = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(DSIR_TOPK)
+        .persist()
+    )
+    try:
+        out.count()  # materialize, then release the token cache
+    finally:
+        tok.unpersist()
+    return out
+
+
+_DSIR_WORDS_SQL = WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+_DSIR_TGT_SQL = "source IN ('src0','src1','src2','src3')"
+
+DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, is_tgt,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, {_DSIR_TGT_SQL} AS is_tgt, unnest({_DSIR_WORDS_SQL}) AS w
+    FROM documents
+  )
+),
+cnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS t_tot, CAST(sum(cr) AS BIGINT) AS r_tot
+  FROM cnt
+),
+wts AS (SELECT b, ct * r_tot - cr * t_tot AS wt FROM cnt, tot),
+sc AS (
+  SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS score
+  FROM tok t JOIN wts w USING (b)
+  WHERE NOT t.is_tgt GROUP BY 1
+)
+SELECT doc_id, score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT {DSIR_TOPK}
+"""
+
+QUERIES["curation_dsir_topk"] = curation_dsir_topk
+ORACLES["curation_dsir_topk"] = DSIR_ORACLE

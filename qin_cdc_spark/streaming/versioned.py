@@ -266,6 +266,61 @@ class VersionedBucketedTable:
         finally:
             incoming.unpersist()
 
+    # -- audit / maintenance metadata ---------------------------------------
+
+    def history(self) -> list[dict]:
+        """Snapshot audit log (Iceberg ``snapshots``/Delta ``DESCRIBE
+        HISTORY`` analog), computed ENTIRELY driver-side from the
+        manifests plus parquet footers — zero Spark jobs, so it is
+        safe to call from monitoring at any frequency.  Per retained
+        version: bucket count, how many data dirs it references, how
+        many of those were NEWLY written by that version (the merge's
+        touched set — the rest are shared with the prior snapshot),
+        and exact row/byte totals from footer metadata.  Footer stats
+        are cached per immutable dir name, so repeated calls cost one
+        os.stat pass, not re-reads."""
+        import pyarrow.parquet as pq
+
+        meta = self._meta()
+        cache: dict[str, tuple[int, int]] = getattr(self, "_dir_stats_cache", {})
+        self._dir_stats_cache = cache
+
+        def _stats(dname: str) -> tuple[int, int]:
+            if dname not in cache:
+                rows = size = 0
+                full = os.path.join(self.path, dname)
+                if os.path.isdir(full):
+                    for f in os.listdir(full):
+                        if f.endswith(".parquet"):
+                            p = os.path.join(full, f)
+                            rows += pq.read_metadata(p).num_rows
+                            size += os.path.getsize(p)
+                cache[dname] = (rows, size)
+            return cache[dname]
+
+        out = []
+        prev_dirs: set[str] = set()
+        for v in sorted(int(x) for x in meta["versions"]):
+            man = meta["versions"][str(v)]
+            dirs = set(man["buckets"].values())
+            rows = size = 0
+            for d in dirs:
+                r, s = _stats(d)
+                rows, size = rows + r, size + s
+            out.append(
+                {
+                    "version": v,
+                    "n_buckets": self._manifest_n_buckets(man),
+                    "data_dirs": len(dirs),
+                    "new_dirs": len(dirs - prev_dirs),
+                    "rows": rows,  # incl. not-yet-GC'd tombstones
+                    "bytes": size,
+                    "is_current": v == meta["current"],
+                }
+            )
+            prev_dirs = dirs
+        return out
+
     # -- incremental consumers --------------------------------------------
 
     def read_key(self, key_values: list) -> DataFrame | None:

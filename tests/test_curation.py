@@ -359,3 +359,33 @@ def test_curriculum_bins_partition_docs_evenly(spark):
         ordered = sorted(rows, key=lambda r: r.bin)
         qs = [r.avg_quality_e6 for r in ordered]
         assert qs == sorted(qs), (src, qs)
+
+
+def test_dsir_topk_excludes_target_and_broadcasts_weights(spark):
+    """DSIR importance ranking: only raw-corpus docs are ranked, the
+    512-row weight relation broadcasts into the scoring pass (no
+    shuffle join against the token scan), and scores are exact longs
+    in strictly deterministic order."""
+    from qin_cdc_spark.operators.curation import (
+        DSIR_TARGET_SOURCES,
+        DSIR_TOPK,
+        curation_dsir_topk,
+    )
+    from qin_cdc_spark.sources.tables import load_table
+
+    out = curation_dsir_topk(spark, SF_SMOKE)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan  # weights side broadcast
+    rows = out.collect()
+    assert len(rows) == DSIR_TOPK
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(r.score, int) for r in rows)
+    tgt_ids = {
+        r.doc_id
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .select("doc_id")
+        .collect()
+    }
+    assert not ({r.doc_id for r in rows} & tgt_ids)

@@ -481,3 +481,23 @@ def test_route_forwards_table_opts_to_versioned_target(spark, tmp_path):
     assert tgt.bloom_cols == ["val"] and tgt.sort_cols == ["val"]
     tgt.merge(_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 9)]))
     assert [r.id for r in tgt.read_where("val", ["v3"]).collect()] == [3]
+
+
+def test_history_reports_reuse_and_exact_rows(spark, tmp_path):
+    """history(): driver-side snapshot audit — exact footer row counts,
+    shared-vs-new dir accounting, current flag; and it runs NO Spark
+    jobs (pure manifest + footer math)."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=8)
+    tbl.merge(_changes(spark, [("insert", i, i, f"v{i}") for i in range(1, 17)]))
+    tbl.merge(_changes(spark, [("update", 100, 1, "v1b"), ("delete", 101, 2, "x")]))
+    h = tbl.history()
+    assert [e["version"] for e in h] == [1, 2]
+    v1, v2 = h
+    assert v1["rows"] == 16 and v1["new_dirs"] == v1["data_dirs"]
+    # v2 rewrote only the touched buckets; everything else is shared
+    assert 0 < v2["new_dirs"] <= 2
+    assert v2["data_dirs"] >= v1["data_dirs"] - 1
+    # physical rows at v2: 16 + tombstone still stored for id=2
+    assert v2["rows"] == tbl.read_internal(2).count()
+    assert v2["is_current"] and not v1["is_current"]
+    assert all(e["bytes"] > 0 and e["n_buckets"] == 8 for e in h)
