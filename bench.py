@@ -76,6 +76,11 @@ HEADLINE = [
     # round-3 session-3: versioned target + preimage-CDF materialized
     # view, end to end (2 snapshot merges + 2 incremental refreshes)
     "cdc_derived_rollup",
+    # round-4 additions: two-table join-MV maintenance end to end
+    # (2 versioned targets × 2 merges + 2 incremental delta-join
+    # refreshes) and integer-exact DSIR importance ranking
+    "cdc_derived_join_mv",
+    "curation_dsir_topk",
 ]
 
 
@@ -221,6 +226,9 @@ BNLJ_ALLOWED = {
     # single-row (t1, t2) slice-totals broadcast into the exact-integer
     # drift numerator
     "corpus_term_drift",
+    # single-row (T, R) corpus-totals broadcast into the integer DSIR
+    # bucket weights (the scoring join itself is a broadcast hash join)
+    "curation_dsir_topk",
     # dense leg is the declared brute baseline (broadcast query block,
     # same contract as sim_cosine_topk); ANN legs are drop-in at scale
     "retrieval_rrf_fusion",

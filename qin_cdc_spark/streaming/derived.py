@@ -353,3 +353,204 @@ class DerivedJoinTable:
         self.mv.merge(changes)
         self._publish({"applied_fact": fv1, "applied_dim": dv1, "refresh_n": seq})
         return (fv1, dv1)
+
+
+EXTREMA_META_NAME = "_derived_extrema_meta.json"
+
+
+class DerivedExtremaTable:
+    """Incrementally-maintained per-group (count, min, max) — the
+    classic HARD case of materialized-view maintenance: min/max are
+    not retractable (removing the current extremum says nothing about
+    the runner-up), which is exactly why ``DerivedAggTable``
+    deliberately excludes them.  This closes that gap with the
+    textbook bounded-rescan design:
+
+    * additions (CDF inserts / update-postimages) fold in for free:
+      ``min(old, incoming)`` / ``max(old, incoming)``, count adds;
+    * retractions (deletes / update-preimages) only endanger a group
+      when a retracted value TIES the group's stored extremum — those
+      groups (and only those) are RESCANNED against the v_to snapshot
+      for an exact recompute; every other group takes the O(1) merge.
+
+    Per-refresh cost: O(|delta| + Σ size of rescanned groups).  The
+    rescan probe is where a table scan could hide, so it takes the
+    same two-tier shape as ``DerivedJoinTable``'s Δdim probe: with
+    ``bloom_cols=[group_col]`` on the source and a driver-shippable
+    rescan-group set, ``read_where`` prunes the scan to the data dirs
+    whose Bloom filters can contain an endangered group; otherwise a
+    broadcast semi-join (the rescan set is small by construction —
+    only groups whose extremum was hit).  Worst case (every retraction
+    hits an extremum — e.g. a monotonically-shrinking table) degrades
+    to the recompute of exactly the shrinking groups, never the whole
+    view.
+
+    NULL handling matches SQL aggregates: nulls never become extrema
+    and their retraction never forces a rescan; ``cnt`` counts rows.
+    Publish is the shared snapshot-pointer pattern (atomic meta
+    os.replace recording the applied source version; crash ⇒ same CDF
+    range replays and converges).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        group_cols: list[str],
+        minmax_cols: list[str],
+        probe_limit: int = 10_000,
+    ):
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.minmax_cols = list(minmax_cols)
+        self.probe_limit = probe_limit
+
+    # -- meta / io (snapshot-pointer pattern) -------------------------------
+
+    def _meta(self) -> dict:
+        p = os.path.join(self.path, EXTREMA_META_NAME)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"applied_version": 0, "data": None}
+
+    def _publish(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".{EXTREMA_META_NAME}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, EXTREMA_META_NAME))
+        for d in os.listdir(self.path):
+            if d.startswith("ext-") and d != meta["data"]:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def applied_version(self) -> int:
+        return self._meta()["applied_version"]
+
+    def read(self) -> DataFrame | None:
+        meta = self._meta()
+        if meta["data"] is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, meta["data"]))
+
+    # -- refresh -----------------------------------------------------------
+
+    def _full_agg(self, rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.min(c).alias(f"min_{c}") for c in self.minmax_cols],
+            *[F.max(c).alias(f"max_{c}") for c in self.minmax_cols],
+        )
+
+    def _rescan_rows(self, source: VersionedBucketedTable, groups: DataFrame):
+        """Current-snapshot rows of the endangered groups — Bloom-pruned
+        when a single group column is indexed and the set ships."""
+        if len(self.group_cols) == 1 and self.group_cols[0] in source.bloom_cols:
+            g = self.group_cols[0]
+            vals = [r[0] for r in groups.limit(self.probe_limit + 1).collect()]
+            if len(vals) <= self.probe_limit:
+                return source.read_where(g, vals)
+        return source.read().join(
+            F.broadcast(groups), self.group_cols, "left_semi"
+        )
+
+    def refresh(self, source: VersionedBucketedTable) -> int:
+        meta = self._meta()
+        v0, v1 = meta["applied_version"], source.current_version()
+        if v1 <= v0:
+            return v0
+        if v0 == 0 or meta["data"] is None:
+            out = self._full_agg(source.read_at(v1))
+        else:
+            cdf = source.changes_between(v0, v1, include_preimage=True)
+            add = (
+                cdf.filter(F.col("_change").isin("insert", "update"))
+                .groupBy(*self.group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n_add"),
+                    *[F.min(c).alias(f"amin_{c}") for c in self.minmax_cols],
+                    *[F.max(c).alias(f"amax_{c}") for c in self.minmax_cols],
+                )
+            )
+            ret = (
+                cdf.filter(F.col("_change").isin("update", "delete"))
+                .select(
+                    *[F.col(f"_pre_{g}").alias(g) for g in self.group_cols],
+                    *[
+                        F.col(f"_pre_{c}").alias(c)
+                        for c in self.minmax_cols
+                    ],
+                )
+                .groupBy(*self.group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n_ret"),
+                    *[F.min(c).alias(f"rmin_{c}") for c in self.minmax_cols],
+                    *[F.max(c).alias(f"rmax_{c}") for c in self.minmax_cols],
+                )
+            )
+            cur = self.read()
+            j = (
+                cur.join(add, self.group_cols, "full_outer")
+                .join(ret, self.group_cols, "full_outer")
+                .select(
+                    *self.group_cols,
+                    *[F.col(c) for c in cur.columns if c not in self.group_cols],
+                    *[F.col(c) for c in add.columns if c not in self.group_cols],
+                    *[F.col(c) for c in ret.columns if c not in self.group_cols],
+                )
+            )
+            cnt_new = (
+                F.coalesce("cnt", F.lit(0))
+                + F.coalesce("n_add", F.lit(0))
+                - F.coalesce("n_ret", F.lit(0))
+            )
+            # rescan iff a retracted value ties a stored extremum (null
+            # retraction / null extremum never triggers — SQL semantics)
+            endangered = F.lit(False)
+            for c in self.minmax_cols:
+                endangered = endangered | (
+                    F.col(f"rmin_{c}") <= F.col(f"min_{c}")
+                ) | (F.col(f"rmax_{c}") >= F.col(f"max_{c}"))
+            j = j.withColumn("_cnt_new", cnt_new).withColumn(
+                "_rescan", F.coalesce(endangered, F.lit(False))
+            )
+            j = j.persist()  # branches below split it 3 ways
+            try:
+                rescan_groups = (
+                    j.filter(F.col("_rescan") & (F.col("_cnt_new") > 0))
+                    .select(*self.group_cols)
+                )
+                rescanned = self._full_agg(
+                    self._rescan_rows(source, rescan_groups)
+                )
+                merged = j.filter(~F.col("_rescan") & (F.col("_cnt_new") > 0)).select(
+                    *self.group_cols,
+                    F.col("_cnt_new").cast("long").alias("cnt"),
+                    *[
+                        F.least(F.col(f"min_{c}"), F.col(f"amin_{c}")).alias(
+                            f"min_{c}"
+                        )
+                        for c in self.minmax_cols
+                    ],
+                    *[
+                        F.greatest(F.col(f"max_{c}"), F.col(f"amax_{c}")).alias(
+                            f"max_{c}"
+                        )
+                        for c in self.minmax_cols
+                    ],
+                )
+                out = merged.unionByName(rescanned)
+                dname = f"ext-{uuid.uuid4().hex[:12]}"
+                out.write.parquet(os.path.join(self.path, dname))
+                self._publish({"applied_version": v1, "data": dname})
+                return v1
+            finally:
+                j.unpersist()
+        dname = f"ext-{uuid.uuid4().hex[:12]}"
+        out.write.parquet(os.path.join(self.path, dname))
+        self._publish({"applied_version": v1, "data": dname})
+        return v1
