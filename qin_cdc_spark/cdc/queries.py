@@ -314,15 +314,19 @@ def cdc_bootstrap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded = snapshot_as_changes(snapshot, ["o_orderkey"], s)
     overlap_and_tail = decoded.filter(F.col("seq") > s // 2).select(seeded.columns)
     merged = latest_by_key(seeded.unionByName(overlap_and_tail), ["o_orderkey"])
-    out = merged.filter(F.col("op") != "delete").drop("op", "seq").persist()
-    # materialize the final table, then release the decoded-stream cache
-    # (the result is lazy over it — the repo's materialize-then-unpersist
-    # discipline keeps sweep sessions leak-free)
+    out = merged.filter(F.col("op") != "delete").drop("op", "seq")
+    # materialize the final table to a file-backed frame, then release
+    # the decoded-stream cache (the result is lazy over it — and a
+    # returned persisted frame would itself leak cached blocks for the
+    # session lifetime)
+    import tempfile
+
+    dest = tempfile.mkdtemp(prefix="bootstrap_gate_") + "/out"
     try:
-        out.count()
+        out.write.parquet(dest)
     finally:
         decoded.unpersist()
-    return out
+    return spark.read.parquet(dest)
 
 
 # the contract IS "equals the full replay": reuse the full-stream oracle
@@ -725,3 +729,121 @@ FROM olive o JOIN clive c ON o.o_custkey = c.c_custkey
 
 QUERIES["cdc_derived_join_mv"] = cdc_derived_join_mv
 ORACLES["cdc_derived_join_mv"] = CDC_DERIVED_JOIN_MV_ORACLE
+
+
+def cdc_derived_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max materialized-view maintenance — the classic HARD case
+    (extrema are not retractable): a per-status (count, min-cents,
+    max-cents) view kept current by ``DerivedExtremaTable`` across two
+    apply batches of the orders change stream.  The update stream moves
+    rows between status groups, rewrites prices (displacing extrema in
+    place), and deletes rows that may hold a group's min/max — each
+    delete/update retraction either takes the O(1) merge or triggers
+    the bounded per-group rescan, never a view recompute.  The oracle
+    recomputes min/max/count from scratch on the full-stream LWW
+    materialization; the hash check proves tie-triggered-rescan
+    maintenance == recompute."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedExtremaTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn(
+            "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="extrema_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"])
+    mv = DerivedExtremaTable(
+        spark, base + "/emv", group_cols=["o_orderstatus"], minmax_cols=["price_c"]
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    mv.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    mv.refresh(tbl)
+    decoded.unpersist()  # mv.read is file-backed
+    return mv.read().select(
+        "o_orderstatus",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("min_price_c").alias("min_cents"),
+        F.col("max_price_c").alias("max_cents"),
+    )
+
+
+CDC_DERIVED_EXTREMA_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(price_c) AS BIGINT) AS min_cents,
+       CAST(max(price_c) AS BIGINT) AS max_cents
+FROM live GROUP BY 1
+"""
+
+QUERIES["cdc_derived_extrema"] = cdc_derived_extrema
+ORACLES["cdc_derived_extrema"] = CDC_DERIVED_EXTREMA_ORACLE
+
+
+def cdc_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot audit log as a QUERY SURFACE (Iceberg ``snapshots``
+    / Delta ``DESCRIBE HISTORY`` analog): build a deterministic
+    3-version table — first half of the orders change stream, the rest,
+    then ``restore`` to version 1 — and return ``history()`` rows
+    (version, bucket count, referenced/new data dirs, exact footer row
+    counts).  Single-bucket layout keeps every figure SQL-derivable:
+    row counts are distinct-key counts of the applied stream prefix
+    (live rows + not-yet-GC'd tombstones), and the restored version
+    must reference the version-1 dir with ZERO new dirs — the file-
+    reuse contract, oracle-checked.  history() itself runs driver-side
+    from manifests + parquet footers (zero Spark jobs)."""
+    import tempfile
+
+    from qin_cdc_spark.cdc.changestream import orders_change_stream
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    ev = orders_change_stream(spark, sf_dir).persist()
+    s = ev.agg(F.max("seq")).collect()[0][0] // 2
+    tbl = VersionedBucketedTable(
+        spark, tempfile.mkdtemp(prefix="hist_gate_") + "/t",
+        ["o_orderkey"], n_buckets=1,
+    )
+    tbl.merge(ev.filter(F.col("seq") <= s), batch_id=0)
+    tbl.merge(ev.filter(F.col("seq") > s), batch_id=1)
+    ev.unpersist()  # history() reads manifests/footers, not the stream
+    tbl.restore(1)
+    hist = tbl.history()
+    return spark.createDataFrame(
+        [
+            (h["version"], h["n_buckets"], h["data_dirs"], h["new_dirs"], h["rows"])
+            for h in hist
+        ],
+        "version long, n_buckets long, data_dirs long, new_dirs long, n_rows long",
+    )
+
+
+CDC_SNAPSHOT_HISTORY_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (SELECT max(seq) // 2 AS s FROM ev),
+k1 AS (SELECT count(DISTINCT o_orderkey) AS n FROM ev
+       WHERE seq <= (SELECT s FROM half)),
+kall AS (SELECT count(DISTINCT o_orderkey) AS n FROM ev)
+SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_buckets,
+       CAST(1 AS BIGINT) AS data_dirs, CAST(1 AS BIGINT) AS new_dirs,
+       CAST((SELECT n FROM k1) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 2, 1, 1, 1, CAST((SELECT n FROM kall) AS BIGINT)
+UNION ALL
+SELECT 3, 1, 1, 0, CAST((SELECT n FROM k1) AS BIGINT)
+"""
+
+QUERIES["cdc_snapshot_history"] = cdc_snapshot_history
+ORACLES["cdc_snapshot_history"] = CDC_SNAPSHOT_HISTORY_ORACLE

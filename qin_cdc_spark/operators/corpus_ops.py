@@ -759,16 +759,19 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_a",
             "est_b",
         )
-        .persist()
     )
-    # materialize the S²-bounded pair result, then release the sketch
-    # cache (the repo-wide materialize-then-unpersist discipline —
-    # leaving sk persisted leaked cached blocks for the session life)
+    # materialize the S²-bounded pair result to a file-backed frame,
+    # then release the sketch cache (the repo-wide materialize-then-
+    # unpersist discipline) — persisting the result itself would trade
+    # the big sketch cache for a smaller but session-lifetime leak
+    import tempfile
+
+    dest = tempfile.mkdtemp(prefix="kmv_gate_") + "/out"
     try:
-        out.count()
+        out.write.parquet(dest)
     finally:
         sk.unpersist()
-    return out
+    return sk.sparkSession.read.parquet(dest)
 
 
 _KMV_NUM = float((KMV_K - 1) * (1 << 60))

@@ -1263,16 +1263,21 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("wt").alias("score"))
     )
-    out = (
-        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(DSIR_TOPK)
-        .persist()
+    out = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        DSIR_TOPK
     )
+    # materialize the tiny top-K to a file-backed frame, then release
+    # the token cache — returning a persisted frame would leak its
+    # cached blocks for the session lifetime (a persist the caller
+    # can't see and so can never release)
+    import tempfile
+
+    dest = tempfile.mkdtemp(prefix="dsir_gate_") + "/out"
     try:
-        out.count()  # materialize, then release the token cache
+        out.write.parquet(dest)
     finally:
         tok.unpersist()
-    return out
+    return docs.sparkSession.read.parquet(dest)
 
 
 _DSIR_WORDS_SQL = WORDS_SQL.replace("trim(text)", "trim(lower(text))")

@@ -311,7 +311,14 @@ class DerivedJoinTable:
                 if self.join_col in fact.bloom_cols:
                     vals = [r[0] for r in dkeys.limit(self.probe_limit + 1).collect()]
                     if len(vals) <= self.probe_limit:
-                        probe = fact.read_where(self.join_col, vals)
+                        try:
+                            probe = fact.read_where(self.join_col, vals)
+                        except TypeError:
+                            # the Bloom key renderer is restricted to
+                            # int/str; any other key type falls through
+                            # to the semi-join rather than failing the
+                            # refresh
+                            probe = None
                 if probe is None:
                     # semi-join fallback: Δkey set is small — AQE
                     # broadcasts it; one pass over the fact table
@@ -446,15 +453,22 @@ class DerivedExtremaTable:
             *[F.max(c).alias(f"max_{c}") for c in self.minmax_cols],
         )
 
-    def _rescan_rows(self, source: VersionedBucketedTable, groups: DataFrame):
-        """Current-snapshot rows of the endangered groups — Bloom-pruned
+    def _rescan_rows(
+        self, source: VersionedBucketedTable, groups: DataFrame, version: int
+    ):
+        """Rows of the endangered groups AS OF the v_to snapshot the CDF
+        range ends at (not "current" — a concurrent merge mid-refresh
+        must not bleed into this refresh's recompute) — Bloom-pruned
         when a single group column is indexed and the set ships."""
         if len(self.group_cols) == 1 and self.group_cols[0] in source.bloom_cols:
             g = self.group_cols[0]
             vals = [r[0] for r in groups.limit(self.probe_limit + 1).collect()]
             if len(vals) <= self.probe_limit:
-                return source.read_where(g, vals)
-        return source.read().join(
+                try:
+                    return source.read_where(g, vals, version=version)
+                except TypeError:
+                    pass  # non-int/str group key: semi-join fallback
+        return source.read_at(version).join(
             F.broadcast(groups), self.group_cols, "left_semi"
         )
 
@@ -508,13 +522,28 @@ class DerivedExtremaTable:
                 + F.coalesce("n_add", F.lit(0))
                 - F.coalesce("n_ret", F.lit(0))
             )
-            # rescan iff a retracted value ties a stored extremum (null
-            # retraction / null extremum never triggers — SQL semantics)
+            # rescan iff a retracted NON-NULL value could displace a
+            # stored extremum.  Three triggers per column:
+            #   * ties the stored min/max (the classic case — `<=`/`>=`
+            #     rather than `==` also covers a value inserted AND
+            #     retracted within this range that undercut the stored
+            #     extremum without ever being stored);
+            #   * the stored extremum is NULL — either an all-null group
+            #     or a group BORN inside this range (absent from `cur`),
+            #     where the additive amin/amax may include since-
+            #     retracted values and only a recompute is exact.
+            # A null retraction never triggers (SQL semantics: nulls are
+            # not extrema), hence the rmin-isNotNull guard.
             endangered = F.lit(False)
             for c in self.minmax_cols:
                 endangered = endangered | (
-                    F.col(f"rmin_{c}") <= F.col(f"min_{c}")
-                ) | (F.col(f"rmax_{c}") >= F.col(f"max_{c}"))
+                    F.col(f"rmin_{c}").isNotNull()
+                    & (
+                        F.col(f"min_{c}").isNull()
+                        | (F.col(f"rmin_{c}") <= F.col(f"min_{c}"))
+                        | (F.col(f"rmax_{c}") >= F.col(f"max_{c}"))
+                    )
+                )
             j = j.withColumn("_cnt_new", cnt_new).withColumn(
                 "_rescan", F.coalesce(endangered, F.lit(False))
             )
@@ -524,9 +553,20 @@ class DerivedExtremaTable:
                     j.filter(F.col("_rescan") & (F.col("_cnt_new") > 0))
                     .select(*self.group_cols)
                 )
-                rescanned = self._full_agg(
-                    self._rescan_rows(source, rescan_groups)
-                )
+                # driver-side emptiness check over the CACHED join (the
+                # rescan set is bounded by touched groups): the common
+                # no-endangered-group refresh must not pay — or even
+                # plan — a pass over the source table.  Tests monkeypatch
+                # _rescan_rows to assert this path is never taken for
+                # non-tying retractions.
+                if rescan_groups.limit(1).count() == 0:
+                    rescanned = self._full_agg(
+                        source.read_at(v1).limit(0)
+                    )
+                else:
+                    rescanned = self._full_agg(
+                        self._rescan_rows(source, rescan_groups, v1)
+                    )
                 merged = j.filter(~F.col("_rescan") & (F.col("_cnt_new") > 0)).select(
                     *self.group_cols,
                     F.col("_cnt_new").cast("long").alias("cnt"),

@@ -50,15 +50,22 @@ def purge_keys(
 ) -> int:
     """Mint a new snapshot with every row matching ``keys_df`` deleted
     via value-free tombstones; returns the new version (or the current
-    one if nothing matched).  ``seq`` must exceed every live seq of the
-    purged keys (use the stream's high-water mark) or LWW will ignore
-    the tombstone; replay-idempotent the same way any merge is."""
+    one if nothing matched).  ``seq`` must exceed every STORED seq of
+    the purged keys — live rows and existing tombstones alike (use the
+    stream's high-water mark) — or LWW will ignore the replacement;
+    replay-idempotent the same way any merge is.
+
+    The probe deliberately does NOT filter to live rows: a key deleted
+    through ordinary CDC still stores its row image inside the
+    value-carrying tombstone, so the purge must re-tombstone dead keys
+    too — otherwise the purged values persist in the current snapshot
+    for exactly the soft-deleted-then-purged case the cascade exists
+    for."""
     cur = table.read_internal()
     if cur is None:
         return table.current_version()
     doomed = (
-        cur.filter(~F.col("_deleted"))
-        .join(keys_df.select(*table.keys), table.keys, "left_semi")
+        cur.join(keys_df.select(*table.keys), table.keys, "left_semi")
         .select(*table.keys)
     )
     value_fields = [

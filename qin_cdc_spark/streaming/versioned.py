@@ -299,7 +299,7 @@ class VersionedBucketedTable:
             return cache[dname]
 
         out = []
-        prev_dirs: set[str] = set()
+        seen_dirs: set[str] = set()
         for v in sorted(int(x) for x in meta["versions"]):
             man = meta["versions"][str(v)]
             dirs = set(man["buckets"].values())
@@ -312,13 +312,18 @@ class VersionedBucketedTable:
                     "version": v,
                     "n_buckets": self._manifest_n_buckets(man),
                     "data_dirs": len(dirs),
-                    "new_dirs": len(dirs - prev_dirs),
+                    # dirs are immutable and uniquely named, so "newly
+                    # written by this version" = first reference across
+                    # ALL earlier retained versions — diffing only the
+                    # previous one would mislabel a restore()'s reused
+                    # dirs (written by the restored-to version) as new
+                    "new_dirs": len(dirs - seen_dirs),
                     "rows": rows,  # incl. not-yet-GC'd tombstones
                     "bytes": size,
                     "is_current": v == meta["current"],
                 }
             )
-            prev_dirs = dirs
+            seen_dirs |= dirs
         return out
 
     # -- incremental consumers --------------------------------------------

@@ -341,3 +341,245 @@ def test_join_mv_refreshes_inside_the_stream(spark, tmp_path):
         for r in f.join(d, f.ck == d.ck, "inner").drop(d.ck).collect()
     }
     assert _mv_rows(jt) == expect and expect  # non-trivial final state
+
+
+# -- DerivedExtremaTable ------------------------------------------------------
+
+
+def _ext_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq long, id long, grp string, val long"
+    )
+
+
+def _ext_recompute(tbl):
+    return {
+        r.grp: (r.cnt, r.min_val, r.max_val)
+        for r in tbl.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .collect()
+    }
+
+
+def _ext_view(mv):
+    return {r.grp: (r.cnt, r.min_val, r.max_val) for r in mv.read().collect()}
+
+
+def _mk_ext(spark, tmp_path):
+    from qin_cdc_spark.streaming.derived import DerivedExtremaTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "src"), ["id"], n_buckets=4)
+    mv = DerivedExtremaTable(
+        spark, str(tmp_path / "emv"), group_cols=["grp"], minmax_cols=["val"]
+    )
+    return tbl, mv
+
+
+def test_extrema_tracks_source_through_mutations(spark, tmp_path):
+    tbl, mv = _mk_ext(spark, tmp_path)
+    tbl.merge(
+        _ext_changes(
+            spark, [("insert", i, i, "g%d" % (i % 3), i * 10) for i in range(1, 10)]
+        )
+    )
+    assert mv.refresh(tbl) == 1
+    assert _ext_view(mv) == _ext_recompute(tbl)
+
+    # one batch hitting every maintenance path: raise a max in place,
+    # lower a max in place (tie → rescan), move a row between groups,
+    # delete a group's min (tie → rescan), delete a middle value,
+    # insert a new group
+    tbl.merge(
+        _ext_changes(
+            spark,
+            [
+                ("update", 100, 1, "g1", 999),   # new max for g1
+                ("update", 101, 9, "g0", 5),     # g0's max 90 → 5
+                ("update", 102, 2, "g0", 20),    # g2 → g0 (move)
+                ("delete", 103, 3, "g0", 30),    # g0's min retracted
+                ("delete", 104, 5, "g2", 50),    # middle value
+                ("insert", 105, 11, "gx", -7),
+            ],
+        )
+    )
+    assert mv.refresh(tbl) == 2
+    assert _ext_view(mv) == _ext_recompute(tbl)
+
+    # two source batches folded by ONE refresh (net CDF across versions)
+    tbl.merge(_ext_changes(spark, [("update", 200, 11, "gx", -70)]))
+    tbl.merge(_ext_changes(spark, [("delete", 201, 11, "gx", None)]))
+    assert mv.refresh(tbl) == 4
+    got = _ext_view(mv)
+    assert got == _ext_recompute(tbl) and "gx" not in got
+
+    # idempotent no-op
+    before = _ext_view(mv)
+    assert mv.refresh(tbl) == 4
+    assert _ext_view(mv) == before
+
+
+def test_extrema_non_tying_retraction_skips_rescan(spark, tmp_path):
+    """The whole point of the design: a retraction that cannot displace
+    a stored extremum must take the O(1) merge — no source scan."""
+    tbl, mv = _mk_ext(spark, tmp_path)
+    tbl.merge(
+        _ext_changes(
+            spark,
+            [("insert", i, i, "g", v) for i, v in [(1, 10), (2, 50), (3, 90)]],
+        )
+    )
+    mv.refresh(tbl)
+    tbl.merge(_ext_changes(spark, [("delete", 10, 2, "g", 50)]))
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("non-tying retraction triggered a rescan")
+
+    mv._rescan_rows = boom
+    assert mv.refresh(tbl) == 2
+    assert _ext_view(mv) == {"g": (2, 10, 90)} == _ext_recompute(tbl)
+
+
+def test_extrema_tying_retraction_rescans_only_endangered_groups(spark, tmp_path):
+    tbl, mv = _mk_ext(spark, tmp_path)
+    tbl.merge(
+        _ext_changes(
+            spark,
+            [
+                ("insert", 1, 1, "a", 10),
+                ("insert", 2, 2, "a", 20),
+                ("insert", 3, 3, "b", 5),
+                ("insert", 4, 4, "b", 15),
+            ],
+        )
+    )
+    mv.refresh(tbl)
+    # delete a's min; touch b with a non-tying middle insert only
+    tbl.merge(
+        _ext_changes(
+            spark, [("delete", 10, 1, "a", 10), ("insert", 11, 5, "b", 9)]
+        )
+    )
+    seen = []
+    orig = mv._rescan_rows
+
+    def spy(source, groups, version):
+        seen.extend(r.grp for r in groups.collect())
+        return orig(source, groups, version)
+
+    mv._rescan_rows = spy
+    mv.refresh(tbl)
+    assert seen == ["a"]
+    assert _ext_view(mv) == _ext_recompute(tbl) == {
+        "a": (1, 20, 20),
+        "b": (3, 5, 15),
+    }
+
+
+def test_extrema_null_values_and_intra_range_churn(spark, tmp_path):
+    """SQL null semantics + the adversarial intra-refresh cases: values
+    inserted AND retracted within one CDF range must not surface as
+    extrema, even when the stored extremum is NULL (all-null group) or
+    the group is born inside the range."""
+    tbl, mv = _mk_ext(spark, tmp_path)
+    # group n: all-null values; group g: normal
+    tbl.merge(
+        _ext_changes(
+            spark,
+            [
+                ("insert", 1, 1, "n", None),
+                ("insert", 2, 2, "n", None),
+                ("insert", 3, 3, "g", 10),
+            ],
+        )
+    )
+    mv.refresh(tbl)
+    assert _ext_view(mv) == {"n": (2, None, None), "g": (1, 10, 10)}
+
+    # within ONE refresh range: give n a real value then take it away
+    # (stored extremum is null — the null-comparison trap), and birth
+    # group h with {5, 7} then delete the 5 (new-group trap)
+    tbl.merge(
+        _ext_changes(
+            spark,
+            [("insert", 10, 4, "n", 77), ("insert", 11, 5, "h", 5),
+             ("insert", 12, 6, "h", 7)],
+        )
+    )
+    tbl.merge(
+        _ext_changes(
+            spark,
+            [("delete", 20, 4, "n", None), ("delete", 21, 5, "h", None)],
+        )
+    )
+    mv.refresh(tbl)
+    assert _ext_view(mv) == _ext_recompute(tbl) == {
+        "n": (2, None, None),
+        "g": (1, 10, 10),
+        "h": (1, 7, 7),
+    }
+
+    # retracting a null never endangers; group emptied entirely drops
+    tbl.merge(
+        _ext_changes(
+            spark, [("delete", 30, 1, "n", None), ("delete", 31, 2, "n", None)]
+        )
+    )
+    mv.refresh(tbl)
+    got = _ext_view(mv)
+    assert "n" not in got and got == _ext_recompute(tbl)
+
+
+def test_extrema_random_mutations_match_full_recompute(spark, tmp_path):
+    """Property check: N rounds of seeded-random insert/update/delete
+    (group moves, nulls, extremum hits, emptied groups) — after every
+    refresh the MV equals a from-scratch min/max/count recompute of the
+    source's current LWW state."""
+    import random
+
+    rng = random.Random(0xE57)
+    tbl, mv = _mk_ext(spark, tmp_path)
+    groups = ["a", "b", "c"]
+    live: dict[int, tuple[str, int | None]] = {}
+    seq = 0
+    next_id = 0
+    for _ in range(6):
+        batch = []
+        for _ in range(rng.randint(3, 12)):
+            seq += 1
+            kind = rng.random()
+            if kind < 0.45 or not live:
+                next_id += 1
+                g = rng.choice(groups)
+                v = None if rng.random() < 0.2 else rng.randint(0, 9) * 10
+                live[next_id] = (g, v)
+                batch.append(("insert", seq, next_id, g, v))
+            elif kind < 0.75:
+                i = rng.choice(list(live))
+                g = rng.choice(groups)  # may move groups
+                v = None if rng.random() < 0.2 else rng.randint(0, 9) * 10
+                live[i] = (g, v)
+                batch.append(("update", seq, i, g, v))
+            else:
+                i = rng.choice(list(live))
+                g, v = live.pop(i)
+                batch.append(("delete", seq, i, g, v))
+        tbl.merge(_ext_changes(spark, batch))
+        mv.refresh(tbl)
+        assert _ext_view(mv) == _ext_recompute(tbl)
+
+
+def test_extrema_publish_is_crash_safe(spark, tmp_path):
+    tbl, mv = _mk_ext(spark, tmp_path)
+    tbl.merge(_ext_changes(spark, [("insert", 1, 1, "g", 5)]))
+    mv.refresh(tbl)
+    orphan = os.path.join(mv.path, "ext-deadbeef0000")
+    os.makedirs(orphan)
+    tbl.merge(_ext_changes(spark, [("insert", 2, 2, "g", 9)]))
+    mv.refresh(tbl)
+    assert not os.path.exists(orphan)
+    assert _ext_view(mv) == {"g": (2, 5, 9)}

@@ -45,6 +45,24 @@ def test_purge_emits_value_free_tombstones(spark, tmp_path):
     assert 5 not in {r.id for r in tbl.read().collect()}
 
 
+def test_purge_strips_values_from_soft_deleted_keys(spark, tmp_path):
+    """A key deleted through ordinary CDC keeps its row image inside the
+    value-carrying LWW tombstone; purging that key must replace it with
+    a value-free tombstone — the soft-deleted-then-purged case."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    tbl.merge(_fact(spark, [("insert", i, i, 10, "g", i * 100) for i in (1, 2, 3)]))
+    # ordinary CDC delete: tombstone carries the row image
+    tbl.merge(_fact(spark, [("delete", 10, 2, 10, "g", 200)]))
+    stone = tbl.read_internal().filter(F.col("_deleted")).collect()
+    assert [(r.id, r.amt) for r in stone] == [(2, 200)]
+    # purge the dead key (and a live one): both end value-free
+    purge_keys(tbl, _keys(spark, [2, 3]), seq=1000)
+    stones = tbl.read_internal().filter(F.col("_deleted")).collect()
+    assert {r.id for r in stones} == {2, 3}
+    assert all(r.amt is None and r.grp is None and r.ck is None for r in stones)
+    assert {r.id for r in tbl.read().collect()} == {1}
+
+
 def test_purge_cascades_to_agg_and_join_mvs(spark, tmp_path):
     fact = VersionedBucketedTable(spark, str(tmp_path / "f"), ["id"], n_buckets=4)
     dim = VersionedBucketedTable(spark, str(tmp_path / "d"), ["ck"], n_buckets=4)
