@@ -223,6 +223,10 @@ BNLJ_ALLOWED = {
     # the corpus side streams CODES (M bytes/vector, 32× smaller than the
     # vectors); sim_ivf_pq_topk is the registered cluster-pruned scale path
     "sim_pq_adc_topk",
+    # the IVF-PQ recall CONTRACT carries the same bounded query-block
+    # broadcast for its exact-L2 measurement side (the pruned ANN side
+    # itself stays cluster-partitioned)
+    "sim_ivf_pq_topk",
     # single-row (t1, t2) slice-totals broadcast into the exact-integer
     # drift numerator
     "corpus_term_drift",

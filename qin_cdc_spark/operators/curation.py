@@ -1205,7 +1205,9 @@ DSIR_TOPK = 40
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
 
 
-def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_dsir_topk(
+    spark: SparkSession, sf_dir: str, _lazy: bool = False
+) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023),
     integer-exact: rank raw-corpus documents by how much their hashed
     unigram distribution resembles a TARGET (curated) corpus slice.
@@ -1243,8 +1245,12 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_tgt",
             F.pmod(hash60(F.col("w")), F.lit(DSIR_BUCKETS)).alias("b"),
         )
-        .persist()  # shared by the count pass and the scoring pass
     )
+    if not _lazy:
+        # shared by the count pass and the scoring pass; released after
+        # the file-backed materialization below.  The lazy (plan-
+        # inspection) path never caches — nothing to leak.
+        tok = tok.persist()
     counts = tok.groupBy("b").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
         F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).cast("long").alias("cr"),
@@ -1266,6 +1272,8 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
         DSIR_TOPK
     )
+    if _lazy:
+        return out  # plan-inspection path: fully lazy, nothing cached
     # materialize the tiny top-K to a file-backed frame, then release
     # the token cache — returning a persisted frame would leak its
     # cached blocks for the session lifetime (a persist the caller

@@ -192,9 +192,25 @@ def train_kmeans_df(
     return cents
 
 
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int | None = None
+) -> DataFrame:
     """IVF search: assign corpus to clusters, probe the nprobe nearest
-    clusters per query, exact-cosine re-rank, top-5."""
+    clusters per query, exact-cosine re-rank, top-5.
+
+    The gate runs this with ``n_probe = K_CLUSTERS`` (probe every
+    list), where IVF is EXACT by construction: the candidate set is the
+    whole corpus, so the result must equal brute-force cosine top-5 —
+    which a DuckDB oracle recomputes independently.  That hash-checks
+    the entire index machinery (k-means convergence feeding assignment,
+    inverted-list build, probe/dedup, re-rank, deterministic ranking):
+    any vector dropped or double-counted anywhere flips the result.
+    Production recall at ``n_probe < K`` is a tuning claim, not a
+    correctness claim — it stays measured in tests (test_llm_ops.py
+    recall bound).  Scores are rounded to 6 decimals BEFORE ranking so
+    both engines agree on ties (cand_id breaks them identically)."""
+    if n_probe is None:
+        n_probe = K_CLUSTERS
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -224,7 +240,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q_emb",
             F.explode(
-                F.slice(F.array_sort(F.col("cdists")), 1, N_PROBE)
+                F.slice(F.array_sort(F.col("cdists")), 1, n_probe)
             ).alias("probe_dist"),
             F.col("cdists"),
         )
@@ -244,7 +260,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 9).alias("cos_r"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_r"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
     return (
@@ -254,8 +270,35 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# probe-all IVF is exact: brute-force cosine top-5, identical rounding
+# and (cos_r DESC, cand_id ASC) tie-break.  Elements cast to DOUBLE so
+# both engines accumulate in f64.
+SIM_ANN_IVF_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+c AS (
+  SELECT vec_id AS cand_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, cand_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_r
+  FROM q CROSS JOIN c WHERE cand_id <> query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_r DESC, cand_id ASC) AS rn
+  FROM s
+)
+SELECT query_id, cand_id, cos_r, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5
+"""
+
 QUERIES = {"sim_ann_ivf": sim_ann_ivf}
-ORACLES: dict[str, str] = {}  # iterative k-means: rows-only by design
+ORACLES: dict[str, str] = {"sim_ann_ivf": SIM_ANN_IVF_ORACLE}
 
 
 class IvfIndex:
@@ -505,7 +548,9 @@ def ivf_search(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 9).alias("cos_r"),
+        # round-6 matches sim_ann_ivf (coarse enough that the DuckDB
+        # oracle's f64 cosine agrees on every rounded value)
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_r"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_r").desc(), F.col("cand_id").asc()

@@ -254,9 +254,12 @@ def _adc_dist(dt: Column, codes: Column) -> Column:
     )
 
 
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end PQ retrieval: train codebooks, encode the corpus,
     ADC-scan for a re-rank pool, exact-L2 re-rank the pool to top-K.
+    Returns per-neighbor rows (query_id, cand_id, l2sq_r, rk); the
+    registered gate query ``sim_pq_adc_topk`` wraps this into the
+    oracle-checked recall contract.
 
     Plan shape: corpus scan reads (vec_id, codes) only; the ADC ranking
     window partitions by query; the exact re-rank joins embeddings for
@@ -402,12 +405,100 @@ def ivf_pq_search(
     )
 
 
+def _exact_l2_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOPK) -> DataFrame:
+    """Brute-force exact-L2 top-k per query — the measurement side of
+    the recall contracts below.  Bounded broadcast: the query block is
+    tiny (vec_id % 10), the corpus streams once (the sim_cosine_topk
+    contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    s = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(_l2sq(F.col("q_emb"), F.col("embedding")), 9).alias("l2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id")
+    )
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked PQ retrieval contract: for EVERY query, the
+    ADC-scan + exact-re-rank pipeline (``pq_adc_neighbors``) returns
+    exactly PQ_TOPK results and at least one true exact-L2 top-5
+    neighbor survives the quantized pool (measured min at gate scale:
+    3 of 5 — the ≥1 floor carries margin for fixture regeneration).
+    The exact side is computed alongside; DuckDB independently asserts
+    the per-query shape and that the floor held.  Quantization can't be
+    SQL-recomputed (iterative k-means codebooks), so the CONTRACT is
+    the oracle — recall curves stay measured in tests/test_pq.py."""
+    ann = pq_adc_neighbors(spark, sf_dir)
+    truth = _exact_l2_topk(spark, sf_dir)
+    hits = (
+        ann.join(truth, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        ann.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_results").cast("long").alias("n_results"),
+            (F.coalesce("n_hits", F.lit(0)) >= 1).alias("recall_ge_1"),
+        )
+    )
+
+
+SIM_PQ_ADC_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, true AS recall_ge_1
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
 def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_pq_search(spark, sf_dir)
+    """Oracle-checked IVF-PQ contract, corpus-level: cluster pruning on
+    top of quantization loses more recall than flat ADC (per-query
+    floors would be noise), so the contract aggregates — every query
+    yields exactly PQ_TOPK rows and corpus recall@5 stays ≥ 40%
+    (measured ≈ 60% at gate scale; the production bound asserted in
+    tests/test_pq.py).  DuckDB recomputes the query census and asserts
+    the booleans."""
+    ann = ivf_pq_search(spark, sf_dir)
+    truth = _exact_l2_topk(spark, sf_dir)
+    per_q = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    n_hits = ann.join(truth, ["query_id", "cand_id"], "left_semi").count()
+    n_truth = truth.count()
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.min("n_results") == PQ_TOPK).alias("five_per_query"),
+        F.lit(n_hits * 1000 >= n_truth * 400).alias("recall_ge_40pct"),
+    )
+
+
+SIM_IVF_PQ_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       true AS five_per_query, true AS recall_ge_40pct
+FROM embeddings WHERE vec_id % 10 = 0
+"""
 
 
 QUERIES = {
     "sim_pq_adc_topk": sim_pq_adc_topk,
     "sim_ivf_pq_topk": sim_ivf_pq_topk,
 }
-ORACLES: dict[str, str] = {}  # iterative k-means codebooks: rows-only by design
+ORACLES: dict[str, str] = {
+    "sim_pq_adc_topk": SIM_PQ_ADC_ORACLE,
+    "sim_ivf_pq_topk": SIM_IVF_PQ_ORACLE,
+}

@@ -16,81 +16,67 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate evaluates a PREFIX of this registry (rounds
-# 1-3: exactly the first 50 entries), so iteration order is part of the
-# contract.  Round-4 layout: positions 1-8 are ONE known-green family
-# representative each (join_salted_twophase replaces join_salted_skew as
-# the scale-joins rep to prove the round-3 red row — a float-accumulation
-# hash flip, now decimal-exact — is fixed); positions 9-50 ROTATE 42
-# never-driver-checked names.
-#
-# Rotation ledger — still never-driver-checked after round 4 (34 names;
-# rotate into positions 9-50 next round and every registry query will have
-# been driver-verified at least once):
-#   mm_ahash_neardup udf_python_rowwise udf_map_in_arrow text_bm25_topk
-#   decontaminate_bloom sketch_countmin_topk retrieval_rrf_fusion
-#   retrieval_hard_negatives mix_temperature_alloc dedup_substring_spans
-#   text_hashed_linear_score corpus_snapshot_diff sketch_quantile_bins
-#   chunk_content_defined corpus_term_drift sketch_kmv_source_overlap
-#   dedup_minhash_lsh_indexed dq_constraint_report dq_profile_orders
-#   shards_plan_stats cdc_bootstrap_overlap cdc_consistent_snapshot
-#   cdc_versioned_bloom_lookup ev_sliding_window ev_dedup_first_by_key
-#   ev_attribution_last_touch ev_rate_anomaly sketch_countmin_stream_merge
-#   + rows-only: sketch_hll_mergeable dedup_semantic_clustered sim_ann_ivf
-#   sim_pq_adc_topk sim_ivf_pq_topk tokenize_bpe_counts
+# 1-4: exactly the first 50 entries), so iteration order is part of the
+# contract.  Round-5 layout: positions 1-8 stay ONE known-green family
+# representative each; positions 9-50 ROTATE the remaining 38 names that
+# have never had a driver row (union of CORRECTNESS_r01-r04 vs the
+# registry) — after this round EVERY registry query will have been
+# driver-verified at least once.  The block includes the four former
+# rows-only queries converted to oracle-checked this round
+# (sim_ann_ivf probe-all exactness, sketch_hll_mergeable bounded-error,
+# sim_pq_adc_topk / sim_ivf_pq_topk recall contracts) and the two that
+# stay rows-only by declared design (dedup_semantic_clustered,
+# tokenize_bpe_counts — iterative training, no SQL recompute).
+# 4 spare slots at the tail are reserved for round-5 additions.
 _HEAD = [
-    # -- family representatives (1-8), all green in CORRECTNESS_r03 or
-    #    locally re-verified this round --
+    # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
-    "join_salted_twophase",  # scale joins — round-3 red row, now decimal-exact
+    "join_salted_twophase",  # scale joins
     "ev_tumbling_window",  # streaming/event analytics
     "dedup_minhash_lsh",  # near-dup (LSH family)
     "q1_pricing_summary",  # TPC-H relational
     "mm_decode_meta",  # multimodal
     "udf_apply_in_pandas",  # UDF surface
     "neardup_store_two_batch",  # streaming near-dup store
-    # -- rotation block (9-50): first-time driver checks this round --
-    "q2_min_price_part",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_filter",
-    "q20_excess_suppliers",
-    "q21_sole_late_shipper",
-    "q22_dormant_customers",
-    "asof_join_next_purchase",
-    "asof_join_nearest_purchase",
-    "agg_stats_exact",
-    "hist_equi_depth",
-    "text_rolling_hash",
-    "text_clean_canonical",
-    "sample_stratified_topn",
-    "text_bigram_logprob",
-    "pipeline_corpus_curation",
-    "text_repetition_ratio",
-    "text_word_entropy",
-    "text_chunk_dedup",
-    "corpus_top_ngrams",
-    "join_interval_binned",
-    "scan_zorder_2d",
-    "join_dpp_pruned",
-    "scan_bloom_pruned",
-    "dedup_jaccard_prefix_exact",
-    "decontaminate_embedding",
-    "mix_token_budget",
-    "dedup_segments_crossdoc",
-    "text_gopher_rules",
-    "curriculum_quality_bins",
-    "sample_split_leakage_safe",
-    "mm_resize_meta",
-    "mm_frame_sample",
-    "udf_pandas_grouped_agg",
-    "cdc_version_diff",
+    # -- rotation block (9-50): first-ever driver rows --
+    "cdc_bootstrap_overlap",
+    "cdc_consistent_snapshot",
+    "cdc_derived_extrema",
+    "cdc_derived_join_mv",
+    "cdc_snapshot_history",
+    "cdc_versioned_bloom_lookup",
+    "chunk_content_defined",
+    "corpus_snapshot_diff",
+    "corpus_term_drift",
+    "curation_dsir_topk",
+    "decontaminate_bloom",
+    "dedup_minhash_lsh_indexed",
+    "dedup_substring_spans",
+    "dq_constraint_report",
+    "dq_profile_orders",
+    "ev_attribution_last_touch",
+    "ev_dedup_first_by_key",
+    "ev_rate_anomaly",
+    "ev_sliding_window",
+    "mix_temperature_alloc",
+    "mm_ahash_neardup",
+    "retrieval_hard_negatives",
+    "retrieval_rrf_fusion",
+    "shards_plan_stats",
+    "sketch_countmin_stream_merge",
+    "sketch_countmin_topk",
+    "sketch_kmv_source_overlap",
+    "sketch_quantile_bins",
+    "text_bm25_topk",
+    "text_hashed_linear_score",
+    "udf_map_in_arrow",
+    "udf_python_rowwise",
+    "sim_ann_ivf",
+    "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
+    "sketch_hll_mergeable",
+    "dedup_semantic_clustered",  # rows-only by design
+    "tokenize_bpe_counts",  # rows-only by design
 ]
 
 

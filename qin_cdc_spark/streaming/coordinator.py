@@ -106,10 +106,31 @@ class SnapshotCoordinator:
         self._publish(meta)
         return coord
 
-    def post_batch_hook(self):
+    def post_batch_hook(self, *, retain_batches: int = 0, gc_every: int = 1):
         """Adapter for ``start_cdc_stream(post_batch=…)`` — records a
-        coordinate after every micro-batch's route fan-out completes."""
-        return lambda batch_id: self.record(batch_id)
+        coordinate after every micro-batch's route fan-out completes.
+
+        With ``retain_batches=N`` the hook ALSO runs coordinated
+        retention inside the stream (every ``gc_every`` batches): drop
+        all but the newest N coordinates, then gc each table keeping
+        exactly the versions the surviving coordinates reference (see
+        :meth:`expire_and_gc` — never a count-based gc, so versions
+        minted outside coordinated batches can't strand a coordinate).
+        This is the reference's position-retention loop
+        (inputs/mysql/mysql_position.go:150-170) generalized to
+        snapshot history: the stream continuously bounds its own
+        storage instead of leaning on an out-of-band compliance job.
+        Crash-safe like every publish here: expire is one atomic meta
+        replace per store, and a replayed batch re-runs retention
+        idempotently (the surviving set is recomputed, data dirs are
+        deleted only once unreferenced)."""
+
+        def hook(batch_id: int) -> None:
+            self.record(batch_id)
+            if retain_batches > 0 and batch_id > 0 and batch_id % gc_every == 0:
+                self.expire_and_gc(keep_last=retain_batches)
+
+        return hook
 
     # -- read side ---------------------------------------------------------
 

@@ -45,6 +45,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -212,6 +214,52 @@ class NearDupStore:
         with open(tmp, "w") as f:
             json.dump({"watermark": int(wm), "n_buckets": self.n_buckets}, f)
         os.replace(tmp, self._meta_path)
+
+    def purge(self, doc_ids: list[int]) -> int:
+        """Right-to-be-forgotten for the signature store: physically
+        remove the given doc_ids' fingerprints; returns how many rows
+        were erased.  MinHash signatures are derived from document
+        content, so a takedown must erase them too — and a purged
+        document must stop REJECTING future near-duplicates of itself
+        (the whole point of forgetting it).
+
+        Cost is file-local: the flat store is located via
+        ``input_file_name`` and only the part files that actually hold
+        a doomed id are rewritten (O(touched files), never a full store
+        rewrite).  The band INDEX under ``_bands`` may keep stale
+        entries for purged docs until the next :meth:`compact` — they
+        are harmless: candidates are verified against the flat store
+        (``_reject_against_store`` joins back to :meth:`read`), so a
+        stale index row can no longer match anything.  compact()
+        rebuilds the index from the purged store and drops them."""
+        if not doc_ids or not self.exists():
+            return 0
+        store = self.spark.read.parquet(self.path).withColumn(
+            "_file", F.input_file_name()
+        )
+        doomed = F.col("doc_id").isin([int(d) for d in doc_ids])
+        touched = [
+            r[0]
+            for r in store.filter(doomed).select("_file").distinct().collect()
+        ]
+        if not touched:
+            return 0
+        kept = store.filter(F.col("_file").isin(touched)).filter(~doomed)
+        n_before = store.filter(F.col("_file").isin(touched)).count()
+        n_kept = kept.count()
+        stage = os.path.join(self.path, f".purge-{uuid.uuid4().hex[:8]}")
+        kept.drop("_file").write.parquet(stage)
+        for f in touched:
+            local = f[len("file:") :] if f.startswith("file:") else f
+            os.remove(local)
+        for part in os.listdir(stage):
+            if part.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, part),
+                    os.path.join(self.path, f"purged-{uuid.uuid4().hex[:8]}.parquet"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return n_before - n_kept
 
     def _store_candidates(self, sigs: DataFrame) -> DataFrame:
         """(doc_id, store_doc_id) candidate pairs of the batch against

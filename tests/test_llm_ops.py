@@ -67,11 +67,13 @@ def test_embedding_cosine_lsh_recall_vs_brute_force(spark):
 def test_ann_ivf_recall_vs_brute_force(spark):
     """IVF (k-means inverted lists, nprobe=4/16) top-5 recall on the
     worst-case uniform corpus — clusters carry little signal there, so
-    the bar is moderate; clustered real embeddings do far better."""
-    from qin_cdc_spark.operators.ivf import sim_ann_ivf
+    the bar is moderate; clustered real embeddings do far better.
+    (The gate query runs probe-all, where IVF is exact; THIS test owns
+    the production nprobe<K recall claim.)"""
+    from qin_cdc_spark.operators.ivf import N_PROBE, sim_ann_ivf
 
     exact = sim_cosine_topk(spark, SF_SMOKE).filter(F.col("rn") <= 5)
-    ivf = sim_ann_ivf(spark, SF_SMOKE)
+    ivf = sim_ann_ivf(spark, SF_SMOKE, n_probe=N_PROBE)
     e = {(r.query_id, r.cand_id) for r in exact.collect()}
     a = {(r.query_id, r.cand_id) for r in ivf.collect()}
     recall = len(a & e) / len(e)
@@ -146,7 +148,12 @@ def test_ivf_persisted_index_matches_fresh_search(spark, tmp_path):
     (PLANS.md gap closed: centroids persist instead of retraining)."""
     import pyspark.sql.functions as F
 
-    from qin_cdc_spark.operators.ivf import IvfIndex, ivf_search, sim_ann_ivf
+    from qin_cdc_spark.operators.ivf import (
+        N_PROBE,
+        IvfIndex,
+        ivf_search,
+        sim_ann_ivf,
+    )
     from qin_cdc_spark.sources.tables import load_table
 
     idx = IvfIndex(str(tmp_path / "ivf_idx"))
@@ -159,7 +166,7 @@ def test_ivf_persisted_index_matches_fresh_search(spark, tmp_path):
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     )
     got = sorted(map(tuple, ivf_search(spark, idx, queries).collect()))
-    fresh = sorted(map(tuple, sim_ann_ivf(spark, SF_SMOKE).collect()))
+    fresh = sorted(map(tuple, sim_ann_ivf(spark, SF_SMOKE, n_probe=N_PROBE).collect()))
     assert got == fresh
 
 

@@ -13,6 +13,8 @@ from qin_cdc_spark.operators.pq import (
     _l2sq,
     encode_pq,
     encode_pq_df,
+    ivf_pq_search,
+    pq_adc_neighbors,
     sim_ivf_pq_topk,
     sim_pq_adc_topk,
     train_pq_codebooks,
@@ -57,13 +59,13 @@ def _recall(result_df, truth_df) -> float:
 
 def test_pq_adc_recall_vs_exact(spark):
     truth = _exact_topk(spark)
-    rec = _recall(sim_pq_adc_topk(spark, SF_SMOKE), truth)
+    rec = _recall(pq_adc_neighbors(spark, SF_SMOKE), truth)
     assert rec >= 0.6, f"PQ+re-rank recall@{PQ_TOPK} = {rec:.2f}"
 
 
 def test_ivf_pq_recall_vs_exact(spark):
     truth = _exact_topk(spark)
-    rec = _recall(sim_ivf_pq_topk(spark, SF_SMOKE), truth)
+    rec = _recall(ivf_pq_search(spark, SF_SMOKE), truth)
     # IVF pruning on top of PQ loses a bit more — still must beat chance
     assert rec >= 0.4, f"IVF-PQ recall@{PQ_TOPK} = {rec:.2f}"
 
