@@ -281,23 +281,34 @@ def bootstrap_route(route, snapshot: DataFrame, snapshot_seq: int) -> None:
 
 
 def _decoded_orders_halved(spark: SparkSession, sf_dir: str, post=None):
-    """Decoded orders change stream behind a persist barrier, plus its
+    """Decoded orders change stream as a FILE-BACKED frame, plus its
     half-stream watermark seq.  The synthetic envelope (JSON encode →
     decode over the whole table) is the expensive upstream of every
     versioned-target gate query, and each consumes it THREE times
     (watermark scan + two half-stream merges); materializing it once is
     the honest real-pipeline shape — a change stream arrives once.
-    ``post`` optionally derives extra columns before the barrier.
-    Callers whose results are file-backed (versioned merges) MUST
-    ``decoded.unpersist()`` before returning."""
+
+    Materialization is one parquet write, not ``persist()``: measured
+    at local[32]/sf0.1 the block-store round-trip LOST to both
+    alternatives (persist 6.98 s vs parquet-once 5.74 s vs pipelined
+    recompute 5.71 s for cdc_derived_rollup, median of 3), and the
+    parquet shape additionally (a) frees callers from unpersist
+    bookkeeping — nothing cached, nothing to leak — and (b) is what a
+    real pipeline does with an arriving stream (land it, then read it
+    per consumer; on a cluster the landed file is also what survives a
+    driver restart).  ``post`` derives extra columns before the write."""
+    import tempfile
+
     env = _orders_envelope(spark, sf_dir)
     schema = load_table(spark, sf_dir, "orders").schema
     decoded = decode_envelope(env, schema, db="src", table="orders")
     if post is not None:
         decoded = post(decoded)
-    decoded = decoded.persist()
-    s = decoded.agg(F.max("seq")).collect()[0][0] // 2
-    return decoded, s
+    dest = tempfile.mkdtemp(prefix="cdc_stream_land_") + "/decoded"
+    decoded.write.parquet(dest)
+    landed = spark.read.parquet(dest)
+    s = landed.agg(F.max("seq")).collect()[0][0] // 2
+    return landed, s
 
 
 def cdc_bootstrap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,19 +325,9 @@ def cdc_bootstrap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded = snapshot_as_changes(snapshot, ["o_orderkey"], s)
     overlap_and_tail = decoded.filter(F.col("seq") > s // 2).select(seeded.columns)
     merged = latest_by_key(seeded.unionByName(overlap_and_tail), ["o_orderkey"])
-    out = merged.filter(F.col("op") != "delete").drop("op", "seq")
-    # materialize the final table to a file-backed frame, then release
-    # the decoded-stream cache (the result is lazy over it — and a
-    # returned persisted frame would itself leak cached blocks for the
-    # session lifetime)
-    import tempfile
-
-    dest = tempfile.mkdtemp(prefix="bootstrap_gate_") + "/out"
-    try:
-        out.write.parquet(dest)
-    finally:
-        decoded.unpersist()
-    return spark.read.parquet(dest)
+    # nothing cached anywhere (decoded is file-backed) — the lazy LWW
+    # result can be returned as-is
+    return merged.filter(F.col("op") != "delete").drop("op", "seq")
 
 
 # the contract IS "equals the full replay": reuse the full-stream oracle
@@ -354,7 +355,6 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
-    decoded.unpersist()  # read_at is file-backed
     return tbl.read_at(v1)
 
 
@@ -393,7 +393,6 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     v2 = tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
-    decoded.unpersist()  # read_internal is file-backed
 
     def _live(v):
         return (
@@ -482,7 +481,6 @@ def cdc_derived_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv.refresh(tbl)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
     mv.refresh(tbl)
-    decoded.unpersist()  # mv.read is file-backed
     return mv.read().select(
         "o_orderstatus",
         F.col("cnt").cast("long").alias("cnt"),
@@ -548,8 +546,7 @@ def cdc_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_tbl.merge(o_dec.filter(F.col("seq") > so), batch_id=1)
     l_tbl.merge(l_dec.filter(F.col("seq") > sl), batch_id=1)
     coord.record(1)
-    o_dec.unpersist()  # coordinated reads are file-backed
-    l_dec.unpersist()
+    l_dec.unpersist()  # coordinated reads are file-backed (o_dec too)
 
     snap = coord.read_at(0)
     o, li = snap["src.orders"], snap["src.lineitem"]
@@ -614,7 +611,6 @@ def cdc_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
-    decoded.unpersist()  # read_where is file-backed
     # deterministic probe: the 3 smallest custkeys in the fixture
     # (bounded 3-row collect, the serving-lookup class)
     custkeys = [
@@ -764,7 +760,6 @@ def cdc_derived_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv.refresh(tbl)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
     mv.refresh(tbl)
-    decoded.unpersist()  # mv.read is file-backed
     return mv.read().select(
         "o_orderstatus",
         F.col("cnt").cast("long").alias("cnt"),
