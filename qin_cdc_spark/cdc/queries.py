@@ -842,3 +842,52 @@ SELECT 3, 1, 1, 0, CAST((SELECT n FROM k1) AS BIGINT)
 
 QUERIES["cdc_snapshot_history"] = cdc_snapshot_history
 ORACLES["cdc_snapshot_history"] = CDC_SNAPSHOT_HISTORY_ORACLE
+
+
+def cdc_rtbf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge as an end-to-end gate: apply the full
+    orders change stream to a versioned target, then ``purge_keys``
+    every order with ``o_orderkey % 100 == 1`` (the takedown list
+    deliberately includes keys the stream already deleted — the
+    soft-deleted-then-purged case whose value-carrying tombstones must
+    also be re-minted value-free).  The returned snapshot must equal
+    the full-stream LWW materialization minus the purged keys; the
+    value-free-tombstone and physical-erasure legs are pytest-asserted
+    (tests/test_forget.py), cascade to MVs/ANN/near-dup stores included.
+    Cost shape: the purge is one semi-join of the key list against the
+    current snapshot plus a touched-bucket merge — O(keys + touched
+    buckets), never a table rewrite."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.forget import purge_keys
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    tbl = VersionedBucketedTable(
+        spark, tempfile.mkdtemp(prefix="rtbf_gate_") + "/t", ["o_orderkey"]
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    takedown = decoded.filter(F.col("o_orderkey") % 100 == 1).select(
+        "o_orderkey"
+    ).distinct()
+    hwm = decoded.agg(F.max("seq")).collect()[0][0] + 1
+    purge_keys(tbl, takedown, seq=hwm)
+    return tbl.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+CDC_RTBF_PURGE_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM last
+WHERE rn = 1 AND op <> 'delete' AND o_orderkey % 100 <> 1
+"""
+
+QUERIES["cdc_rtbf_purge"] = cdc_rtbf_purge
+ORACLES["cdc_rtbf_purge"] = CDC_RTBF_PURGE_ORACLE

@@ -186,15 +186,43 @@ N_MERGES = 30
 
 
 def tokenize_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc word/BPE-token counts under merges learned from the same
-    corpus slice.  Rows-only gate entry (training is iterative)."""
+    """Per-doc tokenization under merges learned from the same corpus
+    slice, as an ORACLE-CHECKED contract: the word count is exact and
+    SQL-recomputable (the one quantity BPE shares with SQL), and the
+    BPE token count must sit in its provable sandwich — at least one
+    token per word (merges only ever shrink a word's symbol sequence)
+    and at most chars+1 per word (the untrained ceiling: every char a
+    token plus the end-of-word marker).  A bug anywhere in training or
+    the Arrow kernel (dropped EOW, over-merging across word borders,
+    mis-memoization) breaks a bound; the exact learned-merge behavior
+    (round-trip decode, monotone compression, the hand-computed classic
+    example) stays pytest-asserted — iterative training itself is not
+    SQL-expressible, but its invariants are."""
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_merges(vocab_table(docs), N_MERGES)
     out = apply_bpe(
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism), merges
     )
-    return out.select("doc_id", "n_words", "n_bpe_tokens")
+    w = words(F.lower(F.col("text")))
+    chars_plus_eow = F.aggregate(
+        F.transform(w, lambda x: F.length(x) + 1), F.lit(0), lambda a, v: a + v
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("n_bpe_tokens") >= F.col("n_words")).alias("bpe_ge_words"),
+        (F.col("n_bpe_tokens") <= chars_plus_eow).alias("bpe_le_chars_eow"),
+    )
 
+
+TOKENIZE_BPE_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+         AS n_words,
+       true AS bpe_ge_words,
+       true AS bpe_le_chars_eow
+FROM documents
+"""
 
 QUERIES = {"tokenize_bpe_counts": tokenize_bpe_counts}
-ORACLES: dict = {}  # iterative training: declared rows-only
+ORACLES: dict = {"tokenize_bpe_counts": TOKENIZE_BPE_ORACLE}

@@ -24,10 +24,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver-verified at least once.  The block includes the four former
 # rows-only queries converted to oracle-checked this round
 # (sim_ann_ivf probe-all exactness, sketch_hll_mergeable bounded-error,
-# sim_pq_adc_topk / sim_ivf_pq_topk recall contracts) and the two that
-# stay rows-only by declared design (dedup_semantic_clustered,
-# tokenize_bpe_counts — iterative training, no SQL recompute).
-# 4 spare slots at the tail are reserved for round-5 additions.
+# sim_pq_adc_topk / sim_ivf_pq_topk recall contracts, tokenize_bpe_counts
+# word-count + sandwich-bound contract) and the one that stays rows-only
+# by declared design (dedup_semantic_clustered — k-means cluster scoping,
+# no SQL recompute).  cdc_rtbf_purge (new this round) takes a spare slot;
+# the remaining spares fall through to known-green registry order.
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
@@ -76,7 +77,8 @@ _HEAD = [
     "sim_ivf_pq_topk",
     "sketch_hll_mergeable",
     "dedup_semantic_clustered",  # rows-only by design
-    "tokenize_bpe_counts",  # rows-only by design
+    "tokenize_bpe_counts",
+    "cdc_rtbf_purge",  # round-5 addition: E2E purge vs LWW-minus-keys oracle
 ]
 
 

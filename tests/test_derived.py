@@ -583,3 +583,62 @@ def test_extrema_publish_is_crash_safe(spark, tmp_path):
     mv.refresh(tbl)
     assert not os.path.exists(orphan)
     assert _ext_view(mv) == {"g": (2, 5, 9)}
+
+
+def test_extrema_mv_refreshes_inside_the_stream(spark, tmp_path):
+    """post_batch hook parity with the agg/join MVs: the extrema view
+    refreshes within each micro-batch of a running CDC stream over a
+    versioned route and ends equal to the full min/max/count recompute
+    — including a batch that deletes a group's stored extremum."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+    from qin_cdc_spark.streaming.derived import DerivedExtremaTable
+    from pyspark.sql.types import _parse_datatype_string
+
+    env_dir = str(tmp_path / "env")
+    typed1 = _ext_changes(
+        spark, [("insert", i, i, "g%d" % (i % 2), i * 10) for i in range(1, 7)]
+    )
+    # batch 2 deletes g0's max (id 6, val 60) and g1's min (id 1, val 10)
+    typed2 = _ext_changes(
+        spark, [("delete", 10, 6, "g0", 60), ("delete", 11, 1, "g1", 10)]
+    )
+    for t in (typed1, typed2):
+        envelope_from_typed(
+            t.select("id", "grp", "val", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=_parse_datatype_string("id long, grp string, val long"),
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+        versioned=True,
+    )
+    mv = DerivedExtremaTable(
+        spark, str(tmp_path / "emv"), group_cols=["grp"], minmax_cols=["val"]
+    )
+
+    def post_batch(batch_id):
+        if route.target is not None and route.target.exists():
+            mv.refresh(route.target)
+
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=post_batch,
+    )
+    q.awaitTermination(300)
+    assert mv.applied_version() == route.target.current_version()
+    assert _ext_view(mv) == _ext_recompute(route.target) == {
+        "g0": (2, 20, 40),
+        "g1": (2, 30, 50),
+    }
