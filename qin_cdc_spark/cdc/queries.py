@@ -891,3 +891,51 @@ WHERE rn = 1 AND op <> 'delete' AND o_orderkey % 100 <> 1
 
 QUERIES["cdc_rtbf_purge"] = cdc_rtbf_purge
 ORACLES["cdc_rtbf_purge"] = CDC_RTBF_PURGE_ORACLE
+
+
+def cdc_derived_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) materialized-view maintenance — the second hard
+    MV case after min/max (a distinct count is not retractable from the
+    aggregate alone): per-status distinct CUSTOMER count over the
+    orders stream, maintained by ``DerivedDistinctTable`` across two
+    apply batches.  Customers hold many orders, so refcounts really
+    exceed 1: status-moving updates and deletes must only drop a
+    group's distinct count when the LAST order a customer has in that
+    status goes away.  The oracle recomputes count(distinct) from
+    scratch on the full-stream LWW materialization; the hash check
+    proves refcount-transition maintenance == recompute."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedDistinctTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="distinct_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"])
+    mv = DerivedDistinctTable(
+        spark, base + "/dmv", group_cols=["o_orderstatus"], value_col="o_custkey"
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    mv.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    mv.refresh(tbl)
+    return mv.read().select(
+        "o_orderstatus", F.col("n_distinct").cast("long").alias("n_cust")
+    )
+
+
+CDC_DERIVED_DISTINCT_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_orderstatus, o_custkey FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM live GROUP BY 1
+"""
+
+QUERIES["cdc_derived_distinct"] = cdc_derived_distinct
+ORACLES["cdc_derived_distinct"] = CDC_DERIVED_DISTINCT_ORACLE

@@ -25,9 +25,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rows-only queries converted to oracle-checked this round
 # (sim_ann_ivf probe-all exactness, sketch_hll_mergeable bounded-error,
 # sim_pq_adc_topk / sim_ivf_pq_topk recall contracts, tokenize_bpe_counts
-# word-count + sandwich-bound contract) and the one that stays rows-only
-# by declared design (dedup_semantic_clustered — k-means cluster scoping,
-# no SQL recompute).  cdc_rtbf_purge (new this round) takes a spare slot;
+# word-count + sandwich-bound contract, approx_distinct_rows_only
+# bounded-error — its name is historical) and the one that stays
+# rows-only by declared design (dedup_semantic_clustered — k-means
+# cluster scoping, no SQL recompute).  cdc_rtbf_purge (new this round) takes a spare slot;
 # the remaining spares fall through to known-green registry order.
 _HEAD = [
     # -- family representatives (1-8) --
@@ -79,6 +80,7 @@ _HEAD = [
     "dedup_semantic_clustered",  # rows-only by design
     "tokenize_bpe_counts",
     "cdc_rtbf_purge",  # round-5 addition: E2E purge vs LWW-minus-keys oracle
+    "cdc_derived_distinct",  # round-5 addition: refcount-transition distinct MV
 ]
 
 

@@ -594,3 +594,258 @@ class DerivedExtremaTable:
         out.write.parquet(os.path.join(self.path, dname))
         self._publish({"applied_version": v1, "data": dname})
         return v1
+
+
+DISTINCT_META_NAME = "_derived_distinct_meta.json"
+
+
+class DerivedDistinctTable:
+    """Incrementally-maintained per-group COUNT(DISTINCT value) — the
+    other classic hard case of MV maintenance after min/max: distinct
+    counts are not retractable from the aggregate alone (removing a
+    value says nothing unless you know how many live rows still carry
+    it).  The textbook fix is a two-level view, kept here exactly:
+
+    * LEVEL 1 (state): refcounts per (group, value), hash-bucketed on
+      (group, value) so a refresh rewrites ONLY the buckets the delta
+      touches — the state is corpus-cardinality at worst (every
+      distinct pair), so whole-state rewrites are not an option at
+      100 TB; touched-bucket merges are the same discipline as the LWW
+      target's own merge (versioned.py).
+    * LEVEL 2 (published rollup): (group, n_distinct), maintained from
+      the refcount 0↔positive TRANSITIONS the level-1 merge emits as a
+      byproduct of the same pass — a value's arrival in a group (+1)
+      or final departure (−1).  O(touched groups) rows.
+
+    Per-refresh cost: O(|delta| + touched state buckets + touched
+    groups).  NULLs never count (SQL ``count(distinct)`` semantics).
+    Publish is the shared snapshot-pointer pattern: immutable dirs, one
+    atomic meta replace recording the applied source version; a crashed
+    refresh replays the same CDF range and converges.
+
+    Reference parity: the reference streams rows and leaves every
+    aggregate to the downstream warehouse; with sum/count
+    (``DerivedAggTable``), min/max (``DerivedExtremaTable``) and
+    distinct counts here, the engine maintains the full retractable
+    family itself."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        group_cols: list[str],
+        value_col: str,
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.n_buckets = n_buckets
+
+    # -- meta / io (snapshot-pointer pattern) -------------------------------
+
+    def _meta(self) -> dict:
+        p = os.path.join(self.path, DISTINCT_META_NAME)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"applied_version": 0, "buckets": {}, "rollup": None}
+
+    def _publish(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".{DISTINCT_META_NAME}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, DISTINCT_META_NAME))
+        live = set(meta["buckets"].values())
+        if meta["rollup"]:
+            live.add(meta["rollup"])
+        for d in os.listdir(self.path):
+            if d.startswith(("st-", "ru-")) and d not in live:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def applied_version(self) -> int:
+        return self._meta()["applied_version"]
+
+    def _bucket_expr(self):
+        return F.pmod(
+            F.hash(*[F.col(c) for c in self.group_cols], F.col(self.value_col)),
+            F.lit(self.n_buckets),
+        )
+
+    def read(self) -> DataFrame | None:
+        """The published (group_cols…, n_distinct) rollup."""
+        meta = self._meta()
+        if meta["rollup"] is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, meta["rollup"]))
+
+    def read_state(self, buckets: list[str] | None = None) -> DataFrame | None:
+        meta = self._meta()
+        names = meta["buckets"] if buckets is None else {
+            b: meta["buckets"][b] for b in buckets if b in meta["buckets"]
+        }
+        paths = [os.path.join(self.path, d) for d in names.values()]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # -- refresh -----------------------------------------------------------
+
+    def _delta(self, cdf: DataFrame) -> DataFrame:
+        """Signed refcount delta per (group, value) from a preimage CDF;
+        null values drop out on both sides (they never count)."""
+        add = (
+            cdf.filter(F.col("_change").isin("insert", "update"))
+            .filter(F.col(self.value_col).isNotNull())
+            .select(*self.group_cols, self.value_col, F.lit(1).alias("d"))
+        )
+        retract = (
+            cdf.filter(F.col("_change").isin("update", "delete"))
+            .filter(F.col(f"_pre_{self.value_col}").isNotNull())
+            .select(
+                *[F.col(f"_pre_{g}").alias(g) for g in self.group_cols],
+                F.col(f"_pre_{self.value_col}").alias(self.value_col),
+                F.lit(-1).alias("d"),
+            )
+        )
+        return (
+            add.unionByName(retract)
+            .groupBy(*self.group_cols, self.value_col)
+            .agg(F.sum("d").cast("long").alias("dref"))
+            .filter(F.col("dref") != 0)
+        )
+
+    def refresh(self, source: VersionedBucketedTable) -> int:
+        meta = self._meta()
+        v0, v1 = meta["applied_version"], source.current_version()
+        if v1 <= v0:
+            return v0
+        key_cols = [*self.group_cols, self.value_col]
+        if v0 == 0 or meta["rollup"] is None:
+            # bootstrap: one grouped pass builds both levels
+            snap = source.read_at(v1).filter(F.col(self.value_col).isNotNull())
+            state = (
+                snap.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).cast("long").alias("refs"))
+                .withColumn("_bucket", self._bucket_expr())
+            )
+            rollup = state.groupBy(*self.group_cols).agg(
+                F.count(F.lit(1)).cast("long").alias("n_distinct")
+            )
+            new_buckets = self._write_state(state, None, meta)
+            rname = f"ru-{uuid.uuid4().hex[:12]}"
+            rollup.write.parquet(os.path.join(self.path, rname))
+            self._publish(
+                {"applied_version": v1, "buckets": new_buckets, "rollup": rname}
+            )
+            return v1
+
+        delta = self._delta(
+            source.changes_between(v0, v1, include_preimage=True)
+        ).withColumn("_bucket", self._bucket_expr())
+        delta = delta.persist()
+        try:
+            touched = [
+                str(r[0]) for r in delta.select("_bucket").distinct().collect()
+            ]
+            if not touched:
+                self._publish({**meta, "applied_version": v1})
+                return v1
+            old = self.read_state(touched)
+            if old is None:
+                old = delta.limit(0).select(
+                    *key_cols, F.col("dref").alias("refs")
+                )
+            # note: the _bucket partition column does not survive the
+            # dir rename (it lived in the staged directory name); it is
+            # recomputed from the keys where needed
+            j = old.select(*key_cols, "refs").join(
+                delta.select(*key_cols, "dref"), key_cols, "full_outer"
+            )
+            j = j.select(
+                *key_cols,
+                F.coalesce("refs", F.lit(0)).alias("refs_old"),
+                (
+                    F.coalesce("refs", F.lit(0)) + F.coalesce("dref", F.lit(0))
+                ).alias("refs_new"),
+                F.col("dref").isNotNull().alias("_in_delta"),
+            ).persist()
+            try:
+                state_new = j.filter(F.col("refs_new") > 0).select(
+                    *key_cols,
+                    F.col("refs_new").alias("refs"),
+                    self._bucket_expr().alias("_bucket"),
+                )
+                new_buckets = self._write_state(state_new, touched, meta)
+                # transitions: only delta keys can change liveness; the
+                # rollup update is O(touched groups)
+                trans = (
+                    j.filter("_in_delta")
+                    .select(
+                        *self.group_cols,
+                        (
+                            (F.col("refs_new") > 0).cast("long")
+                            - (F.col("refs_old") > 0).cast("long")
+                        ).alias("dd"),
+                    )
+                    .groupBy(*self.group_cols)
+                    .agg(F.sum("dd").cast("long").alias("dd"))
+                    .filter(F.col("dd") != 0)
+                )
+                cur = self.read()
+                merged = (
+                    cur.select(
+                        *self.group_cols, F.col("n_distinct").alias("dd")
+                    )
+                    .unionByName(trans)
+                    .groupBy(*self.group_cols)
+                    .agg(F.sum("dd").cast("long").alias("n_distinct"))
+                    .filter(F.col("n_distinct") > 0)
+                )
+                rname = f"ru-{uuid.uuid4().hex[:12]}"
+                merged.write.parquet(os.path.join(self.path, rname))
+                self._publish(
+                    {
+                        "applied_version": v1,
+                        "buckets": new_buckets,
+                        "rollup": rname,
+                    }
+                )
+                return v1
+            finally:
+                j.unpersist()
+        finally:
+            delta.unpersist()
+
+    def _write_state(
+        self, state: DataFrame, touched: list[str] | None, meta: dict
+    ) -> dict:
+        """Write state rows partitioned by _bucket; returns the new
+        bucket→dir map (touched buckets replaced, others carried)."""
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
+        n_parts = len(touched) if touched else self.n_buckets
+        (
+            state.repartition(max(1, n_parts), F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .parquet(stage)
+        )
+        new_buckets = dict(meta["buckets"])
+        expect = touched if touched is not None else [
+            str(b) for b in range(self.n_buckets)
+        ]
+        for b in expect:
+            src = os.path.join(stage, f"_bucket={b}")
+            if os.path.isdir(src):
+                dname = f"st-{uuid.uuid4().hex[:12]}"
+                os.rename(src, os.path.join(self.path, dname))
+                new_buckets[b] = dname
+            else:
+                new_buckets.pop(b, None)  # bucket emptied
+        shutil.rmtree(stage, ignore_errors=True)
+        return new_buckets

@@ -642,3 +642,244 @@ def test_extrema_mv_refreshes_inside_the_stream(spark, tmp_path):
         "g0": (2, 20, 40),
         "g1": (2, 30, 50),
     }
+
+
+def test_extrema_rescan_uses_bloom_pruned_probe(spark, tmp_path):
+    """With bloom_cols on the single group column, the endangered-group
+    rescan goes through read_where (Bloom data skipping) and matches
+    the semi-join fallback's result exactly."""
+    from qin_cdc_spark.streaming.derived import DerivedExtremaTable
+
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "src"), ["id"], n_buckets=4, bloom_cols=["grp"]
+    )
+    mv = DerivedExtremaTable(
+        spark, str(tmp_path / "emv"), group_cols=["grp"], minmax_cols=["val"]
+    )
+    tbl.merge(
+        _ext_changes(
+            spark, [("insert", i, i, "g%d" % (i % 3), i * 10) for i in range(1, 13)]
+        )
+    )
+    mv.refresh(tbl)
+    # delete g0's current min (id 3, val 30) → tie → rescan via bloom path
+    tbl.merge(_ext_changes(spark, [("delete", 100, 3, "g0", 30)]))
+    calls = []
+    orig_read_where = tbl.read_where
+
+    def spy(col, values, version=None):
+        calls.append((col, sorted(values)))
+        return orig_read_where(col, values, version=version)
+
+    tbl.read_where = spy
+    mv.refresh(tbl)
+    assert calls == [("grp", ["g0"])]
+    assert _ext_view(mv) == _ext_recompute(tbl)
+
+
+def test_extrema_nonstring_group_key_falls_back_to_semijoin(spark, tmp_path):
+    """A bloom-indexed group column whose key type the Bloom renderer
+    rejects (e.g. boolean) must fall through to the semi-join probe
+    instead of failing the refresh (ADVICE round-4)."""
+    from qin_cdc_spark.streaming.derived import DerivedExtremaTable
+
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "src"), ["id"], n_buckets=2, bloom_cols=["flag"]
+    )
+    mv = DerivedExtremaTable(
+        spark, str(tmp_path / "emv"), group_cols=["flag"], minmax_cols=["val"]
+    )
+    rows = spark.createDataFrame(
+        [("insert", 1, 1, True, 10), ("insert", 2, 2, True, 20),
+         ("insert", 3, 3, False, 5)],
+        "op string, seq long, id long, flag boolean, val long",
+    )
+    tbl.merge(rows)
+    mv.refresh(tbl)
+    tbl.merge(
+        spark.createDataFrame(
+            [("delete", 10, 1, True, 10)],
+            "op string, seq long, id long, flag boolean, val long",
+        )
+    )
+    mv.refresh(tbl)  # must not raise
+    assert {r.flag: (r.cnt, r.min_val, r.max_val) for r in mv.read().collect()} == {
+        True: (1, 20, 20),
+        False: (1, 5, 5),
+    }
+
+
+# -- DerivedDistinctTable -----------------------------------------------------
+
+
+def _dd_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq long, id long, grp string, val string"
+    )
+
+
+def _dd_recompute(tbl):
+    return {
+        r.grp: r.n
+        for r in tbl.read()
+        .groupBy("grp")
+        .agg(F.count_distinct("val").alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+
+
+def _dd_view(mv):
+    out = mv.read()
+    return {} if out is None else {r.grp: r.n_distinct for r in out.collect()}
+
+
+def _mk_dd(spark, tmp_path, **kw):
+    from qin_cdc_spark.streaming.derived import DerivedDistinctTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "src"), ["id"], n_buckets=4)
+    mv = DerivedDistinctTable(
+        spark, str(tmp_path / "dmv"), group_cols=["grp"], value_col="val",
+        n_buckets=kw.get("n_buckets", 8),
+    )
+    return tbl, mv
+
+
+def test_distinct_tracks_source_through_mutations(spark, tmp_path):
+    tbl, mv = _mk_dd(spark, tmp_path)
+    # refcounts > 1: values shared across rows within a group
+    tbl.merge(
+        _dd_changes(
+            spark,
+            [("insert", i, i, "g%d" % (i % 2), "v%d" % (i % 3)) for i in range(1, 9)],
+        )
+    )
+    assert mv.refresh(tbl) == 1
+    assert _dd_view(mv) == _dd_recompute(tbl)
+
+    # one batch: group-moving update, value-changing update, delete of a
+    # shared value (refcount 2→1: distinct count must NOT drop), delete
+    # of a unique value (refcount 1→0: must drop), insert of a new value
+    tbl.merge(
+        _dd_changes(
+            spark,
+            [
+                ("update", 100, 1, "g0", "v1"),   # g1→g0 move
+                ("update", 101, 2, "g0", "v9"),   # value change
+                ("delete", 102, 3, "g1", "v0"),
+                ("delete", 103, 4, "g0", "v1"),
+                ("insert", 104, 11, "g1", "vX"),
+            ],
+        )
+    )
+    assert mv.refresh(tbl) == 2
+    assert _dd_view(mv) == _dd_recompute(tbl)
+
+    # two source batches folded by one refresh; nulls never count
+    tbl.merge(_dd_changes(spark, [("insert", 200, 12, "g0", None)]))
+    tbl.merge(_dd_changes(spark, [("update", 201, 12, "g0", "vY")]))
+    assert mv.refresh(tbl) == 4
+    assert _dd_view(mv) == _dd_recompute(tbl)
+
+    before = _dd_view(mv)
+    assert mv.refresh(tbl) == 4  # idempotent no-op
+    assert _dd_view(mv) == before
+
+
+def test_distinct_refcount_semantics_exact(spark, tmp_path):
+    """The refcount is the point: deleting ONE of two rows sharing a
+    value keeps the distinct count; deleting the second drops it."""
+    tbl, mv = _mk_dd(spark, tmp_path)
+    tbl.merge(
+        _dd_changes(
+            spark,
+            [("insert", 1, 1, "g", "a"), ("insert", 2, 2, "g", "a"),
+             ("insert", 3, 3, "g", "b")],
+        )
+    )
+    mv.refresh(tbl)
+    assert _dd_view(mv) == {"g": 2}
+    tbl.merge(_dd_changes(spark, [("delete", 10, 1, "g", "a")]))
+    mv.refresh(tbl)
+    assert _dd_view(mv) == {"g": 2}  # 'a' still carried by id 2
+    tbl.merge(_dd_changes(spark, [("delete", 11, 2, "g", "a")]))
+    mv.refresh(tbl)
+    assert _dd_view(mv) == {"g": 1}
+    state = {(r.grp, r.val): r.refs for r in mv.read_state().collect()}
+    assert state == {("g", "b"): 1}  # zero-ref rows physically dropped
+
+
+def test_distinct_touches_only_delta_buckets(spark, tmp_path):
+    """Scale contract: a refresh rewrites only the state buckets the
+    delta hashes into — untouched bucket dirs are carried by name."""
+    tbl, mv = _mk_dd(spark, tmp_path, n_buckets=16)
+    tbl.merge(
+        _dd_changes(
+            spark,
+            [("insert", i, i, "g%d" % (i % 4), "v%d" % i) for i in range(1, 33)],
+        )
+    )
+    mv.refresh(tbl)
+    before = dict(mv._meta()["buckets"])
+    tbl.merge(_dd_changes(spark, [("insert", 100, 100, "g0", "fresh")]))
+    mv.refresh(tbl)
+    after = dict(mv._meta()["buckets"])
+    changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    assert 1 <= len(changed) <= 2  # the delta landed in at most 2 buckets
+    assert _dd_view(mv) == _dd_recompute(tbl)
+
+
+def test_distinct_drops_emptied_groups_and_is_crash_safe(spark, tmp_path):
+    import os
+
+    tbl, mv = _mk_dd(spark, tmp_path)
+    tbl.merge(
+        _dd_changes(
+            spark, [("insert", 1, 1, "solo", "x"), ("insert", 2, 2, "dual", "y")]
+        )
+    )
+    mv.refresh(tbl)
+    orphan = os.path.join(mv.path, "ru-deadbeef0000")
+    os.makedirs(orphan)
+    tbl.merge(_dd_changes(spark, [("delete", 10, 1, "solo", "x")]))
+    mv.refresh(tbl)
+    assert not os.path.exists(orphan)  # publish GC
+    assert _dd_view(mv) == {"dual": 1}
+
+
+def test_distinct_random_mutations_match_full_recompute(spark, tmp_path):
+    import random
+
+    rng = random.Random(0xD157)
+    tbl, mv = _mk_dd(spark, tmp_path)
+    groups = ["a", "b"]
+    vals = ["v%d" % i for i in range(4)]  # small pool → refcounts pile up
+    live: dict[int, tuple[str, str | None]] = {}
+    seq = 0
+    next_id = 0
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(3, 10)):
+            seq += 1
+            kind = rng.random()
+            if kind < 0.45 or not live:
+                next_id += 1
+                g, v = rng.choice(groups), (
+                    None if rng.random() < 0.15 else rng.choice(vals)
+                )
+                live[next_id] = (g, v)
+                batch.append(("insert", seq, next_id, g, v))
+            elif kind < 0.75:
+                i = rng.choice(list(live))
+                g, v = rng.choice(groups), (
+                    None if rng.random() < 0.15 else rng.choice(vals)
+                )
+                live[i] = (g, v)
+                batch.append(("update", seq, i, g, v))
+            else:
+                i = rng.choice(list(live))
+                g, v = live.pop(i)
+                batch.append(("delete", seq, i, g, v))
+        tbl.merge(_dd_changes(spark, batch))
+        mv.refresh(tbl)
+        assert _dd_view(mv) == _dd_recompute(tbl)

