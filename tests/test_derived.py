@@ -883,3 +883,61 @@ def test_distinct_random_mutations_match_full_recompute(spark, tmp_path):
         tbl.merge(_dd_changes(spark, batch))
         mv.refresh(tbl)
         assert _dd_view(mv) == _dd_recompute(tbl)
+
+
+def test_distinct_mv_refreshes_inside_the_stream(spark, tmp_path):
+    """post_batch hook parity for the distinct MV: refcounts maintained
+    within each micro-batch; a later batch deletes one of two rows
+    sharing a value (count must hold) and the last row of another
+    (count must drop)."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+    from qin_cdc_spark.streaming.derived import DerivedDistinctTable
+    from pyspark.sql.types import _parse_datatype_string
+
+    env_dir = str(tmp_path / "env")
+    typed1 = _dd_changes(
+        spark,
+        [("insert", 1, 1, "g", "a"), ("insert", 2, 2, "g", "a"),
+         ("insert", 3, 3, "g", "b"), ("insert", 4, 4, "h", "x")],
+    )
+    typed2 = _dd_changes(
+        spark, [("delete", 10, 1, "g", "a"), ("delete", 11, 3, "g", "b")]
+    )
+    for t in (typed1, typed2):
+        envelope_from_typed(
+            t.select("id", "grp", "val", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=_parse_datatype_string("id long, grp string, val string"),
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+        versioned=True,
+    )
+    mv = DerivedDistinctTable(
+        spark, str(tmp_path / "dmv"), group_cols=["grp"], value_col="val",
+        n_buckets=4,
+    )
+
+    def post_batch(batch_id):
+        if route.target is not None and route.target.exists():
+            mv.refresh(route.target)
+
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=post_batch,
+    )
+    q.awaitTermination(300)
+    assert mv.applied_version() == route.target.current_version()
+    assert _dd_view(mv) == _dd_recompute(route.target) == {"g": 1, "h": 1}
