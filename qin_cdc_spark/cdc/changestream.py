@@ -211,3 +211,53 @@ cev AS (
   FROM customer WHERE c_custkey % 8 = 4
 )
 """
+
+
+def documents_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DOCUMENT corpus change stream (key doc_id,
+    k = doc_id % 10) — drives the incremental text-index consumers:
+
+    - every row:    insert  seq = doc_id*4          (original text)
+    - k in (1,5):   update  seq = doc_id*4 + 1      (text || fixed suffix
+      containing the BM25 gate's query terms — postings AND doc length
+      both change, so index maintenance must retract the old rows)
+    - k = 7:        delete  seq = doc_id*4 + 2
+
+    String concatenation only: no float arithmetic anywhere, so the
+    DuckDB mirror (DOCUMENTS_STREAM_SQL) is bit-identical."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = d.columns
+    k = F.col("doc_id") % 10
+    base_seq = F.col("doc_id") * 4
+
+    insert_ev = _event_struct("insert", base_seq, cols)
+    upd_ev = _event_struct(
+        "update",
+        base_seq + 1,
+        cols,
+        text=F.concat(F.col("text"), F.lit(" spark window merge spark")),
+    )
+    del_ev = _event_struct("delete", base_seq + 2, cols)
+    empty = F.slice(F.array(insert_ev), 1, 0)
+    return _explode_events(
+        d,
+        [
+            F.array(insert_ev),
+            F.when(k.isin(1, 5), F.array(upd_ev)).otherwise(empty),
+            F.when(k == 7, F.array(del_ev)).otherwise(empty),
+        ],
+    )
+
+
+DOCUMENTS_STREAM_SQL = """
+dev AS (
+  SELECT 'insert' AS op, doc_id*4 AS seq, doc_id, text
+  FROM documents
+  UNION ALL
+  SELECT 'update', doc_id*4+1, doc_id, text || ' spark window merge spark'
+  FROM documents WHERE doc_id % 10 IN (1,5)
+  UNION ALL
+  SELECT 'delete', doc_id*4+2, doc_id, text
+  FROM documents WHERE doc_id % 10 = 7
+)
+"""

@@ -388,3 +388,80 @@ WHERE rk <= {CMS_TOPK}
 """
 
 ORACLES["sketch_countmin_topk"] = CMS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# BM25 over the INCREMENTALLY MAINTAINED index (streaming/text_index.py):
+# the corpus mutates through a CDC stream (updates append query terms,
+# deletes remove docs), the posting lists follow via the CDF — and the
+# indexed search must hash-equal a from-scratch BM25 over the final
+# corpus.  avgdl is sum_dl/n_docs from exact integers on both sides.
+# ---------------------------------------------------------------------------
+
+_LW = WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+
+from qin_cdc_spark.cdc.changestream import DOCUMENTS_STREAM_SQL  # noqa: E402
+
+TEXT_BM25_INDEXED_ORACLE = f"""
+WITH {DOCUMENTS_STREAM_SQL.strip().lstrip()},
+lastd AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM dev
+),
+corpus AS (SELECT doc_id, text FROM lastd WHERE rn = 1 AND op <> 'delete'),
+dl AS (SELECT doc_id, CAST(len({_LW}) AS BIGINT) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+tok AS (SELECT doc_id, unnest({_LW}) AS term FROM corpus),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({_Q_LIST}) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * {BM25_K1 + 1.0}
+               / (tf + {BM25_K1} * ({1.0 - BM25_B}
+                                    + {BM25_B} * CAST(dl.dl AS DOUBLE) / avgdl)),
+               6) AS ts
+  FROM tf JOIN df USING (term) CROSS JOIN stats JOIN dl ON tf.doc_id = dl.doc_id
+),
+per_doc AS (
+  SELECT doc_id, round(sum(ts), 6) AS bm25_r FROM scored GROUP BY 1
+)
+SELECT doc_id, bm25_r, rk FROM (
+  SELECT doc_id, bm25_r,
+         CAST(row_number() OVER (ORDER BY bm25_r DESC, doc_id ASC) AS INTEGER) AS rk
+  FROM per_doc)
+WHERE rk <= {BM25_TOPK}
+"""
+
+
+@_q("text_bm25_indexed", TEXT_BM25_INDEXED_ORACLE)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end maintained-index retrieval: the documents change
+    stream lands once, applies to a versioned target in two batches
+    (updates append the gate's query terms to some docs — postings AND
+    lengths change — and deletes remove others), the BM25 index
+    refreshes incrementally after each batch from the preimage CDF,
+    and the INDEXED search must hash-equal a from-scratch BM25 over
+    the final corpus (the oracle).  The search itself reads only the
+    buckets the 3 query terms hash into — driver-side md5 pruning, no
+    corpus scan anywhere in the maintained path."""
+    import tempfile
+
+    from qin_cdc_spark.cdc.changestream import documents_change_stream
+    from qin_cdc_spark.streaming.text_index import IncrementalBm25Index
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    base = tempfile.mkdtemp(prefix="bm25idx_gate_")
+    documents_change_stream(spark, sf_dir).write.parquet(base + "/stream")
+    ev = spark.read.parquet(base + "/stream")
+    s = ev.agg(F.max("seq")).collect()[0][0] // 2
+    tbl = VersionedBucketedTable(spark, base + "/t", ["doc_id"], n_buckets=8)
+    idx = IncrementalBm25Index(spark, base + "/idx")
+    tbl.merge(ev.filter(F.col("seq") <= s), batch_id=0)
+    idx.refresh(tbl)
+    tbl.merge(ev.filter(F.col("seq") > s), batch_id=1)
+    idx.refresh(tbl)
+    return idx.search(list(BM25_QUERY), BM25_TOPK)

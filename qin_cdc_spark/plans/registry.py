@@ -81,6 +81,7 @@ _HEAD = [
     "tokenize_bpe_counts",
     "cdc_rtbf_purge",  # round-5 addition: E2E purge vs LWW-minus-keys oracle
     "cdc_derived_distinct",  # round-5 addition: refcount-transition distinct MV
+    "text_bm25_indexed",  # round-5 addition: incrementally maintained BM25 index
 ]
 
 
