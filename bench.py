@@ -81,6 +81,13 @@ HEADLINE = [
     # refreshes) and integer-exact DSIR importance ranking
     "cdc_derived_join_mv",
     "curation_dsir_topk",
+    # round-5 additions: the remaining hard-MV family members (min/max
+    # tie-triggered rescan; refcount-transition distinct) and the
+    # incrementally maintained BM25 index, each end to end (versioned
+    # target merges + incremental refreshes + the consumer read)
+    "cdc_derived_extrema",
+    "cdc_derived_distinct",
+    "text_bm25_indexed",
 ]
 
 

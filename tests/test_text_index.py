@@ -211,3 +211,59 @@ def test_index_publish_is_crash_safe_and_purge_composes(spark, tmp_path):
     assert "secret" not in {t for _, t in view}
     assert idx.stats() == (1, 3)
     assert [r.doc_id for r in idx.search(["spark"], 5).collect()] == []
+
+
+def test_index_refreshes_inside_the_stream(spark, tmp_path):
+    """post_batch parity with the derived MVs: the index follows a
+    running CDC stream micro-batch by micro-batch and ends equal to a
+    from-scratch posting recompute of the final corpus."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    env_dir = str(tmp_path / "env")
+    typed1 = _changes(
+        spark,
+        [("insert", 1, 1, "spark merge window"),
+         ("insert", 2, 2, "window shuffle plan")],
+    )
+    typed2 = _changes(
+        spark,
+        [("update", 10, 1, "spark spark rewritten"),
+         ("delete", 11, 2, "window shuffle plan")],
+    )
+    for t in (typed1, typed2):
+        envelope_from_typed(
+            t.select("doc_id", "text", "op", "seq"), db="src", table="docs"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="docs",
+        schema=_parse_datatype_string("doc_id long, text string"),
+        keys=["doc_id"],
+        target_path=str(tmp_path / "tbl"),
+        versioned=True,
+    )
+    idx = IncrementalBm25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+
+    def post_batch(batch_id):
+        if route.target is not None and route.target.exists():
+            idx.refresh(route.target)
+
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=post_batch,
+    )
+    q.awaitTermination(300)
+    assert idx.applied_version() == route.target.current_version()
+    assert _postings_view(idx) == _postings_recompute(route.target)
+    assert idx.stats() == (1, 3)
