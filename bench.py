@@ -245,6 +245,10 @@ BNLJ_ALLOWED = {
     "retrieval_rrf_fusion",
     # the FK check's (1-row total) × (1-row orphan count) scalar combine
     "dq_constraint_report",
+    # the accuracy contract's (1-row merged-sketch estimate) × (1-row
+    # exact count) scalar combine — both sides aggregates-without-
+    # grouping, exactly one row each by construction
+    "sketch_hll_mergeable",
     # S² pair enumeration over the SOURCE dimension (tiny by definition;
     # the sketches themselves are S·k rows) — same bound as
     # corpus_overlap_matrix's pair agg, expressed as a "<" theta join

@@ -454,9 +454,13 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.text_index import IncrementalBm25Index
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
+    from qin_cdc_spark.cdc.queries import landed_stream
+
     base = tempfile.mkdtemp(prefix="bm25idx_gate_")
-    documents_change_stream(spark, sf_dir).write.parquet(base + "/stream")
-    ev = spark.read.parquet(base + "/stream")
+    ev = landed_stream(
+        spark, sf_dir, "documents",
+        lambda: documents_change_stream(spark, sf_dir),
+    )
     s = ev.agg(F.max("seq")).collect()[0][0] // 2
     tbl = VersionedBucketedTable(spark, base + "/t", ["doc_id"], n_buckets=8)
     idx = IncrementalBm25Index(spark, base + "/idx")
