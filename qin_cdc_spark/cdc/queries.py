@@ -928,6 +928,85 @@ QUERIES["cdc_rtbf_purge"] = cdc_rtbf_purge
 ORACLES["cdc_rtbf_purge"] = CDC_RTBF_PURGE_ORACLE
 
 
+def cdc_derived_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile materialized-view maintenance — the retractable answer
+    to percentile tracking under mutation: a per-status binned price
+    histogram ($100 bins over cents) kept current by
+    ``DerivedQuantileTable`` across two apply batches, published as
+    p50/p90/p99 upper bounds.  Unlike min/max (bounded rescan) or
+    distinct (refcounts), bin counts subtract — every delete/update
+    retraction is O(1) and an incremental refresh NEVER plans a source
+    pass (pytest-asserted).  The oracle recomputes bins + the integer-
+    threshold cumulative walk from scratch on the full-stream LWW
+    materialization; the hash check proves histogram maintenance ==
+    recompute including the quantile arithmetic itself."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedQuantileTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn(
+            "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+        ),
+        land_key="orders_price_c",
+    )
+    base = tempfile.mkdtemp(prefix="quantile_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
+    mv = DerivedQuantileTable(
+        spark, base + "/qmv", group_cols=["o_orderstatus"],
+        value_col="price_c", bin_width=10_000,
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    mv.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    mv.refresh(tbl)
+    return mv.quantiles(
+        [("p50_cents_ub", 50, 100), ("p90_cents_ub", 90, 100),
+         ("p99_cents_ub", 99, 100)]
+    ).select(
+        "o_orderstatus", "n_rows", "p50_cents_ub", "p90_cents_ub",
+        "p99_cents_ub",
+    )
+
+
+CDC_DERIVED_QUANTILE_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) // 10000 AS bin
+  FROM last WHERE rn = 1 AND op <> 'delete'
+),
+bins AS (
+  SELECT o_orderstatus, bin, count(*) AS cnt FROM live GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, bin, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderstatus) AS total
+  FROM bins
+)
+SELECT o_orderstatus,
+       CAST(max(total) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum * 100 >= total * 50
+                THEN (bin + 1) * 10000 END) AS BIGINT) AS p50_cents_ub,
+       CAST(min(CASE WHEN cum * 100 >= total * 90
+                THEN (bin + 1) * 10000 END) AS BIGINT) AS p90_cents_ub,
+       CAST(min(CASE WHEN cum * 100 >= total * 99
+                THEN (bin + 1) * 10000 END) AS BIGINT) AS p99_cents_ub
+FROM cum GROUP BY 1
+"""
+
+QUERIES["cdc_derived_quantile"] = cdc_derived_quantile
+ORACLES["cdc_derived_quantile"] = CDC_DERIVED_QUANTILE_ORACLE
+
+
 def cdc_derived_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) materialized-view maintenance — the second hard
     MV case after min/max (a distinct count is not retractable from the

@@ -82,6 +82,7 @@ _HEAD = [
     "cdc_rtbf_purge",  # round-5 addition: E2E purge vs LWW-minus-keys oracle
     "cdc_derived_distinct",  # round-5 addition: refcount-transition distinct MV
     "text_bm25_indexed",  # round-5 addition: incrementally maintained BM25 index
+    "cdc_derived_quantile",  # round-5 addition: retractable binned-quantile MV
 ]
 
 

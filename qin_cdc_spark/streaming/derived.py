@@ -596,6 +596,187 @@ class DerivedExtremaTable:
         return v1
 
 
+QUANTILE_META_NAME = "_derived_quantile_meta.json"
+
+
+class DerivedQuantileTable:
+    """Incrementally-maintained per-group binned quantile histogram —
+    the retractable answer to percentile maintenance.  Exact order
+    statistics are not retractable (like min/max they need a rescan
+    when the current answer is removed), but a FIXED-BIN histogram is:
+    its state is per-(group, bin) counts, and counts subtract.  Every
+    delete/update retraction folds in O(1) with NO rescan path at all —
+    the trade is the answer's precision (quantile upper bounds with
+    error ≤ ``bin_width``), the same trade ``sketch_quantile_bins``
+    makes for one-shot corpus stats (corpus_ops.py), here kept current
+    under mutation.
+
+    Bins are exact integer floor-division of an integer value column
+    (``(v - pmod(v, w)) div w`` — sign-correct floor, bit-portable), so
+    both the state and the published quantile walk are hash-checkable
+    against a from-scratch SQL recompute — no float anywhere, the
+    repo-wide cross-engine discipline.  NULL values never count.
+
+    Per-refresh cost: O(|delta| + touched (group, bin) rows); state is
+    |groups|·|occupied bins| rows (bins are sparse — only occupied ones
+    exist).  Publish is the shared snapshot-pointer pattern: immutable
+    ``qb-*`` dirs + one atomic meta replace recording the applied
+    source version; a crashed refresh replays the same CDF range and
+    converges.
+
+    Completes the retractable-MV family: sum/count
+    (``DerivedAggTable``), min/max (``DerivedExtremaTable``), distinct
+    counts (``DerivedDistinctTable``), quantiles here — the reference
+    (Go CDC plumbing) leaves all of these to the downstream warehouse.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        group_cols: list[str],
+        value_col: str,
+        bin_width: int,
+    ):
+        if bin_width <= 0:
+            raise ValueError("bin_width must be positive")
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.bin_width = int(bin_width)
+
+    # -- meta / io (snapshot-pointer pattern) -------------------------------
+
+    def _meta(self) -> dict:
+        p = os.path.join(self.path, QUANTILE_META_NAME)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"applied_version": 0, "data": None}
+
+    def _publish(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".{QUANTILE_META_NAME}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, QUANTILE_META_NAME))
+        for d in os.listdir(self.path):
+            if d.startswith("qb-") and d != meta["data"]:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def applied_version(self) -> int:
+        return self._meta()["applied_version"]
+
+    def read(self) -> DataFrame | None:
+        """The histogram state: (group_cols…, bin, cnt)."""
+        meta = self._meta()
+        if meta["data"] is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, meta["data"]))
+
+    def _bin(self, col) -> F.Column:
+        # exact floor division for any sign: the numerator is an exact
+        # multiple of the width, so truncating `div` equals floor
+        c = F.col(col).cast("long")
+        w = F.lit(self.bin_width).cast("long")
+        return ((c - F.pmod(c, w)) / w).cast("long")
+
+    # -- refresh -----------------------------------------------------------
+
+    def _delta(self, cdf: DataFrame) -> DataFrame:
+        """Signed (group, bin, dcnt) from a preimage CDF; NULL values
+        drop out on both sides."""
+        add = (
+            cdf.filter(F.col("_change").isin("insert", "update"))
+            .filter(F.col(self.value_col).isNotNull())
+            .select(
+                *self.group_cols,
+                self._bin(self.value_col).alias("bin"),
+                F.lit(1).alias("d"),
+            )
+        )
+        retract = (
+            cdf.filter(F.col("_change").isin("update", "delete"))
+            .filter(F.col(f"_pre_{self.value_col}").isNotNull())
+            .select(
+                *[F.col(f"_pre_{g}").alias(g) for g in self.group_cols],
+                self._bin(f"_pre_{self.value_col}").alias("bin"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        return (
+            add.unionByName(retract)
+            .groupBy(*self.group_cols, "bin")
+            .agg(F.sum("d").cast("long").alias("dcnt"))
+            .filter(F.col("dcnt") != 0)
+        )
+
+    def refresh(self, source: VersionedBucketedTable) -> int:
+        meta = self._meta()
+        v0, v1 = meta["applied_version"], source.current_version()
+        if v1 <= v0:
+            return v0
+        if v0 == 0 or meta["data"] is None:
+            out = (
+                source.read_at(v1)
+                .filter(F.col(self.value_col).isNotNull())
+                .groupBy(*self.group_cols, self._bin(self.value_col).alias("bin"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+        else:
+            delta = self._delta(
+                source.changes_between(v0, v1, include_preimage=True)
+            )
+            cur = self.read().select(
+                *self.group_cols, "bin", F.col("cnt").alias("dcnt")
+            )
+            out = (
+                cur.unionByName(delta)
+                .groupBy(*self.group_cols, "bin")
+                .agg(F.sum("dcnt").cast("long").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+            )
+        dname = f"qb-{uuid.uuid4().hex[:12]}"
+        out.write.parquet(os.path.join(self.path, dname))
+        self._publish({"applied_version": v1, "data": dname})
+        return v1
+
+    # -- quantile walk -------------------------------------------------------
+
+    def quantiles(self, ps: list[tuple[str, int, int]]) -> DataFrame | None:
+        """Per-group quantile UPPER BOUNDS from the histogram state.
+        ``ps`` is [(out_col, p_num, p_den), …]; each answer is the upper
+        edge of the smallest bin whose cumulative count reaches
+        ``ceil(p·total)`` — error ≤ bin_width vs the exact order
+        statistic, integer-threshold comparison so the walk itself is
+        bit-portable.  Runs over |groups|·|occupied bins| state rows,
+        never the source table."""
+        from pyspark.sql import Window
+
+        state = self.read()
+        if state is None:
+            return None
+        bygrp = Window.partitionBy(*self.group_cols).orderBy("bin")
+        cum = state.withColumn("cum", F.sum("cnt").over(bygrp)).withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy(*self.group_cols))
+        )
+
+        def est(p_num: int, p_den: int) -> F.Column:
+            reach = F.col("cum") * p_den >= F.col("total") * p_num
+            return F.min(
+                F.when(reach, (F.col("bin") + 1) * self.bin_width)
+            ).cast("long")
+
+        return cum.groupBy(*self.group_cols).agg(
+            F.max("total").cast("long").alias("n_rows"),
+            *[est(n, d).alias(name) for name, n, d in ps],
+        )
+
+
 DISTINCT_META_NAME = "_derived_distinct_meta.json"
 
 
@@ -849,3 +1030,332 @@ class DerivedDistinctTable:
                 new_buckets.pop(b, None)  # bucket emptied
         shutil.rmtree(stage, ignore_errors=True)
         return new_buckets
+
+
+TOPK_META_NAME = "_derived_topk_meta.json"
+
+
+class DerivedTopKTable:
+    """Incrementally-maintained per-group TOP-K rows (value desc, key
+    asc) — the serving-layer MV behind leaderboards, per-query retrieval
+    caches, and per-source "best documents" lists.  Top-k shares
+    min/max's retraction problem (remove the champion and the runner-up
+    is unknown) but the standard fix is cheaper than a per-retraction
+    rescan: keep a SLACK BUFFER of the top ``buffer_size`` ≥ k rows per
+    group, absorb retractions by deleting from the buffer, and rescan a
+    group only when its buffer underflows below k while rows remain —
+    churn up to the slack costs nothing.
+
+    Exactness argument (what the tests assert): the stored buffer is
+    always an exact rank-prefix of its group.  Retracting a buffered
+    key shortens the prefix; a retracted key NOT in the buffer ranked
+    strictly below the buffer's floor (the total order (value desc,
+    key asc) is strict), so the prefix is untouched.  Additions are
+    fully known; merging them keeps exactness only ABOVE the surviving
+    old floor τ — an addition below τ may rank below an unseen
+    non-buffer row, so (unless the buffer held the WHOLE group, i.e.
+    size == cnt) candidates below τ are discarded rather than trusted.
+    The group rescans iff the surviving prefix is shorter than
+    min(k, cnt): read exactly those groups AS OF the CDF's end version
+    (Bloom-pruned ``read_where`` or broadcast semi-join — the
+    ``DerivedExtremaTable`` probe shape) and rebuild their top-buffer.
+    A no-underflow refresh plans NO source pass (driver-side emptiness
+    check, pytest-asserted).
+
+    Per-refresh cost: O(|delta| + |groups|·buffer + Σ size of
+    underflowed groups).  Per-group live counts ride the same state
+    (cnt is retractable), so "buffer == whole group" needs no extra
+    flag.  NULL values never rank.  Publish is the shared
+    snapshot-pointer pattern; a crashed refresh replays the same CDF
+    range and converges.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        group_cols: list[str],
+        key_cols: list[str],
+        value_col: str,
+        k: int,
+        buffer_size: int | None = None,
+        probe_limit: int = 10_000,
+    ):
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+        self.k = int(k)
+        self.buffer_size = int(buffer_size or 2 * k)
+        if self.buffer_size < self.k:
+            raise ValueError("buffer_size must be >= k")
+        self.probe_limit = probe_limit
+
+    # -- meta / io (snapshot-pointer pattern) -------------------------------
+
+    def _meta(self) -> dict:
+        p = os.path.join(self.path, TOPK_META_NAME)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"applied_version": 0, "data": None}
+
+    def _publish(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".{TOPK_META_NAME}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, TOPK_META_NAME))
+        for d in os.listdir(self.path):
+            if d.startswith("tk-") and d != meta["data"]:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def applied_version(self) -> int:
+        return self._meta()["applied_version"]
+
+    def _state(self) -> DataFrame | None:
+        """Buffer rows: (group…, key…, value, cnt) — ``cnt`` is the
+        group's live-row count, replicated across its buffer rows."""
+        meta = self._meta()
+        if meta["data"] is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, meta["data"]))
+
+    def read(self) -> DataFrame | None:
+        """The published view: exactly the top-min(k, cnt) rows per
+        group with their 1-based rank — a |groups|·buffer-row window,
+        never a source pass."""
+        from pyspark.sql import Window
+
+        st = self._state()
+        if st is None:
+            return None
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col(self.value_col).desc(), *[F.asc(c) for c in self.key_cols]
+        )
+        return (
+            st.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select(*self.group_cols, "rank", *self.key_cols, self.value_col)
+        )
+
+    # -- ordering helpers ----------------------------------------------------
+
+    def _order_struct(self, value_expr, key_exprs) -> F.Column:
+        """One struct whose natural ascending order IS the rank order
+        (value desc via negation⁻¹ trick is wrong for longs at the
+        boundary — use descending sort fields instead where sorting;
+        this struct is only used for floor/τ comparisons where a
+        2-field lexicographic compare is done explicitly)."""
+        return F.struct(value_expr.alias("v"), *key_exprs)
+
+    def _ranks_above(self, lv, lks, rv, rks) -> F.Column:
+        """(lv, lks) ranks strictly above (rv, rks) in (value desc,
+        keys asc)."""
+        cond = lv > rv
+        eq = lv == rv
+        for lk, rk in zip(lks, rks):
+            cond = cond | (eq & (lk < rk))
+            eq = eq & (lk == rk)
+        return cond
+
+    def _full_topb(self, rows: DataFrame) -> DataFrame:
+        """Exact (group…, key…, value, cnt) buffer from raw rows."""
+        from pyspark.sql import Window
+
+        base = rows.filter(F.col(self.value_col).isNotNull()).select(
+            *self.group_cols, *self.key_cols, self.value_col
+        )
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col(self.value_col).desc(), *[F.asc(c) for c in self.key_cols]
+        )
+        cw = Window.partitionBy(*self.group_cols)
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .withColumn("cnt", F.count(F.lit(1)).over(cw))
+            .filter(F.col("_rn") <= self.buffer_size)
+            .drop("_rn")
+        )
+
+    def _rescan_rows(
+        self, source: VersionedBucketedTable, groups: DataFrame, version: int
+    ):
+        if len(self.group_cols) == 1 and self.group_cols[0] in source.bloom_cols:
+            g = self.group_cols[0]
+            vals = [r[0] for r in groups.limit(self.probe_limit + 1).collect()]
+            if len(vals) <= self.probe_limit:
+                try:
+                    return source.read_where(g, vals, version=version)
+                except TypeError:
+                    pass  # non-int/str group key: semi-join fallback
+        return source.read_at(version).join(
+            F.broadcast(groups), self.group_cols, "left_semi"
+        )
+
+    # -- refresh -----------------------------------------------------------
+
+    def refresh(self, source: VersionedBucketedTable) -> int:
+        from pyspark.sql import Window
+
+        meta = self._meta()
+        v0, v1 = meta["applied_version"], source.current_version()
+        if v1 <= v0:
+            return v0
+        if v0 == 0 or meta["data"] is None:
+            out = self._full_topb(source.read_at(v1))
+            dname = f"tk-{uuid.uuid4().hex[:12]}"
+            out.write.parquet(os.path.join(self.path, dname))
+            self._publish({"applied_version": v1, "data": dname})
+            return v1
+
+        cdf = source.changes_between(v0, v1, include_preimage=True)
+        gk = [*self.group_cols, *self.key_cols]
+        # NULL-valued rows never rank: they are invisible to the buffer
+        # AND to cnt (cnt counts RANKED rows so that buffer==cnt really
+        # means "the buffer holds the whole ranked group").
+        adds = (
+            cdf.filter(F.col("_change").isin("insert", "update"))
+            .filter(F.col(self.value_col).isNotNull())
+            .select(*gk, self.value_col)
+        )
+        rets = (
+            cdf.filter(F.col("_change").isin("update", "delete"))
+            .filter(F.col(f"_pre_{self.value_col}").isNotNull())
+            .select(
+                *[F.col(f"_pre_{g}").alias(g) for g in self.group_cols],
+                *[F.col(f"_pre_{c}").alias(c) for c in self.key_cols],
+            )
+        )
+        dcnt = (
+            adds.select(*self.group_cols, F.lit(1).alias("d"))
+            .unionByName(rets.select(*self.group_cols, F.lit(-1).alias("d")))
+            .groupBy(*self.group_cols)
+            .agg(F.sum("d").cast("long").alias("dcnt"))
+        )
+
+        st = self._state()
+        old_cnt = st.groupBy(*self.group_cols).agg(
+            F.max("cnt").alias("cnt0"), F.count(F.lit(1)).alias("m0")
+        )
+        cnt_new = (
+            old_cnt.select(*self.group_cols, F.col("cnt0").alias("dcnt"))
+            .unionByName(dcnt)
+            .groupBy(*self.group_cols)
+            .agg(F.sum("dcnt").cast("long").alias("cnt_new"))
+            .filter(F.col("cnt_new") > 0)
+        )
+
+        # surviving prefix P: buffer minus retracted (group, key)s
+        p_rows = st.select(*gk, self.value_col).join(rets, gk, "left_anti")
+        # per-group floor τ and coverage: full ⟺ old buffer held the
+        # whole group (m0 == cnt0) — then τ is irrelevant
+        floor = p_rows.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias("p"),
+            F.min(
+                F.struct(
+                    (-F.col(self.value_col)).alias("nv"),
+                    *[F.col(c).alias(f"k_{c}") for c in self.key_cols],
+                )
+            ).alias("tau"),
+        )
+        info = (
+            cnt_new.join(
+                old_cnt.select(
+                    *self.group_cols, (F.col("m0") >= F.col("cnt0")).alias("full0")
+                ),
+                self.group_cols,
+                "left",
+            )
+            .join(floor, self.group_cols, "left")
+            .select(
+                *self.group_cols,
+                "cnt_new",
+                # a group ABSENT from the old state had no ranked rows —
+                # coverage is trivially full (its candidates are exactly
+                # its additions), so a group born inside this CDF range
+                # builds exactly and never rescans
+                F.coalesce("full0", F.lit(True)).alias("full0"),
+                F.coalesce("p", F.lit(0)).alias("p"),
+                "tau",
+            )
+        )
+
+        cand = p_rows.unionByName(adds)
+        c = cand.join(info, self.group_cols, "inner")
+        # keep candidates exact: everything when coverage was full,
+        # otherwise only rows at-or-above the surviving floor τ
+        above_tau = self._ranks_above(
+            F.col(self.value_col),
+            [F.col(c_) for c_ in self.key_cols],
+            -F.col("tau.nv"),
+            [F.col(f"tau.k_{c_}") for c_ in self.key_cols],
+        ) | (
+            (F.col(self.value_col) == -F.col("tau.nv"))
+            & F.concat_ws(
+                "\x01", *[F.col(c_).cast("string") for c_ in self.key_cols]
+            ).eqNullSafe(
+                F.concat_ws(
+                    "\x01",
+                    *[F.col(f"tau.k_{c_}").cast("string") for c_ in self.key_cols],
+                )
+            )
+        )
+        exact = c.filter(
+            F.col("full0") | ((F.col("p") > 0) & above_tau)
+        )
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col(self.value_col).desc(), *[F.asc(c_) for c_ in self.key_cols]
+        )
+        kept = (
+            exact.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.buffer_size)
+            .drop("_rn")
+        )
+        m_new = kept.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias("m_new")
+        )
+        need = (
+            info.join(m_new, self.group_cols, "left")
+            .select(
+                *self.group_cols,
+                "cnt_new",
+                F.coalesce("m_new", F.lit(0)).alias("m_new"),
+            )
+            .withColumn(
+                "_rescan",
+                F.col("m_new") < F.least(F.lit(self.k), F.col("cnt_new")),
+            )
+        ).persist()  # split two ways below + driver emptiness check
+        try:
+            rescan_groups = need.filter("_rescan").select(*self.group_cols)
+            if rescan_groups.limit(1).count() == 0:
+                rescanned = self._full_topb(source.read_at(v1).limit(0))
+            else:
+                rescanned = self._full_topb(
+                    self._rescan_rows(source, rescan_groups, v1)
+                )
+            ok = (
+                kept.select(*gk, self.value_col)
+                .join(
+                    need.filter(~F.col("_rescan")).select(
+                        *self.group_cols, F.col("cnt_new").alias("cnt")
+                    ),
+                    self.group_cols,
+                    "inner",
+                )
+            )
+            out = ok.unionByName(
+                rescanned.select(*gk, self.value_col, "cnt")
+            )
+            dname = f"tk-{uuid.uuid4().hex[:12]}"
+            out.write.parquet(os.path.join(self.path, dname))
+            self._publish({"applied_version": v1, "data": dname})
+            return v1
+        finally:
+            need.unpersist()

@@ -941,3 +941,197 @@ def test_distinct_mv_refreshes_inside_the_stream(spark, tmp_path):
     q.awaitTermination(300)
     assert mv.applied_version() == route.target.current_version()
     assert _dd_view(mv) == _dd_recompute(route.target) == {"g": 1, "h": 1}
+
+
+# -- DerivedQuantileTable ------------------------------------------------------
+
+
+def _qt_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq long, id long, grp string, val long"
+    )
+
+
+def _qt_state(mv):
+    out = mv.read()
+    return {} if out is None else {
+        (r.grp, r.bin): r.cnt for r in out.collect()
+    }
+
+
+def _qt_recompute_bins(tbl, width):
+    rows = tbl.read().filter(F.col("val").isNotNull()).collect()
+    bins: dict[tuple[str, int], int] = {}
+    for r in rows:
+        k = (r.grp, r.val // width)  # python // is floor division
+        bins[k] = bins.get(k, 0) + 1
+    return bins
+
+
+def _mk_qt(spark, tmp_path, width=10):
+    from qin_cdc_spark.streaming.derived import DerivedQuantileTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "src"), ["id"], n_buckets=4)
+    mv = DerivedQuantileTable(
+        spark, str(tmp_path / "qmv"), group_cols=["grp"], value_col="val",
+        bin_width=width,
+    )
+    return tbl, mv
+
+
+def test_quantile_tracks_source_through_mutations(spark, tmp_path):
+    tbl, mv = _mk_qt(spark, tmp_path)
+    tbl.merge(
+        _qt_changes(
+            spark,
+            [("insert", i, i, "g%d" % (i % 2), i * 7) for i in range(1, 13)],
+        )
+    )
+    assert mv.refresh(tbl) == 1
+    assert _qt_state(mv) == _qt_recompute_bins(tbl, 10)
+
+    # group move, value rewrite, delete, insert, a null arrival — one batch
+    tbl.merge(
+        _qt_changes(
+            spark,
+            [
+                ("update", 100, 1, "g0", 7),     # g1 → g0 move
+                ("update", 101, 2, "g0", 999),   # value rewrite (bin move)
+                ("delete", 102, 3, "g1", 21),
+                ("insert", 103, 20, "g1", 55),
+                ("insert", 104, 21, "g0", None),  # nulls never count
+            ],
+        )
+    )
+    # a second batch before refreshing: net CDF across two versions
+    tbl.merge(_qt_changes(spark, [("update", 200, 21, "g0", 60)]))
+    assert mv.refresh(tbl) == 3
+    assert _qt_state(mv) == _qt_recompute_bins(tbl, 10)
+
+    before = _qt_state(mv)
+    assert mv.refresh(tbl) == 3  # idempotent no-op
+    assert _qt_state(mv) == before
+
+
+def test_quantile_retraction_never_reads_source(spark, tmp_path):
+    """The design point vs min/max: retraction folds into bin counts —
+    an incremental refresh NEVER plans a pass over the source table
+    (extrema's bounded rescan does not exist here)."""
+    tbl, mv = _mk_qt(spark, tmp_path)
+    tbl.merge(
+        _qt_changes(
+            spark, [("insert", i, i, "g", i * 10) for i in range(1, 9)]
+        )
+    )
+    mv.refresh(tbl)
+    # delete the max and min rows, rewrite another — the extrema-hard case
+    tbl.merge(
+        _qt_changes(
+            spark,
+            [("delete", 10, 8, "g", 80), ("delete", 11, 1, "g", 10),
+             ("update", 12, 4, "g", 5)],
+        )
+    )
+
+    def boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("incremental quantile refresh read the source")
+
+    orig_read_at, orig_read = tbl.read_at, tbl.read
+    tbl.read_at = boom
+    tbl.read = boom
+    try:
+        mv.refresh(tbl)
+    finally:
+        tbl.read_at, tbl.read = orig_read_at, orig_read
+    assert _qt_state(mv) == _qt_recompute_bins(tbl, 10)
+
+
+def test_quantile_walk_bounds_exact_order_statistic(spark, tmp_path):
+    """quantiles() returns the upper edge of the bin holding the exact
+    p-th order statistic: exact ∈ [q_ub − width, q_ub)."""
+    tbl, mv = _mk_qt(spark, tmp_path, width=10)
+    vals = [3, 11, 12, 25, 37, 41, 58, 99, 100, 104]
+    tbl.merge(
+        _qt_changes(
+            spark,
+            [("insert", i + 1, i + 1, "g", v) for i, v in enumerate(vals)],
+        )
+    )
+    mv.refresh(tbl)
+    out = mv.quantiles([("p50", 50, 100), ("p90", 90, 100)]).collect()[0]
+    assert out.n_rows == len(vals)
+    sv = sorted(vals)
+
+    def exact(p_num, p_den):
+        rank = -(-len(sv) * p_num // p_den)  # ceil
+        return sv[rank - 1]
+
+    for name, pn, pd in [("p50", 50, 100), ("p90", 90, 100)]:
+        ub = out[name]
+        ex = exact(pn, pd)
+        assert ub - 10 <= ex < ub
+
+
+def test_quantile_negative_values_floor_binning(spark, tmp_path):
+    """Bins are sign-correct floor division (not truncation): −5 with
+    width 10 lands in bin −1, not bin 0."""
+    tbl, mv = _mk_qt(spark, tmp_path, width=10)
+    tbl.merge(
+        _qt_changes(
+            spark,
+            [("insert", 1, 1, "g", -5), ("insert", 2, 2, "g", -10),
+             ("insert", 3, 3, "g", 5)],
+        )
+    )
+    mv.refresh(tbl)
+    assert _qt_state(mv) == {("g", -1): 2, ("g", 0): 1}
+    assert _qt_state(mv) == _qt_recompute_bins(tbl, 10)
+
+
+def test_quantile_random_mutations_match_full_recompute(spark, tmp_path):
+    import random
+
+    rng = random.Random(0x9A17)
+    tbl, mv = _mk_qt(spark, tmp_path, width=25)
+    groups = ["a", "b"]
+    live: dict[int, tuple[str, int | None]] = {}
+    seq = 0
+    next_id = 0
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(3, 10)):
+            seq += 1
+            kind = rng.random()
+            if kind < 0.45 or not live:
+                next_id += 1
+                g = rng.choice(groups)
+                v = None if rng.random() < 0.1 else rng.randint(-100, 400)
+                live[next_id] = (g, v)
+                batch.append(("insert", seq, next_id, g, v))
+            elif kind < 0.75:
+                i = rng.choice(list(live))
+                g = rng.choice(groups)
+                v = None if rng.random() < 0.1 else rng.randint(-100, 400)
+                live[i] = (g, v)
+                batch.append(("update", seq, i, g, v))
+            else:
+                i = rng.choice(list(live))
+                g, v = live.pop(i)
+                batch.append(("delete", seq, i, g, v))
+        tbl.merge(_qt_changes(spark, batch))
+        mv.refresh(tbl)
+        assert _qt_state(mv) == _qt_recompute_bins(tbl, 25)
+
+
+def test_quantile_publish_is_crash_safe(spark, tmp_path):
+    import os
+
+    tbl, mv = _mk_qt(spark, tmp_path)
+    tbl.merge(_qt_changes(spark, [("insert", 1, 1, "g", 5)]))
+    mv.refresh(tbl)
+    orphan = os.path.join(mv.path, "qb-deadbeef0000")
+    os.makedirs(orphan)
+    tbl.merge(_qt_changes(spark, [("insert", 2, 2, "g", 6)]))
+    mv.refresh(tbl)
+    assert not os.path.exists(orphan)  # publish GC
+    assert _qt_state(mv) == _qt_recompute_bins(tbl, 10)
