@@ -1007,6 +1007,73 @@ QUERIES["cdc_derived_quantile"] = cdc_derived_quantile
 ORACLES["cdc_derived_quantile"] = CDC_DERIVED_QUANTILE_ORACLE
 
 
+def cdc_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k materialized-view maintenance — the serving-layer MV
+    (leaderboards, per-source best-documents lists): per-status top-3
+    orders by price kept current by ``DerivedTopKTable`` across two
+    apply batches.  Retraction shares min/max's hardness (delete the
+    champion and the runner-up is unknown) but the slack buffer absorbs
+    churn: only a buffer underflowing below k triggers the bounded
+    per-group rescan (pytest-asserted: within-slack churn plans no
+    source pass).  Ties break by key ascending — a deterministic total
+    order, so the oracle's from-scratch window recompute over the
+    full-stream LWW materialization hash-matches rank for rank."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedTopKTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn(
+            "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+        ),
+        land_key="orders_price_c",
+    )
+    base = tempfile.mkdtemp(prefix="topk_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
+    mv = DerivedTopKTable(
+        spark, base + "/tkmv", group_cols=["o_orderstatus"],
+        key_cols=["o_orderkey"], value_col="price_c", k=3, buffer_size=6,
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    mv.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    mv.refresh(tbl)
+    return mv.read().select(
+        "o_orderstatus",
+        F.col("rank").cast("long").alias("rank"),
+        "o_orderkey",
+        F.col("price_c").alias("price_cents"),
+    )
+
+
+CDC_DERIVED_TOPK_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM last WHERE rn = 1 AND op <> 'delete'
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderkey, price_cents,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY price_cents DESC, o_orderkey ASC) AS rank
+  FROM live
+)
+SELECT o_orderstatus, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES["cdc_derived_topk"] = cdc_derived_topk
+ORACLES["cdc_derived_topk"] = CDC_DERIVED_TOPK_ORACLE
+
+
 def cdc_derived_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) materialized-view maintenance — the second hard
     MV case after min/max (a distinct count is not retractable from the

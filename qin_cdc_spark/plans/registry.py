@@ -30,6 +30,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rows-only by declared design (dedup_semantic_clustered — k-means
 # cluster scoping, no SQL recompute).  cdc_rtbf_purge (new this round) takes a spare slot;
 # the remaining spares fall through to known-green registry order.
+#
+# Never-driver-checked ledger for the NEXT rotation (round 6): the 50-entry
+# prefix is full, so round-5 additions past slot 50 wait one round —
+# currently: cdc_derived_topk (oracle-backed, passes the local gate).
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge

@@ -1224,12 +1224,20 @@ class DerivedTopKTable:
             .filter(F.col(self.value_col).isNotNull())
             .select(*gk, self.value_col)
         )
+        # the CDF prefixes preimage VALUE columns with _pre_; the source
+        # PK is the join identity and rides unprefixed — cover both so
+        # key_cols may name either
+        def _pre(c: str) -> F.Column:
+            return (
+                F.col(f"_pre_{c}") if f"_pre_{c}" in cdf.columns else F.col(c)
+            ).alias(c)
+
         rets = (
             cdf.filter(F.col("_change").isin("update", "delete"))
             .filter(F.col(f"_pre_{self.value_col}").isNotNull())
             .select(
-                *[F.col(f"_pre_{g}").alias(g) for g in self.group_cols],
-                *[F.col(f"_pre_{c}").alias(c) for c in self.key_cols],
+                *[_pre(g) for g in self.group_cols],
+                *[_pre(c) for c in self.key_cols],
             )
         )
         dcnt = (
@@ -1255,9 +1263,13 @@ class DerivedTopKTable:
         p_rows = st.select(*gk, self.value_col).join(rets, gk, "left_anti")
         # per-group floor τ and coverage: full ⟺ old buffer held the
         # whole group (m0 == cnt0) — then τ is irrelevant
+        # τ = the buffer FLOOR (worst surviving rank): the struct
+        # (−value, keys…) sorts ascending in rank order, so the floor is
+        # its MAXIMUM — min would pick the champion and spuriously
+        # distrust every other surviving row
         floor = p_rows.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("p"),
-            F.min(
+            F.max(
                 F.struct(
                     (-F.col(self.value_col)).alias("nv"),
                     *[F.col(c).alias(f"k_{c}") for c in self.key_cols],
@@ -1335,11 +1347,17 @@ class DerivedTopKTable:
         try:
             rescan_groups = need.filter("_rescan").select(*self.group_cols)
             if rescan_groups.limit(1).count() == 0:
-                rescanned = self._full_topb(source.read_at(v1).limit(0))
+                # empty frame from the buffer's own schema — the common
+                # no-underflow refresh must not touch the source at all
+                rescanned = (
+                    kept.limit(0)
+                    .select(*gk, self.value_col)
+                    .withColumn("cnt", F.lit(0).cast("long"))
+                )
             else:
                 rescanned = self._full_topb(
                     self._rescan_rows(source, rescan_groups, v1)
-                )
+                ).select(*gk, self.value_col, "cnt")
             ok = (
                 kept.select(*gk, self.value_col)
                 .join(
@@ -1350,9 +1368,7 @@ class DerivedTopKTable:
                     "inner",
                 )
             )
-            out = ok.unionByName(
-                rescanned.select(*gk, self.value_col, "cnt")
-            )
+            out = ok.unionByName(rescanned)
             dname = f"tk-{uuid.uuid4().hex[:12]}"
             out.write.parquet(os.path.join(self.path, dname))
             self._publish({"applied_version": v1, "data": dname})

@@ -1135,3 +1135,331 @@ def test_quantile_publish_is_crash_safe(spark, tmp_path):
     mv.refresh(tbl)
     assert not os.path.exists(orphan)  # publish GC
     assert _qt_state(mv) == _qt_recompute_bins(tbl, 10)
+
+
+# -- DerivedTopKTable ----------------------------------------------------------
+
+
+def _tk_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq long, id long, grp string, val long"
+    )
+
+
+def _tk_recompute(tbl, k):
+    rows = [
+        (r.grp, r.id, r.val)
+        for r in tbl.read().collect()
+        if r.val is not None
+    ]
+    out = {}
+    bygrp: dict[str, list] = {}
+    for g, i, v in rows:
+        bygrp.setdefault(g, []).append((-v, i))
+    for g, items in bygrp.items():
+        for rank, (nv, i) in enumerate(sorted(items)[:k], start=1):
+            out[(g, rank)] = (i, -nv)
+    return out
+
+
+def _tk_view(mv):
+    out = mv.read()
+    return {} if out is None else {
+        (r.grp, r.rank): (r.id, r.val) for r in out.collect()
+    }
+
+
+def _mk_tk(spark, tmp_path, k=2, buffer_size=4):
+    from qin_cdc_spark.streaming.derived import DerivedTopKTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "src"), ["id"], n_buckets=4)
+    mv = DerivedTopKTable(
+        spark, str(tmp_path / "tkmv"), group_cols=["grp"], key_cols=["id"],
+        value_col="val", k=k, buffer_size=buffer_size,
+    )
+    return tbl, mv
+
+
+def _no_source_reads(tbl):
+    """Context: any pass over the source table fails the test."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        def boom(*a, **k):  # pragma: no cover - called means failure
+            raise AssertionError("refresh planned a source pass")
+
+        orig = tbl.read_at, tbl.read, tbl.read_where
+        tbl.read_at = boom
+        tbl.read = boom
+        tbl.read_where = boom
+        try:
+            yield
+        finally:
+            tbl.read_at, tbl.read, tbl.read_where = orig
+
+    return ctx()
+
+
+def test_topk_tracks_source_through_mutations(spark, tmp_path):
+    tbl, mv = _mk_tk(spark, tmp_path)
+    tbl.merge(
+        _tk_changes(
+            spark,
+            [("insert", i, i, "g%d" % (i % 2), i * 10) for i in range(1, 11)],
+        )
+    )
+    assert mv.refresh(tbl) == 1
+    assert _tk_view(mv) == _tk_recompute(tbl, 2)
+
+    # champion delete, runner-up rewrite, group move, new row, null — one
+    # batch; then another batch before refreshing (net CDF of 2 versions)
+    tbl.merge(
+        _tk_changes(
+            spark,
+            [
+                ("delete", 100, 10, "g0", 100),   # g0's champion
+                ("update", 101, 9, "g1", 5),      # g1's champion sinks
+                ("update", 102, 8, "g1", 80),     # g0 → g1 move
+                ("insert", 103, 20, "g0", 75),
+                ("insert", 104, 21, "g0", None),  # nulls never rank
+            ],
+        )
+    )
+    tbl.merge(_tk_changes(spark, [("update", 200, 21, "g0", 999)]))
+    assert mv.refresh(tbl) == 3
+    assert _tk_view(mv) == _tk_recompute(tbl, 2)
+
+    before = _tk_view(mv)
+    assert mv.refresh(tbl) == 3  # idempotent no-op
+    assert _tk_view(mv) == before
+
+
+def test_topk_churn_within_slack_skips_rescan(spark, tmp_path):
+    """Retractions that leave >= k buffered rows are absorbed by the
+    slack: the refresh must not read the source at all."""
+    tbl, mv = _mk_tk(spark, tmp_path, k=2, buffer_size=4)
+    tbl.merge(
+        _tk_changes(spark, [("insert", i, i, "g", i * 10) for i in range(1, 7)])
+    )
+    mv.refresh(tbl)
+    # delete the champion and the #3: buffer 4 -> 2 == k, no underflow
+    tbl.merge(
+        _tk_changes(
+            spark, [("delete", 10, 6, "g", 60), ("delete", 11, 4, "g", 40)]
+        )
+    )
+    with _no_source_reads(tbl):
+        mv.refresh(tbl)
+    assert _tk_view(mv) == _tk_recompute(tbl, 2)
+
+
+def test_topk_underflow_rescans_only_affected_groups(spark, tmp_path):
+    tbl, mv = _mk_tk(spark, tmp_path, k=2, buffer_size=3)
+    rows = [("insert", i, i, "a", i * 10) for i in range(1, 7)]
+    rows += [("insert", 10 + i, 10 + i, "b", i * 7) for i in range(1, 7)]
+    tbl.merge(_tk_changes(spark, rows))
+    mv.refresh(tbl)
+    # delete a's entire buffer (top-3) -> underflow; b untouched
+    tbl.merge(
+        _tk_changes(
+            spark,
+            [("delete", 100, 6, "a", 60), ("delete", 101, 5, "a", 50),
+             ("delete", 102, 4, "a", 40)],
+        )
+    )
+    seen = []
+    orig = mv._rescan_rows
+
+    def spy(source, groups, version):
+        seen.append({r.grp for r in groups.collect()})
+        return orig(source, groups, version)
+
+    mv._rescan_rows = spy
+    try:
+        mv.refresh(tbl)
+    finally:
+        mv._rescan_rows = orig
+    assert seen == [{"a"}]
+    assert _tk_view(mv) == _tk_recompute(tbl, 2)
+
+
+def test_topk_group_born_in_range_builds_without_rescan(spark, tmp_path):
+    """A group absent from the old state is fully covered by its own
+    additions — it must build exactly with no source pass."""
+    tbl, mv = _mk_tk(spark, tmp_path, k=2, buffer_size=4)
+    tbl.merge(_tk_changes(spark, [("insert", 1, 1, "old", 10)]))
+    mv.refresh(tbl)
+    tbl.merge(
+        _tk_changes(
+            spark,
+            [("insert", 10, 20, "new", 5), ("insert", 11, 21, "new", 9),
+             ("insert", 12, 22, "new", 7)],
+        )
+    )
+    with _no_source_reads(tbl):
+        mv.refresh(tbl)
+    assert _tk_view(mv) == _tk_recompute(tbl, 2)
+
+
+def test_topk_addition_below_surviving_floor_is_not_trusted(spark, tmp_path):
+    """An addition ranking below the surviving buffer floor may rank
+    below unseen non-buffer rows — it must not enter the buffer as
+    'exact'.  Construct: buffer floor 40 (rows 60,50,40 of 10..60),
+    delete 60 and 50 (buffer -> just 40), insert 35: true #2 is the
+    unseen 30?? no — unseen rows are 10,20,30, all < 35, so true top-2
+    is (40, 35).  A naive merge would also answer (40, 35) — make the
+    trap REAL: insert 15 (below unseen 20 and 30).  Exact top-2 is
+    (40, 30); keeping 15 as rank-2 would be wrong.  The refresh must
+    rescan (buffer underflow: only '40' + untrusted '15' < k=2... )."""
+    tbl, mv = _mk_tk(spark, tmp_path, k=2, buffer_size=3)
+    tbl.merge(
+        _tk_changes(spark, [("insert", i, i, "g", i * 10) for i in range(1, 7)])
+    )
+    mv.refresh(tbl)  # buffer: 60,50,40 ; unseen: 30,20,10
+    tbl.merge(
+        _tk_changes(
+            spark,
+            [("delete", 10, 6, "g", 60), ("delete", 11, 5, "g", 50),
+             ("insert", 12, 20, "g", 15)],
+        )
+    )
+    mv.refresh(tbl)
+    assert _tk_view(mv) == _tk_recompute(tbl, 2) == {
+        ("g", 1): (4, 40), ("g", 2): (3, 30)
+    }
+
+
+def test_topk_value_ties_break_by_key_asc(spark, tmp_path):
+    tbl, mv = _mk_tk(spark, tmp_path, k=3, buffer_size=4)
+    tbl.merge(
+        _tk_changes(
+            spark,
+            [("insert", 1, 7, "g", 50), ("insert", 2, 3, "g", 50),
+             ("insert", 3, 5, "g", 50), ("insert", 4, 1, "g", 40)],
+        )
+    )
+    mv.refresh(tbl)
+    assert _tk_view(mv) == {("g", 1): (3, 50), ("g", 2): (5, 50), ("g", 3): (7, 50)}
+    # retract the tie with the SMALLEST key; slack absorbs it
+    tbl.merge(_tk_changes(spark, [("delete", 10, 3, "g", 50)]))
+    with _no_source_reads(tbl):
+        mv.refresh(tbl)
+    assert _tk_view(mv) == {("g", 1): (5, 50), ("g", 2): (7, 50), ("g", 3): (1, 40)}
+
+
+def test_topk_random_mutations_match_full_recompute(spark, tmp_path):
+    import random
+
+    rng = random.Random(0x70B1)
+    tbl, mv = _mk_tk(spark, tmp_path, k=3, buffer_size=5)
+    groups = ["a", "b"]
+    live: dict[int, tuple[str, int | None]] = {}
+    seq = 0
+    next_id = 0
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(3, 10)):
+            seq += 1
+            kind = rng.random()
+            if kind < 0.4 or not live:
+                next_id += 1
+                g = rng.choice(groups)
+                v = None if rng.random() < 0.1 else rng.randint(0, 60)
+                live[next_id] = (g, v)
+                batch.append(("insert", seq, next_id, g, v))
+            elif kind < 0.7:
+                i = rng.choice(list(live))
+                g = rng.choice(groups)
+                v = None if rng.random() < 0.1 else rng.randint(0, 60)
+                live[i] = (g, v)
+                batch.append(("update", seq, i, g, v))
+            else:
+                i = rng.choice(list(live))
+                g, v = live.pop(i)
+                batch.append(("delete", seq, i, g, v))
+        tbl.merge(_tk_changes(spark, batch))
+        mv.refresh(tbl)
+        assert _tk_view(mv) == _tk_recompute(tbl, 3)
+
+
+def test_topk_publish_is_crash_safe(spark, tmp_path):
+    import os
+
+    tbl, mv = _mk_tk(spark, tmp_path)
+    tbl.merge(_tk_changes(spark, [("insert", 1, 1, "g", 5)]))
+    mv.refresh(tbl)
+    orphan = os.path.join(mv.path, "tk-deadbeef0000")
+    os.makedirs(orphan)
+    tbl.merge(_tk_changes(spark, [("insert", 2, 2, "g", 6)]))
+    mv.refresh(tbl)
+    assert not os.path.exists(orphan)  # publish GC
+    assert _tk_view(mv) == _tk_recompute(tbl, 2)
+
+
+def test_quantile_and_topk_mvs_refresh_inside_the_stream(spark, tmp_path):
+    """post_batch hook parity for the two round-5 MVs, attached to the
+    SAME stream: one versioned route maintains a quantile histogram and
+    a top-k buffer within each micro-batch; both end equal to their
+    full recomputes."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+    from qin_cdc_spark.streaming.derived import (
+        DerivedQuantileTable,
+        DerivedTopKTable,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    env_dir = str(tmp_path / "env")
+    typed1 = _tk_changes(
+        spark, [("insert", i, i, "g%d" % (i % 2), i * 10) for i in range(1, 9)]
+    )
+    typed2 = _tk_changes(
+        spark,
+        [("delete", 10, 8, "g0", 80), ("update", 11, 7, "g0", 5),
+         ("insert", 12, 20, "g1", 300)],
+    )
+    for t in (typed1, typed2):
+        envelope_from_typed(
+            t.select("id", "grp", "val", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=_parse_datatype_string("id long, grp string, val long"),
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+        versioned=True,
+    )
+    qmv = DerivedQuantileTable(
+        spark, str(tmp_path / "qmv"), group_cols=["grp"], value_col="val",
+        bin_width=25,
+    )
+    tkmv = DerivedTopKTable(
+        spark, str(tmp_path / "tkmv"), group_cols=["grp"], key_cols=["id"],
+        value_col="val", k=2, buffer_size=4,
+    )
+
+    def post_batch(batch_id):
+        if route.target is not None and route.target.exists():
+            qmv.refresh(route.target)
+            tkmv.refresh(route.target)
+
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=post_batch,
+    )
+    q.awaitTermination(300)
+    assert qmv.applied_version() == route.target.current_version()
+    assert tkmv.applied_version() == route.target.current_version()
+    assert _qt_state(qmv) == _qt_recompute_bins(route.target, 25)
+    assert _tk_view(tkmv) == _tk_recompute(route.target, 2)
