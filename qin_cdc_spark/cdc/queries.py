@@ -1007,6 +1007,125 @@ QUERIES["cdc_derived_quantile"] = cdc_derived_quantile
 ORACLES["cdc_derived_quantile"] = CDC_DERIVED_QUANTILE_ORACLE
 
 
+def cdc_derived_keyed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality aggregate MV — per-CUSTOMER order count and
+    price-cents sum maintained by ``DerivedKeyedAggTable`` across two
+    apply batches.  The view has ~|customers| groups, so unlike the
+    snapshot-pointer MVs its state is a hash-bucketed versioned table
+    and a refresh rewrites only the buckets the delta's groups hash
+    into (prior totals come from a manifest-pruned ``read_buckets``);
+    the applied source version commits atomically with the state via
+    the store's batch guard — no side meta, no replay double-apply.
+    Oracle recomputes the grouped aggregate from scratch on the
+    full-stream LWW materialization."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn(
+            "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+        ),
+        land_key="orders_price_c",
+    )
+    base = tempfile.mkdtemp(prefix="keyedagg_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
+    mv = DerivedKeyedAggTable(
+        spark, base + "/kamv", group_cols=["o_custkey"], sum_cols=["price_c"],
+        n_buckets=8,
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    mv.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    mv.refresh(tbl)
+    return mv.read().select(
+        "o_custkey",
+        F.col("cnt").alias("n_orders"),
+        F.col("sum_price_c").alias("sum_cents"),
+    )
+
+
+CDC_DERIVED_KEYED_AGG_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_c) AS BIGINT) AS sum_cents
+FROM live GROUP BY 1
+"""
+
+QUERIES["cdc_derived_keyed_agg"] = cdc_derived_keyed_agg
+ORACLES["cdc_derived_keyed_agg"] = CDC_DERIVED_KEYED_AGG_ORACLE
+
+
+def cdc_derived_mv_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized views CHAIN: the keyed per-customer aggregate is
+    itself a versioned table with a preimage change feed, so a level-2
+    view — how many customers hold each order count — maintains itself
+    from the LEVEL-1 VIEW's CDF, O(delta) at both levels with no
+    recompute anywhere.  Each apply batch ripples base → level-1 →
+    level-2 (a customer gaining an order retracts them from one
+    histogram bin and adds them to the next).  The oracle recomputes
+    the two-level aggregate from scratch on the full-stream LWW
+    materialization; the hash check proves the chain end to end."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="mvchain_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
+    mv1 = DerivedKeyedAggTable(
+        spark, base + "/lvl1", group_cols=["o_custkey"], sum_cols=[],
+        n_buckets=8,
+    )
+    mv2 = DerivedKeyedAggTable(
+        spark, base + "/lvl2", group_cols=["cnt"], sum_cols=[],
+        n_buckets=4, cnt_col="n_custs",
+    )
+    for bid, part in (
+        (0, decoded.filter(F.col("seq") <= s)),
+        (1, decoded.filter(F.col("seq") > s)),
+    ):
+        tbl.merge(part, batch_id=bid)
+        mv1.refresh(tbl)
+        mv2.refresh(mv1.store)
+    return mv2.read().select(
+        F.col("cnt").alias("n_orders"), F.col("n_custs").cast("long").alias("n_custs")
+    )
+
+
+CDC_DERIVED_MV_CHAIN_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_custkey FROM last WHERE rn = 1 AND op <> 'delete'
+),
+lvl1 AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM live GROUP BY 1
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+FROM lvl1 GROUP BY 1
+"""
+
+QUERIES["cdc_derived_mv_chain"] = cdc_derived_mv_chain
+ORACLES["cdc_derived_mv_chain"] = CDC_DERIVED_MV_CHAIN_ORACLE
+
+
 def cdc_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k materialized-view maintenance — the serving-layer MV
     (leaderboards, per-source best-documents lists): per-status top-3

@@ -1375,3 +1375,180 @@ class DerivedTopKTable:
             return v1
         finally:
             need.unpersist()
+
+
+class DerivedKeyedAggTable:
+    """Incrementally-maintained per-KEY aggregate — the high-cardinality
+    complement to ``DerivedAggTable``.  The snapshot-pointer MVs above
+    rewrite their whole (small) view each refresh; a per-customer /
+    per-document aggregate has corpus-cardinality groups, where an
+    O(|view|) rewrite is not an option at 100 TB.  Here the view's state
+    IS a ``VersionedBucketedTable`` keyed by the group columns:
+
+    * delta = the usual signed (group, dcnt, dsum…) from the preimage
+      CDF — O(|delta|), map-side combinable;
+    * prior totals for EXACTLY the delta's groups come from
+      ``read_buckets`` (manifest-level pruning: only the state buckets
+      the delta's groups hash into are opened);
+    * new totals merge back as an LWW batch — the store rewrites only
+      touched buckets; groups whose count reaches zero merge as
+      deletes.
+
+    Per-refresh cost: O(|delta| + touched state buckets), end to end.
+
+    **Crash consistency with no side meta file**: each refresh merges
+    with ``batch_id = v_to`` (the source version it folds up to), so
+    the store's ``last_batch_id`` — recorded atomically with the state
+    by the manifest flip — IS the applied source version.  A crash
+    anywhere leaves state+progress consistent (the merge publishes
+    both or neither); a replay of the same range no-ops on the batch
+    guard.  This is the fix for the replay hazard every
+    delta-plus-state MV has: totals computed from already-updated
+    state would double-apply, so state and progress must commit
+    together.
+
+    **MVs chain**: because the state is itself a versioned table with
+    a preimage change feed, a second-level view maintains itself from
+    THIS view's CDF (``.store.changes_between``) — incremental
+    O(delta) all the way down, never a recompute at any level.  The
+    gate query materializes such a chain.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        group_cols: list[str],
+        sum_cols: list[str],
+        n_buckets: int = 32,
+        cnt_col: str = "cnt",
+    ):
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.cnt_col = cnt_col
+        self.store = VersionedBucketedTable(
+            spark, os.path.join(path, "mv"), self.group_cols,
+            n_buckets=n_buckets,
+        )
+
+    def applied_version(self) -> int:
+        return max(0, self.store.last_batch_id())
+
+    def read(self) -> DataFrame | None:
+        """(group_cols…, cnt, sum_<c>…) live rows."""
+        return self.store.read()
+
+    # -- refresh -----------------------------------------------------------
+
+    def _delta(self, cdf: DataFrame) -> DataFrame:
+        add = cdf.filter(F.col("_change").isin("insert", "update")).select(
+            *self.group_cols,
+            F.lit(1).cast("long").alias("_dcnt"),
+            *[F.col(c).cast("long").alias(f"_dsum_{c}") for c in self.sum_cols],
+        )
+        retract = cdf.filter(F.col("_change").isin("update", "delete")).select(
+            *[F.col(f"_pre_{g}").alias(g) for g in self.group_cols],
+            F.lit(-1).cast("long").alias("_dcnt"),
+            *[
+                (-F.col(f"_pre_{c}").cast("long")).alias(f"_dsum_{c}")
+                for c in self.sum_cols
+            ],
+        )
+        return (
+            add.unionByName(retract)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum("_dcnt").cast("long").alias("_dcnt"),
+                *[
+                    F.sum(f"_dsum_{c}").cast("long").alias(f"_dsum_{c}")
+                    for c in self.sum_cols
+                ],
+            )
+        )
+
+    def _events(self, totals: DataFrame, seq: int) -> DataFrame:
+        return totals.select(
+            F.when(F.col(self.cnt_col) > 0, F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            *self.group_cols,
+            F.col(self.cnt_col).cast("long").alias(self.cnt_col),
+            *[F.col(f"sum_{c}").cast("long").alias(f"sum_{c}") for c in self.sum_cols],
+        )
+
+    def refresh(self, source: VersionedBucketedTable) -> int:
+        v0, v1 = self.applied_version(), source.current_version()
+        if v1 <= v0:
+            return v0
+        if v0 == 0:
+            totals = source.read_at(v1).groupBy(*self.group_cols).agg(
+                F.count(F.lit(1)).cast("long").alias(self.cnt_col),
+                *[
+                    F.sum(F.col(c).cast("long")).cast("long").alias(f"sum_{c}")
+                    for c in self.sum_cols
+                ],
+            )
+            self.store.merge(self._events(totals, v1), batch_id=v1)
+            return v1
+
+        delta = self._delta(
+            source.changes_between(v0, v1, include_preimage=True)
+        ).persist()
+        try:
+            # state buckets the delta's groups hash into — bounded by
+            # the store's bucket count, shipped driver-side for the
+            # manifest-level pruned read of prior totals
+            man = self.store._meta()["versions"].get(
+                str(self.store.current_version()), {"buckets": {}}
+            )
+            nb = self.store._manifest_n_buckets(man)
+            bexpr = self.store._bucket_expr(nb)
+            touched = [
+                str(r[0])
+                for r in delta.select(bexpr.alias("_b")).distinct().collect()
+            ]
+            if not touched:
+                # CDF nets out to nothing: advance the applied version
+                self.store.merge(
+                    self._events(delta.limit(0).select(
+                        *self.group_cols,
+                        F.col("_dcnt").alias(self.cnt_col),
+                        *[
+                            F.col(f"_dsum_{c}").alias(f"sum_{c}")
+                            for c in self.sum_cols
+                        ],
+                    ), v1),
+                    batch_id=v1,
+                )
+                return v1
+            old = self.store.read_buckets(touched)
+            if old is None:
+                old = delta.limit(0).select(
+                    *self.group_cols,
+                    F.col("_dcnt").alias(self.cnt_col),
+                    *[F.col(f"_dsum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+                )
+            prior = old.join(delta.select(*self.group_cols), self.group_cols, "left_semi")
+            totals = (
+                delta.join(prior, self.group_cols, "left")
+                .select(
+                    *self.group_cols,
+                    (
+                        F.coalesce(self.cnt_col, F.lit(0)) + F.col("_dcnt")
+                    ).cast("long").alias(self.cnt_col),
+                    *[
+                        (
+                            F.coalesce(f"sum_{c}", F.lit(0)) + F.col(f"_dsum_{c}")
+                        ).cast("long").alias(f"sum_{c}")
+                        for c in self.sum_cols
+                    ],
+                )
+            )
+            self.store.merge(self._events(totals, v1), batch_id=v1)
+            return v1
+        finally:
+            delta.unpersist()

@@ -116,6 +116,16 @@ class VersionedBucketedTable:
     def versions(self) -> list[int]:
         return sorted(int(v) for v in self._meta()["versions"])
 
+    def last_batch_id(self) -> int:
+        """The replay guard's high-water mark (−1 before any merge).
+        When every merge carries a monotonically-increasing external
+        coordinate as ``batch_id`` (a micro-batch id, or an upstream
+        table's version), this IS the applied coordinate — recorded
+        atomically with the state by the manifest flip, which is what
+        makes a consumer storing its progress here crash-consistent
+        with no side meta file (see ``derived.DerivedKeyedAggTable``)."""
+        return self._meta()["last_batch_id"]
+
     # -- read --------------------------------------------------------------
 
     def _read_manifest(self, manifest: dict) -> DataFrame | None:
@@ -149,6 +159,37 @@ class VersionedBucketedTable:
     def read_at(self, version: int) -> DataFrame | None:
         """Time travel: the table as of snapshot ``version``."""
         return self._visible(self.read_internal(version))
+
+    def read_buckets(
+        self, bucket_ids: list, version: int | None = None
+    ) -> DataFrame | None:
+        """Visible rows of exactly the named buckets — manifest-level
+        pruning (no file under any other bucket is opened).  The
+        serving-style read for a consumer that already knows which
+        buckets its keys hash into (e.g. an incremental MV reading the
+        prior totals of just the groups its delta touches)."""
+        meta = self._meta()
+        if not meta["versions"]:
+            return None
+        v = meta["current"] if version is None else version
+        man = meta["versions"].get(str(v))
+        if man is None:
+            raise ValueError(
+                f"version {v} not retained at {self.path} "
+                f"(have {self.versions()}) — expired by gc()?"
+            )
+        names = {str(b) for b in bucket_ids}
+        paths = [
+            os.path.join(self.path, d)
+            for b, d in man["buckets"].items()
+            if b in names
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return self._visible(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        )
 
     @staticmethod
     def _visible(full: DataFrame | None) -> DataFrame | None:

@@ -1463,3 +1463,211 @@ def test_quantile_and_topk_mvs_refresh_inside_the_stream(spark, tmp_path):
     assert tkmv.applied_version() == route.target.current_version()
     assert _qt_state(qmv) == _qt_recompute_bins(route.target, 25)
     assert _tk_view(tkmv) == _tk_recompute(route.target, 2)
+
+
+# -- DerivedKeyedAggTable ------------------------------------------------------
+
+
+def _ka_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq long, id long, grp string, amt long"
+    )
+
+
+def _ka_recompute(tbl):
+    return {
+        r.grp: (r.cnt, r.s)
+        for r in tbl.read()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("amt").alias("s"))
+        .collect()
+    }
+
+
+def _ka_view(mv):
+    out = mv.read()
+    return {} if out is None else {
+        r.grp: (r.cnt, r.sum_amt) for r in out.collect()
+    }
+
+
+def _mk_ka(spark, tmp_path, **kw):
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "src"), ["id"], n_buckets=4)
+    mv = DerivedKeyedAggTable(
+        spark, str(tmp_path / "kamv"), group_cols=["grp"], sum_cols=["amt"],
+        n_buckets=kw.get("n_buckets", 8),
+    )
+    return tbl, mv
+
+
+def test_keyed_agg_tracks_source_through_mutations(spark, tmp_path):
+    tbl, mv = _mk_ka(spark, tmp_path)
+    # high-cardinality groups: 16 distinct, several rows each
+    tbl.merge(
+        _ka_changes(
+            spark,
+            [("insert", i, i, "g%02d" % (i % 16), i * 10) for i in range(1, 49)],
+        )
+    )
+    assert mv.refresh(tbl) == 1
+    assert _ka_view(mv) == _ka_recompute(tbl)
+
+    tbl.merge(
+        _ka_changes(
+            spark,
+            [
+                ("update", 100, 1, "g01", 999),   # in-place rewrite
+                ("update", 101, 2, "g00", 555),   # group move
+                ("delete", 102, 3, "g03", 30),
+                ("insert", 103, 60, "g99", 70),   # brand-new group
+            ],
+        )
+    )
+    tbl.merge(_ka_changes(spark, [("update", 200, 60, "g98", 71)]))
+    assert mv.refresh(tbl) == 3
+    assert _ka_view(mv) == _ka_recompute(tbl)
+
+    before = _ka_view(mv)
+    assert mv.refresh(tbl) == 3  # idempotent no-op
+    assert _ka_view(mv) == before
+
+
+def test_keyed_agg_rewrites_only_touched_state_buckets(spark, tmp_path):
+    """The design point: a small delta rewrites only the state buckets
+    its groups hash into — untouched bucket dirs carry by name."""
+    tbl, mv = _mk_ka(spark, tmp_path, n_buckets=16)
+    tbl.merge(
+        _ka_changes(
+            spark,
+            [("insert", i, i, "g%02d" % (i % 24), i) for i in range(1, 49)],
+        )
+    )
+    mv.refresh(tbl)
+    meta0 = mv.store._meta()
+    before = dict(meta0["versions"][str(meta0["current"])]["buckets"])
+    tbl.merge(_ka_changes(spark, [("insert", 100, 100, "g00", 5)]))
+    mv.refresh(tbl)
+    meta1 = mv.store._meta()
+    after = dict(meta1["versions"][str(meta1["current"])]["buckets"])
+    changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    assert len(changed) == 1  # one group changed -> exactly one bucket rewritten
+    assert _ka_view(mv) == _ka_recompute(tbl)
+
+
+def test_keyed_agg_emptied_group_row_deleted(spark, tmp_path):
+    tbl, mv = _mk_ka(spark, tmp_path)
+    tbl.merge(
+        _ka_changes(
+            spark, [("insert", 1, 1, "solo", 5), ("insert", 2, 2, "dual", 7)]
+        )
+    )
+    mv.refresh(tbl)
+    tbl.merge(_ka_changes(spark, [("delete", 10, 1, "solo", 5)]))
+    mv.refresh(tbl)
+    got = _ka_view(mv)
+    assert "solo" not in got and got["dual"] == (1, 7)
+
+
+def test_keyed_agg_progress_commits_atomically_with_state(spark, tmp_path):
+    """State and applied-version are ONE manifest flip: after a refresh
+    the store's last_batch_id IS the applied source version, and a
+    replayed refresh over the same range no-ops on the batch guard
+    instead of double-applying the delta."""
+    tbl, mv = _mk_ka(spark, tmp_path)
+    tbl.merge(_ka_changes(spark, [("insert", 1, 1, "g", 5)]))
+    mv.refresh(tbl)
+    tbl.merge(_ka_changes(spark, [("insert", 2, 2, "g", 7)]))
+    mv.refresh(tbl)
+    assert mv.store.last_batch_id() == tbl.current_version() == 2
+    assert _ka_view(mv) == {"g": (2, 12)}
+    # double-apply hazard: replay the same CDF range directly against
+    # the store — the batch guard must make it a no-op
+    cdf = tbl.changes_between(1, 2, include_preimage=True)
+    mv.store.merge(mv._events(mv._delta(cdf).select(
+        "grp", F.col("_dcnt").alias("cnt"), F.col("_dsum_amt").alias("sum_amt")
+    ), 2), batch_id=2)
+    assert _ka_view(mv) == {"g": (2, 12)}
+
+
+def test_keyed_agg_random_mutations_match_full_recompute(spark, tmp_path):
+    import random
+
+    rng = random.Random(0x4A9D)
+    tbl, mv = _mk_ka(spark, tmp_path)
+    groups = ["g%02d" % i for i in range(12)]
+    live: dict[int, tuple[str, int]] = {}
+    seq = 0
+    next_id = 0
+    for _ in range(4):
+        batch = []
+        for _ in range(rng.randint(4, 12)):
+            seq += 1
+            kind = rng.random()
+            if kind < 0.45 or not live:
+                next_id += 1
+                g, v = rng.choice(groups), rng.randint(0, 99)
+                live[next_id] = (g, v)
+                batch.append(("insert", seq, next_id, g, v))
+            elif kind < 0.75:
+                i = rng.choice(list(live))
+                g, v = rng.choice(groups), rng.randint(0, 99)
+                live[i] = (g, v)
+                batch.append(("update", seq, i, g, v))
+            else:
+                i = rng.choice(list(live))
+                g, v = live.pop(i)
+                batch.append(("delete", seq, i, g, v))
+        tbl.merge(_ka_changes(spark, batch))
+        mv.refresh(tbl)
+        assert _ka_view(mv) == _ka_recompute(tbl)
+
+
+def test_keyed_agg_chains_level2_from_level1_cdf(spark, tmp_path):
+    """MVs chain: a level-2 view (how many groups hold each row-count)
+    maintains itself from the LEVEL-1 view's own change feed — O(delta)
+    at both levels, no recompute anywhere."""
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+
+    tbl, mv1 = _mk_ka(spark, tmp_path)
+    mv2 = DerivedKeyedAggTable(
+        spark, str(tmp_path / "lvl2"), group_cols=["cnt"], sum_cols=[],
+        n_buckets=4, cnt_col="n_groups",
+    )
+
+    def recompute_lvl2():
+        hist: dict[int, int] = {}
+        for cnt, _ in _ka_recompute(tbl).values():
+            hist[cnt] = hist.get(cnt, 0) + 1
+        return hist
+
+    def view_lvl2():
+        out = mv2.read()
+        return {} if out is None else {r.cnt: r.n_groups for r in out.collect()}
+
+    tbl.merge(
+        _ka_changes(
+            spark,
+            [("insert", i, i, "g%d" % (i % 5), i) for i in range(1, 14)],
+        )
+    )
+    mv1.refresh(tbl)
+    mv2.refresh(mv1.store)
+    assert view_lvl2() == recompute_lvl2()
+
+    # mutations ripple: group moves change two level-1 counts at once
+    tbl.merge(
+        _ka_changes(
+            spark,
+            [("delete", 100, 1, "g1", 1), ("update", 101, 2, "g0", 2),
+             ("insert", 102, 20, "g9", 50)],
+        )
+    )
+    mv1.refresh(tbl)
+    mv2.refresh(mv1.store)
+    assert view_lvl2() == recompute_lvl2()
+
+    # and the chain is incremental: level-2's applied version tracks
+    # level-1's store version, not the base table's
+    assert mv2.applied_version() == mv1.store.current_version()

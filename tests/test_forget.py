@@ -253,3 +253,84 @@ def test_purge_drops_neardup_fingerprints(spark, tmp_path):
     store.compact()
     idx = spark.read.parquet(str(tmp_path / "nd" / "_bands"))
     assert 1 not in {r.doc_id for r in idx.select("doc_id").collect()}
+
+
+def test_purge_cascades_to_round5_mvs(spark, tmp_path):
+    """The round-5 MV family follows a purge through its normal
+    incremental refresh: quantile bins retract off the value-free
+    tombstones' PREIMAGES, the top-k buffer drops purged champions
+    (rescanning if the slack underflows), the keyed aggregate retracts
+    per-customer totals, and the level-2 chain ripples the histogram."""
+    from qin_cdc_spark.streaming.derived import (
+        DerivedKeyedAggTable,
+        DerivedQuantileTable,
+        DerivedTopKTable,
+    )
+
+    fact = VersionedBucketedTable(spark, str(tmp_path / "f"), ["id"], n_buckets=4)
+    qmv = DerivedQuantileTable(
+        spark, str(tmp_path / "q"), group_cols=["grp"], value_col="amt",
+        bin_width=10,
+    )
+    tk = DerivedTopKTable(
+        spark, str(tmp_path / "tk"), group_cols=["grp"], key_cols=["id"],
+        value_col="amt", k=2, buffer_size=3,
+    )
+    ka = DerivedKeyedAggTable(
+        spark, str(tmp_path / "ka"), group_cols=["ck"], sum_cols=["amt"],
+        n_buckets=4,
+    )
+    chain = DerivedKeyedAggTable(
+        spark, str(tmp_path / "chain"), group_cols=["cnt"], sum_cols=[],
+        n_buckets=2, cnt_col="n_keys",
+    )
+    fact.merge(
+        _fact(
+            spark,
+            [("insert", i, i, 10 + (i % 2) * 10, f"g{i % 2}", i * 10) for i in range(1, 9)],
+        )
+    )
+    for mv in (qmv, tk, ka):
+        mv.refresh(fact)
+    chain.refresh(ka.store)
+
+    # ids 7 and 8 are the two group champions; 1 shares ck=20's totals
+    purge_keys(fact, _keys(spark, [1, 7, 8]), seq=1000)
+    for mv in (qmv, tk, ka):
+        mv.refresh(fact)  # the cascade IS the normal incremental refresh
+    chain.refresh(ka.store)
+
+    live = fact.read()
+    exp_bins = {
+        (r.grp, r.amt // 10): 1 for r in live.collect()
+    }
+    agg_bins: dict = {}
+    for r in live.collect():
+        k = (r.grp, r.amt // 10)
+        agg_bins[k] = agg_bins.get(k, 0) + 1
+    got_bins = {(r.grp, r.bin): r.cnt for r in qmv.read().collect()}
+    assert got_bins == agg_bins
+    assert not any(r.id in {1, 7, 8} for r in tk.read().collect())
+    exp_tk = {}
+    bygrp: dict = {}
+    for r in live.collect():
+        bygrp.setdefault(r.grp, []).append((-r.amt, r.id))
+    for g, items in bygrp.items():
+        for rank, (nv, i) in enumerate(sorted(items)[:2], start=1):
+            exp_tk[(g, rank)] = (i, -nv)
+    assert {
+        (r.grp, r.rank): (r.id, r.amt) for r in tk.read().collect()
+    } == exp_tk
+    exp_ka = {
+        (r.ck): (r.cnt, r.s)
+        for r in live.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert {
+        r.ck: (r.cnt, r.sum_amt) for r in ka.read().collect()
+    } == exp_ka
+    hist: dict = {}
+    for cnt, _ in exp_ka.values():
+        hist[cnt] = hist.get(cnt, 0) + 1
+    assert {r.cnt: r.n_keys for r in chain.read().collect()} == hist
