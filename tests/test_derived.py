@@ -1671,3 +1671,91 @@ def test_keyed_agg_chains_level2_from_level1_cdf(spark, tmp_path):
     # and the chain is incremental: level-2's applied version tracks
     # level-1's store version, not the base table's
     assert mv2.applied_version() == mv1.store.current_version()
+
+
+def test_keyed_agg_chain_refreshes_inside_the_stream(spark, tmp_path):
+    """post_batch hook parity for the keyed aggregate AND its level-2
+    chain: one versioned route ripples base → per-key totals →
+    count-histogram within each micro-batch."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        file_envelope_stream,
+        start_cdc_stream,
+    )
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+    from pyspark.sql.types import _parse_datatype_string
+
+    env_dir = str(tmp_path / "env")
+    typed1 = _ka_changes(
+        spark, [("insert", i, i, "g%d" % (i % 3), i * 10) for i in range(1, 8)]
+    )
+    typed2 = _ka_changes(
+        spark,
+        [("delete", 10, 1, "g1", 10), ("update", 11, 2, "g0", 5),
+         ("insert", 12, 20, "g9", 300)],
+    )
+    for t in (typed1, typed2):
+        envelope_from_typed(
+            t.select("id", "grp", "amt", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    route = CdcStreamRoute(
+        spark,
+        db="src",
+        table="t",
+        schema=_parse_datatype_string("id long, grp string, amt long"),
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+        versioned=True,
+    )
+    mv1 = DerivedKeyedAggTable(
+        spark, str(tmp_path / "mv1"), group_cols=["grp"], sum_cols=["amt"],
+        n_buckets=4,
+    )
+    mv2 = DerivedKeyedAggTable(
+        spark, str(tmp_path / "mv2"), group_cols=["cnt"], sum_cols=[],
+        n_buckets=2, cnt_col="n_groups",
+    )
+
+    def post_batch(batch_id):
+        if route.target is not None and route.target.exists():
+            mv1.refresh(route.target)
+            mv2.refresh(mv1.store)
+
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        [route],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=post_batch,
+    )
+    q.awaitTermination(300)
+    assert mv1.applied_version() == route.target.current_version()
+    assert mv2.applied_version() == mv1.store.current_version()
+    assert _ka_view(mv1) == _ka_recompute(route.target)
+    hist: dict = {}
+    for cnt, _ in _ka_recompute(route.target).values():
+        hist[cnt] = hist.get(cnt, 0) + 1
+    assert {r.cnt: r.n_groups for r in mv2.read().collect()} == hist
+
+
+def test_keyed_agg_survives_source_add_column(spark, tmp_path):
+    """Schema evolution resilience: the source gains a column mid-stream
+    (merge aligns schemas; untouched buckets keep the old file schema).
+    An MV aggregating the ORIGINAL columns keeps refreshing through the
+    boundary — the CDF's mergeSchema read presents the union schema and
+    the MV simply never references the new column."""
+    tbl, mv = _mk_ka(spark, tmp_path)
+    tbl.merge(
+        _ka_changes(spark, [("insert", i, i, "g%d" % (i % 2), i) for i in range(1, 7)])
+    )
+    mv.refresh(tbl)
+    evolved = spark.createDataFrame(
+        [("insert", 10, 20, "g0", 7, "x"), ("update", 11, 1, "g1", 99, "y"),
+         ("delete", 12, 2, "g0", 2, None)],
+        "op string, seq long, id long, grp string, amt long, note string",
+    )
+    tbl.merge(evolved)
+    mv.refresh(tbl)
+    assert _ka_view(mv) == _ka_recompute(tbl)
