@@ -88,6 +88,9 @@ HEADLINE = [
     "cdc_derived_extrema",
     "cdc_derived_distinct",
     "text_bm25_indexed",
+    # round-5 session 2: high-cardinality keyed MV (bucketed state,
+    # touched-bucket rewrites) — the scale-relevant new MV shape
+    "cdc_derived_keyed_agg",
 ]
 
 

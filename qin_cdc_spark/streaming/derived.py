@@ -679,11 +679,15 @@ class DerivedQuantileTable:
         return self.spark.read.parquet(os.path.join(self.path, meta["data"]))
 
     def _bin(self, col) -> F.Column:
-        # exact floor division for any sign: the numerator is an exact
-        # multiple of the width, so truncating `div` equals floor
-        c = F.col(col).cast("long")
-        w = F.lit(self.bin_width).cast("long")
-        return ((c - F.pmod(c, w)) / w).cast("long")
+        # exact floor division for any sign and any int64 magnitude:
+        # the numerator is an exact multiple of the width, so SQL's
+        # truncating `div` equals floor — and unlike `/` (double
+        # division) it never rounds above 2^53
+        w = self.bin_width
+        return F.expr(
+            f"(cast(`{col}` as bigint) - pmod(cast(`{col}` as bigint), "
+            f"cast({w} as bigint))) div cast({w} as bigint)"
+        ).cast("long")
 
     # -- refresh -----------------------------------------------------------
 
