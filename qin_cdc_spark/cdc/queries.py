@@ -1126,6 +1126,95 @@ QUERIES["cdc_derived_mv_chain"] = cdc_derived_mv_chain
 ORACLES["cdc_derived_mv_chain"] = CDC_DERIVED_MV_CHAIN_ORACLE
 
 
+def cdc_table_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE without the rescan: per-status column statistics
+    (row/null counts, NDV, min/max, p50/p90 histogram bounds) for the
+    price column, maintained O(delta) by ``IncrementalColumnStats`` —
+    the composition of the four retractable MVs — across two apply
+    batches of the mutating orders stream.  This is the stats row a
+    cost-based planner or data catalog ingests; at 100 TB the
+    alternative is a scheduled full-scan ANALYZE and stale stats
+    between runs.  The oracle recomputes every figure from scratch on
+    the full-stream LWW materialization — all-integer, so freshness is
+    hash-proven, not sampled."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.stats import IncrementalColumnStats
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn(
+            "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+        ),
+        land_key="orders_price_c",
+    )
+    base = tempfile.mkdtemp(prefix="stats_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
+    st = IncrementalColumnStats(
+        spark, base + "/stats", group_cols=["o_orderstatus"],
+        value_col="price_c", bin_width=10_000, ndv_buckets=8,
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    st.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    st.refresh(tbl)
+    return st.read().select(
+        "o_orderstatus", "n_rows", "n_nulls", "n_distinct",
+        F.col("min_val").alias("min_cents"),
+        F.col("max_val").alias("max_cents"),
+        "p50_ub", "p90_ub",
+    )
+
+
+CDC_TABLE_STATS_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM last WHERE rn = 1 AND op <> 'delete'
+),
+bins AS (
+  SELECT o_orderstatus, price_c // 10000 AS bin, count(*) AS cnt
+  FROM live WHERE price_c IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, bin, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderstatus) AS total
+  FROM bins
+),
+qs AS (
+  SELECT o_orderstatus,
+         CAST(min(CASE WHEN cum * 100 >= total * 50
+                  THEN (bin + 1) * 10000 END) AS BIGINT) AS p50_ub,
+         CAST(min(CASE WHEN cum * 100 >= total * 90
+                  THEN (bin + 1) * 10000 END) AS BIGINT) AS p90_ub
+  FROM cum GROUP BY 1
+),
+base AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(price_c) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT price_c) AS BIGINT) AS n_distinct,
+         CAST(min(price_c) AS BIGINT) AS min_cents,
+         CAST(max(price_c) AS BIGINT) AS max_cents
+  FROM live GROUP BY 1
+)
+SELECT base.o_orderstatus, n_rows, n_nulls, n_distinct,
+       min_cents, max_cents, p50_ub, p90_ub
+FROM base LEFT JOIN qs ON base.o_orderstatus = qs.o_orderstatus
+"""
+
+QUERIES["cdc_table_stats_incremental"] = cdc_table_stats_incremental
+ORACLES["cdc_table_stats_incremental"] = CDC_TABLE_STATS_ORACLE
+
+
 def cdc_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k materialized-view maintenance — the serving-layer MV
     (leaderboards, per-source best-documents lists): per-status top-3

@@ -81,3 +81,30 @@ def purge_keys(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in value_fields],
     )
     return table.merge(events, batch_id=batch_id)
+
+
+def purge_where(
+    table: VersionedBucketedTable,
+    predicate,
+    *,
+    seq: int,
+    batch_id: int | None = None,
+) -> int:
+    """Predicate takedown: purge every row the boolean ``predicate``
+    Column matches — real takedowns name content ("every document from
+    domain X", "license tag Y"), not key lists.  Resolves the doomed
+    keys with ONE pass over the current snapshot (Bloom/zone skipping
+    applies when the predicate allows), then delegates to
+    ``purge_keys`` for the value-free-tombstone merge and the normal
+    consumer cascade.
+
+    The predicate evaluates against the CURRENT snapshot only — a key
+    whose matching row was already soft-deleted has no live row to
+    match, so content-based takedowns compose with `purge_keys` for
+    key lists collected out-of-band (e.g. from an earlier version via
+    ``read_at``)."""
+    cur = table.read()
+    if cur is None:
+        return table.current_version()
+    doomed = cur.filter(predicate).select(*table.keys)
+    return purge_keys(table, doomed, seq=seq, batch_id=batch_id)

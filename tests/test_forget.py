@@ -334,3 +334,24 @@ def test_purge_cascades_to_round5_mvs(spark, tmp_path):
     for cnt, _ in exp_ka.values():
         hist[cnt] = hist.get(cnt, 0) + 1
     assert {r.cnt: r.n_keys for r in chain.read().collect()} == hist
+
+
+def test_purge_where_predicate_takedown(spark, tmp_path):
+    """Content-predicate purge: every row matching the predicate is
+    tombstoned value-free; non-matching rows survive untouched."""
+    from qin_cdc_spark.streaming.forget import purge_where
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=2)
+    tbl.merge(
+        _fact(
+            spark,
+            [("insert", i, i, 10, "bad" if i % 3 == 0 else "ok", i * 10)
+             for i in range(1, 10)],
+        )
+    )
+    purge_where(tbl, F.col("grp") == "bad", seq=100)
+    live = tbl.read().collect()
+    assert {r.id for r in live} == {1, 2, 4, 5, 7, 8}
+    stones = tbl.read_internal().filter(F.col("_deleted")).collect()
+    assert {r.id for r in stones} == {3, 6, 9}
+    assert all(r.amt is None and r.grp is None for r in stones)
