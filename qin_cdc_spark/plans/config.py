@@ -52,6 +52,21 @@ class Router:
         return list(zip(self.source_columns, self.target_columns))
 
 
+@dataclass(frozen=True)
+class MviewSpec:
+    """One ``[[materialized-views]]`` block — an ENGINE EXTENSION to the
+    reference's config schema (the reference leaves derived views to
+    the downstream warehouse): a derived view declared against a
+    routed table, maintained in-stream from that target's change data
+    feed (streaming/mviews.py)."""
+
+    name: str
+    mv_type: str
+    source_schema: str
+    source_table: str
+    config: dict = field(default_factory=dict)
+
+
 @dataclass
 class PipelineConfig:
     name: str
@@ -61,6 +76,7 @@ class PipelineConfig:
     output_config: dict
     transforms: TransformChain
     routers: list[Router] = field(default_factory=list)
+    mviews: list[MviewSpec] = field(default_factory=list)
 
     def router_for(self, db: str, table: str) -> Router | None:
         for r in self.routers:
@@ -99,6 +115,18 @@ def parse_config(text: str) -> PipelineConfig:
             )
         )
 
+    mviews = []
+    for m in raw.get("materialized-views", []):
+        mviews.append(
+            MviewSpec(
+                name=m["name"],
+                mv_type=m["type"],
+                source_schema=m["source-schema"],
+                source_table=m["source-table"],
+                config=m.get("config", {}),
+            )
+        )
+
     return PipelineConfig(
         name=name,
         input_type=inp.get("type", ""),
@@ -107,6 +135,7 @@ def parse_config(text: str) -> PipelineConfig:
         output_config=out.get("config", {}),
         transforms=chain,
         routers=routers,
+        mviews=mviews,
     )
 
 

@@ -94,6 +94,12 @@ class Pipeline:
                     label_prefix=opts.get("label-prefix"),
                 )
                 sink = loader.load_batch
+            # a declared materialized view refreshes from the target's
+            # change data feed — its route must retain versions
+            has_mv = any(
+                (m.source_schema, m.source_table) == (db, table)
+                for m in config.mviews
+            )
             self.routes.append(
                 CdcStreamRoute(
                     spark,
@@ -105,8 +111,39 @@ class Pipeline:
                     transform=(lambda df, _db=db, _t=table: chain.apply(_db, _t, df)),
                     n_buckets=n_buckets,
                     sink=sink,
+                    versioned=has_mv,
                 )
             )
+
+        # compile [[materialized-views]] blocks (engine extension): each
+        # is a derived view rooted under <target_root>/_mv/<name>,
+        # refreshed inside every micro-batch via the post_batch hook
+        from qin_cdc_spark.streaming.mviews import build_materialized_view
+
+        self.mviews: dict[str, tuple[CdcStreamRoute, object]] = {}
+        for m in config.mviews:
+            route = next(
+                (
+                    r
+                    for r in self.routes
+                    if (r.db, r.table) == (m.source_schema, m.source_table)
+                ),
+                None,
+            )
+            if route is None:
+                raise ValueError(
+                    f"materialized view {m.name!r}: no router for "
+                    f"{m.source_schema}.{m.source_table}"
+                )
+            if m.name in self.mviews:
+                raise ValueError(f"duplicate materialized view {m.name!r}")
+            mv = build_materialized_view(
+                spark,
+                os.path.join(target_root, "_mv", m.name),
+                m.mv_type,
+                m.config,
+            )
+            self.mviews[m.name] = (route, mv)
 
     def trigger_config(self) -> dict | None:
         """Map the reference's micro-batch knobs (A20: ``batch-size`` /
@@ -147,12 +184,24 @@ class Pipeline:
             # in-stream DDL: op='ddl' envelope rows evolve the registry and
             # every route's decode schema mid-stream (A11+A12 end to end)
             registry=self.registry,
+            post_batch=self._refresh_mviews if self.mviews else None,
         )
+
+    def _refresh_mviews(self, batch_id: int) -> None:
+        for route, mv in self.mviews.values():
+            if route.target is not None and route.target.exists():
+                mv.refresh(route.target)
+
+    def read_mview(self, name: str):
+        """The current contents of a declared materialized view."""
+        return self.mviews[name][1].read()
 
     def run_batch(self, envelope: DataFrame) -> None:
         """One-shot batch apply (bootstrap/backfill path)."""
         for route in self.routes:
             route.apply_batch(envelope)
+        if self.mviews:
+            self._refresh_mviews(-1)
 
     def read_target(self, target_schema: str, target_table: str) -> DataFrame | None:
         for route, router in zip(self.routes, self.config.routers):

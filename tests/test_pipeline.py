@@ -224,3 +224,100 @@ def test_cli_version(capsys):
 
     assert main(["--version"]) == 0
     assert "qin_cdc_spark" in capsys.readouterr().out
+
+
+MV_CONFIG = """
+name = "mv-sync"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+
+[[materialized-views]]
+name = "t_by_grp"
+type = "agg"
+source-schema = "src"
+source-table = "t"
+[materialized-views.config]
+group-cols = ["grp"]
+sum-cols = ["val"]
+
+[[materialized-views]]
+name = "t_val_hist"
+type = "quantile"
+source-schema = "src"
+source-table = "t"
+[materialized-views.config]
+group-cols = ["grp"]
+value-col = "val"
+bin-width = 25
+"""
+
+
+def test_pipeline_declared_materialized_views(spark, tmp_path):
+    """[[materialized-views]] config blocks (engine extension): the
+    compiled pipeline forces the consumed route onto a versioned
+    target and refreshes every declared view inside each micro-batch;
+    the views end equal to recomputes over the synced table."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string("id long, grp string, val long")
+    pipe = compile_pipeline(
+        spark,
+        MV_CONFIG,
+        schemas={("src", "t"): schema},
+        primary_keys={("src", "t"): ["id"]},
+        target_root=str(tmp_path / "targets"),
+    )
+    assert pipe.routes[0].versioned  # the MV declaration forces it
+    assert set(pipe.mviews) == {"t_by_grp", "t_val_hist"}
+
+    def typed(rows):
+        return spark.createDataFrame(
+            rows, "op string, seq long, id long, grp string, val long"
+        )
+
+    env_dir = str(tmp_path / "envelope")
+    batches = [
+        typed([("insert", i, i, "g%d" % (i % 2), i * 10) for i in range(1, 8)]),
+        typed([("update", 10, 1, "g0", 999), ("delete", 11, 2, "g0", 20),
+               ("insert", 12, 20, "g1", 55)]),
+    ]
+    for t in batches:
+        envelope_from_typed(
+            t.select("id", "grp", "val", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    q = pipe.run_stream(
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    tgt = pipe.read_target("dw", "ods_t")
+    exp_agg = {
+        (r.grp): (r.cnt, r.s)
+        for r in tgt.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("val").alias("s"))
+        .collect()
+    }
+    got_agg = {
+        r.grp: (r.cnt, r.sum_val) for r in pipe.read_mview("t_by_grp").collect()
+    }
+    assert got_agg == exp_agg
+    exp_bins: dict = {}
+    for r in tgt.collect():
+        k = (r.grp, r.val // 25)
+        exp_bins[k] = exp_bins.get(k, 0) + 1
+    got_bins = {
+        (r.grp, r.bin): r.cnt for r in pipe.read_mview("t_val_hist").collect()
+    }
+    assert got_bins == exp_bins
