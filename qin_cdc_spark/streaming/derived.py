@@ -1151,14 +1151,6 @@ class DerivedTopKTable:
 
     # -- ordering helpers ----------------------------------------------------
 
-    def _order_struct(self, value_expr, key_exprs) -> F.Column:
-        """One struct whose natural ascending order IS the rank order
-        (value desc via negation⁻¹ trick is wrong for longs at the
-        boundary — use descending sort fields instead where sorting;
-        this struct is only used for floor/τ comparisons where a
-        2-field lexicographic compare is done explicitly)."""
-        return F.struct(value_expr.alias("v"), *key_exprs)
-
     def _ranks_above(self, lv, lks, rv, rks) -> F.Column:
         """(lv, lks) ranks strictly above (rv, rks) in (value desc,
         keys asc)."""
@@ -1544,9 +1536,15 @@ class DerivedKeyedAggTable:
                     (
                         F.coalesce(self.cnt_col, F.lit(0)) + F.col("_dcnt")
                     ).cast("long").alias(self.cnt_col),
+                    # arithmetic merge (unlike the re-aggregation the
+                    # snapshot-pointer MV does, where SUM just skips
+                    # nulls): a delta whose values were ALL NULL sums to
+                    # NULL and would null out the stored total — treat
+                    # null-valued rows as contributing 0 on both sides
                     *[
                         (
-                            F.coalesce(f"sum_{c}", F.lit(0)) + F.col(f"_dsum_{c}")
+                            F.coalesce(f"sum_{c}", F.lit(0))
+                            + F.coalesce(f"_dsum_{c}", F.lit(0))
                         ).cast("long").alias(f"sum_{c}")
                         for c in self.sum_cols
                     ],

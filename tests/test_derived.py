@@ -1759,3 +1759,14 @@ def test_keyed_agg_survives_source_add_column(spark, tmp_path):
     tbl.merge(evolved)
     mv.refresh(tbl)
     assert _ka_view(mv) == _ka_recompute(tbl)
+
+
+def test_keyed_agg_all_null_delta_keeps_prior_sum(spark, tmp_path):
+    """A delta whose value column is entirely NULL must not null out
+    the stored total (arithmetic merge trap: prior + NULL = NULL)."""
+    tbl, mv = _mk_ka(spark, tmp_path)
+    tbl.merge(_ka_changes(spark, [("insert", 1, 1, "g", 5), ("insert", 2, 2, "g", 7)]))
+    mv.refresh(tbl)
+    tbl.merge(_ka_changes(spark, [("insert", 10, 3, "g", None)]))
+    mv.refresh(tbl)
+    assert _ka_view(mv) == {"g": (3, 12)}
