@@ -74,19 +74,28 @@ def test_candidates_match_inline_lsh_banding(spark, tmp_path):
     idx.build(docs)
     got = {(r.doc_a, r.doc_b) for r in idx.candidate_pairs().collect()}
 
-    banded = docs.select(
+    # materialization barrier + parallelism, the PLANS.md hazard pair:
+    # without persist, CollapseProject inlines the 64-hash signature
+    # into both sides of the self-join (each exploded band row
+    # re-evaluates the interpreted ArrayTransform chain), and the
+    # one-file fixture scans as a single partition — together this
+    # turned the reference side into a ~15-minute single-thread stage
+    banded = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.explode(
             lsh_band_keys(minhash_signature(word_shingles(F.col("text")), 64), 16, 4)
         ).alias("band"),
-    )
-    want = {
-        (r.doc_a, r.doc_b)
-        for r in banded.alias("x")
-        .join(banded.alias("y"), "band")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-        .collect()
-    }
+    ).persist()
+    try:
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in banded.alias("x")
+            .join(banded.alias("y"), "band")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
+            .collect()
+        }
+    finally:
+        banded.unpersist()
     assert got == want
