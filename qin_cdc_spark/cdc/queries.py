@@ -1329,3 +1329,109 @@ FROM live GROUP BY 1
 
 QUERIES["cdc_derived_distinct"] = cdc_derived_distinct
 ORACLES["cdc_derived_distinct"] = CDC_DERIVED_DISTINCT_ORACLE
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history maintained INCREMENTALLY: the
+    orders change stream applies in two batches to an ``ScdType2Table``
+    (streaming/scd2.py), which keeps one row per VERSION of each order
+    with its validity interval [valid_from, valid_to) in stream-seq
+    coordinates — updates close the open interval and open the next,
+    deletes close without reopening.  The reference ships only current
+    rows to the warehouse and leaves history there (outputs/starrocks/
+    starrocks.go:136-208); this maintains it engine-side at
+    O(batch + touched buckets) per batch (state bucketed by the
+    BUSINESS key alone, so closing a key's open interval is a
+    one-bucket read).  The oracle derives every interval from scratch
+    with one window pass over the full stream — the hash check proves
+    two-batch incremental maintenance == the one-shot derivation,
+    intervals, open flags and carried values alike."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    scd = ScdType2Table(
+        spark, tempfile.mkdtemp(prefix="scd2_gate_") + "/h",
+        keys=["o_orderkey"], n_buckets=8,
+    )
+    scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
+    scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=1)
+    return scd.read_history().select(
+        "o_orderkey", "valid_from", "valid_to", "is_current",
+        "o_custkey", "o_orderstatus", "o_totalprice",
+    )
+
+
+CDC_SCD2_HISTORY_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+  FROM ev
+)
+SELECT o_orderkey, seq AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current,
+       o_custkey, o_orderstatus, o_totalprice
+FROM h WHERE op <> 'delete'
+"""
+
+QUERIES["cdc_scd2_history"] = cdc_scd2_history
+ORACLES["cdc_scd2_history"] = CDC_SCD2_HISTORY_ORACLE
+
+
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join — the Flink temporal-table-join /
+    feature-store point-in-time-correctness pattern: each lineitem fact
+    is enriched with the ORDER VERSION that was current at the fact's
+    own as-of coordinate, not today's row.  The as-of seq
+    ``l_orderkey*4 + (l_linenumber % 6) - 1`` deliberately lands before
+    the order's first event (no match → nulls), on each intermediate
+    version, and after its delete, so every interval-edge case is
+    hash-checked.  Plan shape (the scale contract): an EQUI-join on the
+    order key with the interval predicate as a residual condition —
+    never a range/cross join — so at 100 TB it is one co-partitioned
+    pass over the facts (``bench.py plans`` rejects CartesianProduct /
+    nested-loop for every registered query, this one included).
+    History derives from the landed stream via the one-window
+    ``scd2_intervals``; the incremental store is proven by
+    ``cdc_scd2_history``."""
+    from qin_cdc_spark.streaming.scd2 import scd2_intervals, temporal_join
+
+    decoded, _ = _decoded_orders_halved(spark, sf_dir)
+    hist = scd2_intervals(decoded, ["o_orderkey"]).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "valid_from", "valid_to", "o_orderstatus", "o_totalprice",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    facts = li.select("l_orderkey", "l_linenumber").distinct().withColumn(
+        "asof",
+        (F.col("l_orderkey") * 4 + (F.col("l_linenumber") % 6) - 1).cast("long"),
+    )
+    return temporal_join(facts, hist, ["l_orderkey"], "asof", how="left").select(
+        "l_orderkey", "l_linenumber", "asof",
+        "valid_from", "o_orderstatus", "o_totalprice",
+    )
+
+
+CDC_TEMPORAL_JOIN_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+  FROM ev
+),
+hist AS (SELECT * FROM h WHERE op <> 'delete'),
+f AS (
+  SELECT DISTINCT l_orderkey, l_linenumber,
+         CAST(l_orderkey*4 + (l_linenumber % 6) - 1 AS BIGINT) AS asof
+  FROM lineitem
+)
+SELECT f.l_orderkey, f.l_linenumber, f.asof,
+       h.seq AS valid_from, h.o_orderstatus, h.o_totalprice
+FROM f LEFT JOIN hist h
+  ON h.o_orderkey = f.l_orderkey
+ AND h.seq <= f.asof
+ AND (h.valid_to IS NULL OR f.asof < h.valid_to)
+"""
+
+QUERIES["cdc_temporal_join"] = cdc_temporal_join
+ORACLES["cdc_temporal_join"] = CDC_TEMPORAL_JOIN_ORACLE

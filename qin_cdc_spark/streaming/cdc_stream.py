@@ -329,6 +329,7 @@ class CdcStreamRoute:
         sink=None,
         versioned: bool = False,
         table_opts: dict | None = None,
+        history_path: str | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -355,6 +356,16 @@ class CdcStreamRoute:
         # for within-bucket range clustering) — the streaming path gets
         # the same physical-layout levers as a hand-built table.
         self.table_opts = dict(table_opts or {})
+        # history_path: maintain an SCD Type-2 history table
+        # (streaming/scd2.py) from the SAME decoded batches the target
+        # consumes — event-grain validity intervals, which a CDF-driven
+        # consumer cannot reconstruct (the CDF nets out intermediate
+        # versions within a batch).  Crash between the target merge and
+        # the history merge is safe: each store has its own batch-id
+        # replay guard, so the redelivered batch no-ops on whichever
+        # side already applied and folds into the other.
+        self.history_path = history_path
+        self.history = None
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -391,6 +402,10 @@ class CdcStreamRoute:
         )
         if self.transform is not None:
             decoded = self.transform(decoded)
+        if self.history_path is not None:
+            # history wants the RAW event grain (pre-reduction): two
+            # same-key events in one batch are two dimension versions
+            self.bind_history().apply_batch(decoded, batch_id=batch_id)
         # The merge itself reduces last-event-per-key (A27 analog) over
         # (current ∪ batch) — feeding it the raw decoded batch costs one
         # shuffle total instead of reduce-then-merge's two.
@@ -470,6 +485,20 @@ class CdcStreamRoute:
         finally:
             good.unpersist()
             bad.unpersist()
+
+    def bind_history(self):
+        """Bind the SCD2 history table lazily (post-transform columns,
+        same rule as bind_target)."""
+        if self.history is None:
+            from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+            self.history = ScdType2Table(
+                self.spark,
+                self.history_path,
+                keys=self.keys,
+                n_buckets=self.n_buckets or DEFAULT_N_BUCKETS,
+            )
+        return self.history
 
     def bind_target(self):
         """Bind the target table lazily (so a transform can change the

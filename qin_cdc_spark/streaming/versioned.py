@@ -61,11 +61,25 @@ class VersionedBucketedTable:
         n_buckets: int = 32,
         bloom_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        # bucket placement may hash a PREFIX SUBSET of the key columns
+        # (default: all of them).  Identity stays the full key; placement
+        # by the subset CO-LOCATES every row sharing it in one bucket —
+        # what a history table keyed (entity, valid_from) needs so "all
+        # versions of entity K" is a one-bucket read (see scd2.py).  All
+        # rows of a full key share any subset's hash, so LWW reduction
+        # within buckets stays exhaustive by construction.
+        self.bucket_cols = list(bucket_cols) if bucket_cols else list(self.keys)
+        unknown = set(self.bucket_cols) - set(self.keys)
+        if unknown:
+            raise ValueError(
+                f"bucket_cols must be a subset of keys; unknown: {sorted(unknown)}"
+            )
         # secondary-column data skipping: per-data-dir packed Bloom
         # bitsets maintained incrementally (touched dirs only) at merge
         # time — see read_where()
@@ -201,7 +215,7 @@ class VersionedBucketedTable:
 
     def _bucket_expr(self, n_buckets: int | None = None):
         return F.pmod(
-            F.hash(*[F.col(k) for k in self.keys]),
+            F.hash(*[F.col(k) for k in self.bucket_cols]),
             F.lit(self.n_buckets if n_buckets is None else n_buckets),
         )
 
