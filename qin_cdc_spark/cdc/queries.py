@@ -1435,3 +1435,55 @@ FROM f LEFT JOIN hist h
 
 QUERIES["cdc_temporal_join"] = cdc_temporal_join
 ORACLES["cdc_temporal_join"] = CDC_TEMPORAL_JOIN_ORACLE
+
+
+def cdc_partitioned_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned CDC target + partition-grain retention: the
+    orders change stream applies in two batches to a
+    ``PartitionedVersionedTable`` partitioned by order YEAR (immutable
+    per key — the partitioning contract), then every partition before
+    1995 is DROPPED.  The drop is a parent-manifest edit — zero data
+    movement, the 100 TB retention story (purge-by-key would touch
+    every bucket of the dropped years) — and time travel to the
+    pre-drop snapshot still works until ``expire`` reclaims it
+    (pytest-asserted).  The result must equal the full-stream LWW
+    materialization filtered to the retained years; per-partition reads
+    open ONLY the named partitions' files (pytest-asserted via
+    inputFiles)."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn("o_year", F.year("o_orderdate")),
+        land_key="orders_year",
+    )
+    tbl = PartitionedVersionedTable(
+        spark, tempfile.mkdtemp(prefix="part_gate_") + "/t",
+        ["o_orderkey"], partition_col="o_year", n_buckets=4,
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    doomed = [int(p) for p in tbl.partitions() if int(p) < 1995]
+    tbl.drop_partitions(doomed)
+    return tbl.read().select(
+        "o_orderkey", "o_year", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+CDC_PARTITIONED_RETENTION_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+       o_custkey, o_orderstatus, o_totalprice
+FROM last
+WHERE rn = 1 AND op <> 'delete' AND year(o_orderdate) >= 1995
+"""
+
+QUERIES["cdc_partitioned_retention"] = cdc_partitioned_retention
+ORACLES["cdc_partitioned_retention"] = CDC_PARTITIONED_RETENTION_ORACLE

@@ -34,8 +34,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Never-driver-checked ledger for the NEXT rotation (round 6): the 50-entry
 # prefix is full, so round-5 additions past slot 50 wait one round —
 # currently: cdc_derived_topk, cdc_derived_keyed_agg, cdc_derived_mv_chain,
-# cdc_table_stats_incremental, cdc_scd2_history, cdc_temporal_join
-# (all oracle-backed, all pass the local gate).
+# cdc_table_stats_incremental, cdc_scd2_history, cdc_temporal_join,
+# cdc_partitioned_retention (all oracle-backed, all pass the local gate).
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge

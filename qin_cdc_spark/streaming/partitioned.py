@@ -1,0 +1,366 @@
+"""Time-partitioned CDC target: partition-grain retention + pruning.
+
+A 100 TB synced fact table is not just hash-bucketed — it is
+partitioned by an immutable time-derived column (order year/month,
+ingestion date) so that (a) retention is a PARTITION DROP, a pure
+manifest edit with zero data movement, instead of a purge that touches
+every bucket, and (b) time-scoped reads open only the partitions they
+name (planning-time pruning, like Iceberg partition specs / Hive-style
+layout).  The reference has no table layout at all (it streams to a
+warehouse and leaves layout there); this composes the engine's own
+versioned store into that layout:
+
+* each partition value owns an independent ``VersionedBucketedTable``
+  under ``path/p=<value>/<generation>/`` — all of its machinery
+  (touched-bucket merges, Bloom skipping, clustering, per-partition
+  time travel) applies unchanged within the partition;
+* a PARENT manifest maps each parent version to
+  ``{partition: (generation, sub_version)}`` — one atomic pointer flip
+  per merge/drop, so cross-partition reads are always a consistent
+  snapshot (the SnapshotCoordinator idea, applied to partitions of one
+  table);
+* ``drop_partitions`` mints a new parent version WITHOUT the named
+  partitions — O(1), no data touched; older parent versions still
+  time-travel to them until ``expire`` physically reclaims generations
+  no retained parent version references;
+* late data for a dropped partition starts a FRESH generation (a new
+  sub-store): resurrecting the old store would silently un-delete every
+  dropped row.  Generation names derive from the batch id, so a
+  crash-replayed batch re-enters the SAME generation and its sub-store
+  batch guard makes the replay a no-op.
+
+The parent exposes the same consumer surface as the flat store —
+``current_version`` / ``read_at`` / ``changes_between(include_preimage=)``
+— so the retractable-MV family (streaming/derived.py) maintains itself
+from a partitioned table unchanged, and a partition drop RETRACTS its
+rows from every downstream view through the normal CDF refresh: 100 TB
+retention that keeps the serving aggregates consistent for free.
+
+Contract: the partition column must be IMMUTABLE per key (derive it
+from creation time, not from mutable state).  A key whose partition
+value changed would live in two partitions at once — the same contract
+Hive/Iceberg static partitioning imposes.  Partitions-per-batch is
+assumed small (late-arriving data spans recent partitions, not all of
+history); the distinct-partition list ships driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+PART_META_NAME = "_partitioned_meta.json"
+_SAFE_PART = re.compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+class PartitionedVersionedTable:
+    """Partition-by-immutable-column layout over versioned sub-tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        *,
+        partition_col: str,
+        n_buckets: int = 32,
+        table_opts: dict | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.partition_col = partition_col
+        self.n_buckets = n_buckets
+        self.table_opts = dict(table_opts or {})
+        # MV-consumer duck typing: no cross-partition Bloom index (each
+        # sub-table may carry its own); probes fall through to the
+        # semi-join path.
+        self.bloom_cols: list[str] = []
+
+    # -- parent manifest -----------------------------------------------------
+
+    def _meta(self) -> dict:
+        p = os.path.join(self.path, PART_META_NAME)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"current": 0, "last_batch_id": -1, "versions": {}}
+
+    def _publish(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{PART_META_NAME}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, PART_META_NAME))
+
+    def exists(self) -> bool:
+        return bool(self._meta()["versions"])
+
+    def current_version(self) -> int:
+        return self._meta()["current"]
+
+    def versions(self) -> list[int]:
+        return sorted(int(v) for v in self._meta()["versions"])
+
+    def last_batch_id(self) -> int:
+        return self._meta()["last_batch_id"]
+
+    def partitions(self, version: int | None = None) -> list[str]:
+        meta = self._meta()
+        v = meta["current"] if version is None else version
+        man = meta["versions"].get(str(v))
+        return sorted(man) if man else []
+
+    # -- sub-store plumbing ----------------------------------------------------
+
+    @staticmethod
+    def _pstr(value) -> str:
+        s = str(value)
+        if not _SAFE_PART.match(s):
+            raise ValueError(
+                f"partition value {value!r} is not path-safe "
+                "(allowed: letters, digits, _ . -)"
+            )
+        return s
+
+    def _sub(self, pstr: str, gen: str) -> VersionedBucketedTable:
+        return VersionedBucketedTable(
+            self.spark,
+            os.path.join(self.path, f"p={pstr}", gen),
+            self.keys,
+            n_buckets=self.n_buckets,
+            **self.table_opts,
+        )
+
+    def _manifest(self, version: int | None = None) -> dict:
+        meta = self._meta()
+        if not meta["versions"]:
+            return {}
+        v = meta["current"] if version is None else version
+        man = meta["versions"].get(str(v))
+        if man is None:
+            raise ValueError(
+                f"version {v} not retained at {self.path} "
+                f"(have {self.versions()}) — expired?"
+            )
+        return man
+
+    # -- merge -----------------------------------------------------------------
+
+    def merge(
+        self,
+        changes: DataFrame,
+        *,
+        op_col: str = "op",
+        seq_col: str = "seq",
+        batch_id: int | None = None,
+    ) -> int:
+        """LWW-merge a change batch, split by partition value, as one
+        new PARENT snapshot.  Each partition slice merges into its own
+        sub-store (touched-bucket cost, independent batch guard); the
+        parent manifest records the consistent {partition → sub-version}
+        map in one atomic flip AFTER every slice landed.  A crash
+        mid-way replays safely: sub-store guards no-op the landed
+        slices, the parent publish completes the batch."""
+        meta = self._meta()
+        if batch_id is not None and batch_id <= meta["last_batch_id"]:
+            return meta["current"]
+        pvals = [
+            r[0]
+            for r in changes.select(self.partition_col).distinct().collect()
+        ]
+        if any(v is None for v in pvals):
+            raise ValueError(
+                f"merge: NULL {self.partition_col} — the partition column "
+                "must be present on every change row"
+            )
+        if not pvals:
+            # empty batch: advance the replay guard, mint no snapshot
+            if batch_id is not None:
+                meta["last_batch_id"] = batch_id
+                self._publish(meta)
+            return meta["current"]
+        cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
+        new_man = dict(cur_man)
+        for pv in sorted(pvals, key=str):
+            pstr = self._pstr(pv)
+            ent = cur_man.get(pstr)
+            if ent is None:
+                # new partition — or one dropped earlier: a FRESH
+                # generation (resurrecting the old store would un-delete
+                # every dropped row).  Deterministic name ⇒ a replayed
+                # batch re-enters the same generation and no-ops on its
+                # sub batch guard.
+                gen = f"g{batch_id}" if batch_id is not None else f"g-{uuid.uuid4().hex[:8]}"
+            else:
+                gen = ent["gen"]
+            sub = self._sub(pstr, gen)
+            sv = sub.merge(
+                changes.filter(F.col(self.partition_col) == F.lit(pv)),
+                op_col=op_col,
+                seq_col=seq_col,
+                batch_id=batch_id,
+            )
+            new_man[pstr] = {"gen": gen, "v": sv}
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = new_man
+        meta["current"] = new_v
+        if batch_id is not None:
+            meta["last_batch_id"] = batch_id
+        self._publish(meta)
+        return new_v
+
+    # -- retention ---------------------------------------------------------------
+
+    def drop_partitions(self, values: list) -> int:
+        """Retention drop: mint a new parent version WITHOUT the named
+        partitions — a manifest edit, zero data movement (at 100 TB the
+        alternative, purge-by-key, touches every bucket of the dropped
+        range).  Older parent versions still time-travel to the dropped
+        data until ``expire`` reclaims it; downstream MVs see the drop
+        as deletes in ``changes_between`` and retract accordingly."""
+        meta = self._meta()
+        cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
+        doomed = {self._pstr(v) for v in values}
+        new_man = {p: e for p, e in cur_man.items() if p not in doomed}
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = new_man
+        meta["current"] = new_v
+        self._publish(meta)
+        return new_v
+
+    def expire(self, *, keep_last: int = 1) -> None:
+        """Expire parent snapshots, then physically reclaim: whole
+        generation dirs no retained parent version references (the
+        dropped partitions), and unreferenced sub-versions inside the
+        generations that survive."""
+        meta = self._meta()
+        vs = sorted(int(v) for v in meta["versions"])
+        keep = {meta["current"], *vs[-max(1, keep_last):]}
+        for v in [v for v in vs if v not in keep]:
+            del meta["versions"][str(v)]
+        self._publish(meta)
+        # referenced (partition, generation) → {sub-versions}
+        refs: dict[tuple[str, str], set[int]] = {}
+        for man in meta["versions"].values():
+            for pstr, ent in man.items():
+                refs.setdefault((pstr, ent["gen"]), set()).add(int(ent["v"]))
+        if not os.path.isdir(self.path):
+            return
+        for pdir in os.listdir(self.path):
+            if not pdir.startswith("p="):
+                continue
+            pstr = pdir[2:]
+            pd = os.path.join(self.path, pdir)
+            for gen in os.listdir(pd):
+                live = refs.get((pstr, gen))
+                if live is None:
+                    shutil.rmtree(os.path.join(pd, gen), ignore_errors=True)
+                else:
+                    self._sub(pstr, gen).gc(keep_versions=live)
+            if not os.listdir(pd):
+                os.rmdir(pd)
+
+    # -- reads ---------------------------------------------------------------------
+
+    def _union(self, frames: list[DataFrame]) -> DataFrame | None:
+        frames = [f for f in frames if f is not None]
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def read(self, partitions: list | None = None) -> DataFrame | None:
+        """Current snapshot; ``partitions`` prunes to the named values —
+        planning-time path selection, no other partition's files appear
+        in the scan (pytest-asserted via inputFiles)."""
+        return self.read_at(self.current_version(), partitions=partitions)
+
+    def read_at(
+        self, version: int, partitions: list | None = None
+    ) -> DataFrame | None:
+        man = self._manifest(version)
+        if partitions is not None:
+            names = {self._pstr(p) for p in partitions}
+            man = {p: e for p, e in man.items() if p in names}
+        return self._union(
+            [
+                self._sub(p, e["gen"]).read_at(e["v"])
+                for p, e in sorted(man.items())
+            ]
+        )
+
+    # -- change data feed ------------------------------------------------------------
+
+    def _value_cols(self, df: DataFrame) -> list[str]:
+        return [c for c in df.columns if c not in self.keys]
+
+    def _as_inserts(self, rows: DataFrame, include_preimage: bool) -> DataFrame:
+        out = rows.withColumn("_change", F.lit("insert"))
+        if include_preimage:
+            for c in self._value_cols(rows):
+                out = out.withColumn(f"_pre_{c}", F.lit(None))
+        return out
+
+    def _as_deletes(self, rows: DataFrame, include_preimage: bool) -> DataFrame:
+        """Mirror the flat store's delete shape: value columns are typed
+        NULLs (the post-image side has no row), preimages carry the
+        values."""
+        vcols = self._value_cols(rows)
+        sel = [*self.keys]
+        for f in rows.schema.fields:
+            if f.name in vcols:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        out = rows.select(*sel).withColumn("_change", F.lit("delete"))
+        if include_preimage:
+            pre = rows.select(
+                *self.keys, *[F.col(c).alias(f"_pre_{c}") for c in vcols]
+            )
+            out = out.join(pre, self.keys, "inner")
+        return out
+
+    def changes_between(
+        self, v_from: int, v_to: int, *, include_preimage: bool = False
+    ) -> DataFrame:
+        """CDF across partitions: per-partition sub-CDFs for partitions
+        live in both snapshots (skipped entirely when the sub-version
+        did not move), whole-partition inserts for partitions born in
+        the range, whole-partition DELETES for partitions dropped in
+        the range (or replaced by a later generation) — which is what
+        lets a downstream MV treat a retention drop as ordinary
+        retraction."""
+        m_from = self._manifest(v_from) if v_from > 0 else {}
+        m_to = self._manifest(v_to)
+        parts: list[DataFrame] = []
+        for pstr in sorted(set(m_from) | set(m_to)):
+            a, b = m_from.get(pstr), m_to.get(pstr)
+            if a is not None and b is not None and a["gen"] == b["gen"]:
+                if a["v"] != b["v"]:
+                    parts.append(
+                        self._sub(pstr, a["gen"]).changes_between(
+                            a["v"], b["v"], include_preimage=include_preimage
+                        )
+                    )
+                continue
+            if a is not None:  # dropped (or generation replaced)
+                old = self._sub(pstr, a["gen"]).read_at(a["v"])
+                if old is not None:
+                    parts.append(self._as_deletes(old, include_preimage))
+            if b is not None:  # born (or generation replaced)
+                new = self._sub(pstr, b["gen"]).read_at(b["v"])
+                if new is not None:
+                    parts.append(self._as_inserts(new, include_preimage))
+        out = self._union(parts)
+        if out is None:
+            raise ValueError("changes_between: v_to snapshot is empty")
+        return out
