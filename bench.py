@@ -91,6 +91,12 @@ HEADLINE = [
     # round-5 session 2: high-cardinality keyed MV (bucketed state,
     # touched-bucket rewrites) — the scale-relevant new MV shape
     "cdc_derived_keyed_agg",
+    # round-5 session 3: SCD2 history maintenance, the temporal
+    # point-in-time join, and the partitioned target with retention —
+    # each end to end (merges + the consumer read)
+    "cdc_scd2_history",
+    "cdc_temporal_join",
+    "cdc_partitioned_retention",
 ]
 
 

@@ -38,6 +38,16 @@ class Router:
     target_table: str
     source_columns: tuple[str, ...] = ()
     target_columns: tuple[str, ...] = ()
+    # engine extensions to the reference's router schema (which has no
+    # target layout concept — the warehouse owns it there):
+    # partition-col makes the target a PartitionedVersionedTable
+    # (immutable-column partitioning, partition-grain retention);
+    # partition-keep-latest = N applies drop-all-but-newest-N after
+    # every batch; history = true maintains an SCD Type-2 history table
+    # beside the target (streaming/scd2.py).
+    partition_col: str | None = None
+    partition_keep_latest: int | None = None
+    history: bool = False
 
     @property
     def key(self) -> str:
@@ -112,6 +122,13 @@ def parse_config(text: str) -> PipelineConfig:
                 target_table=r.get("target-table", r["source-table"]),
                 source_columns=src_cols,
                 target_columns=tgt_cols,
+                partition_col=r.get("partition-col"),
+                partition_keep_latest=(
+                    int(r["partition-keep-latest"])
+                    if "partition-keep-latest" in r
+                    else None
+                ),
+                history=bool(r.get("history", False)),
             )
         )
 

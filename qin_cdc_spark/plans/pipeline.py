@@ -112,6 +112,14 @@ class Pipeline:
                     n_buckets=n_buckets,
                     sink=sink,
                     versioned=has_mv,
+                    # router-level layout extensions (config.py::Router):
+                    # immutable-column partitioning + in-stream retention,
+                    # and an SCD2 history table beside the target
+                    partition_col=router.partition_col,
+                    partition_keep_latest=router.partition_keep_latest,
+                    history_path=(
+                        target_path + "_history" if router.history else None
+                    ),
                 )
             )
 
@@ -207,6 +215,17 @@ class Pipeline:
         for route, router in zip(self.routes, self.config.routers):
             if (router.target_schema, router.target_table) == (target_schema, target_table):
                 return route.bind_target().read()
+        return None
+
+    def read_history(self, target_schema: str, target_table: str) -> DataFrame | None:
+        """The SCD2 history of a route declared with ``history = true``."""
+        for route, router in zip(self.routes, self.config.routers):
+            if (router.target_schema, router.target_table) == (target_schema, target_table):
+                if route.history_path is None:
+                    raise ValueError(
+                        f"route {target_schema}.{target_table} declares no history"
+                    )
+                return route.bind_history().read_history()
         return None
 
 

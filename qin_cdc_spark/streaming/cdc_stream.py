@@ -330,6 +330,8 @@ class CdcStreamRoute:
         versioned: bool = False,
         table_opts: dict | None = None,
         history_path: str | None = None,
+        partition_col: str | None = None,
+        partition_keep_latest: int | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -366,6 +368,17 @@ class CdcStreamRoute:
         # side already applied and folds into the other.
         self.history_path = history_path
         self.history = None
+        # partition_col: the target becomes a PartitionedVersionedTable
+        # (streaming/partitioned.py) — partition-grain retention and
+        # partition-pruned reads for 100 TB fact tables.  The column
+        # must be immutable per key (the static-partitioning contract).
+        # partition_keep_latest=N applies the retention policy after
+        # every batch: drop all but the newest N partitions, a manifest
+        # edit that no-ops when nothing is droppable (replay-safe).
+        self.partition_col = partition_col
+        self.partition_keep_latest = partition_keep_latest
+        if partition_keep_latest is not None and partition_col is None:
+            raise ValueError("partition_keep_latest requires partition_col")
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -419,7 +432,11 @@ class CdcStreamRoute:
             self.sink(latest_by_key(reduced, self.keys))
             return
         self.bind_target()
-        if self.versioned:
+        if self.partition_col is not None:
+            self.target.merge(reduced, batch_id=batch_id)
+            if self.partition_keep_latest is not None:
+                self.target.retain_latest(self.partition_keep_latest)
+        elif self.versioned:
             self.target.merge(reduced, batch_id=batch_id)
         else:
             self.target.merge(reduced)
@@ -505,7 +522,20 @@ class CdcStreamRoute:
         column set first).  One binding rule for apply AND read paths —
         a bucketed target must never be read through the flat class."""
         if self.target is None:
-            if self.versioned:
+            if self.partition_col is not None:
+                from qin_cdc_spark.streaming.partitioned import (
+                    PartitionedVersionedTable,
+                )
+
+                self.target = PartitionedVersionedTable(
+                    self.spark,
+                    self.target_path,
+                    self.keys,
+                    partition_col=self.partition_col,
+                    n_buckets=self.n_buckets or DEFAULT_N_BUCKETS,
+                    table_opts=self.table_opts,
+                )
+            elif self.versioned:
                 from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
                 self.target = VersionedBucketedTable(

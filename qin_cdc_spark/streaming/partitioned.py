@@ -230,12 +230,33 @@ class PartitionedVersionedTable:
         meta = self._meta()
         cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
         doomed = {self._pstr(v) for v in values}
+        if not doomed & set(cur_man):
+            # nothing to drop (e.g. a replayed retention pass): no mint
+            return meta["current"]
         new_man = {p: e for p, e in cur_man.items() if p not in doomed}
         new_v = meta["current"] + 1
         meta["versions"][str(new_v)] = new_man
         meta["current"] = new_v
         self._publish(meta)
         return new_v
+
+    def retain_latest(self, keep: int) -> int:
+        """Streaming retention policy: drop every partition but the
+        newest ``keep`` (numeric order when every value parses as an
+        int — years, epoch days — else lexicographic, which matches
+        zero-padded date strings).  No-ops (no version mint) when
+        nothing is droppable, so a stream may call it after every
+        batch."""
+        if keep < 1:
+            raise ValueError("retain_latest: keep must be >= 1")
+        parts = self.partitions()
+        if len(parts) <= keep:
+            return self.current_version()
+        try:
+            ordered = sorted(parts, key=int)
+        except ValueError:
+            ordered = sorted(parts)
+        return self.drop_partitions(ordered[:-keep])
 
     def expire(self, *, keep_last: int = 1) -> None:
         """Expire parent snapshots, then physically reclaim: whole

@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+from tests.test_scd2 import _intervals_py
 
 
 def _ev(spark, rows):
@@ -165,6 +166,73 @@ def test_cdf_shapes_match_flat_store(spark, tmp_path):
     cdf = tbl.changes_between(v2, v3, include_preimage=True)
     rows = {r.k: (r._change, r.v, r._pre_v) for r in cdf.collect()}
     assert rows == {1: ("delete", None, 10), 2: ("delete", None, 21)}
+
+
+PIPE_CONFIG = """
+name = "partitioned-sync"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+partition-col = "yr"
+partition-keep-latest = 2
+history = true
+"""
+
+
+def test_pipeline_partitioned_route_with_retention_and_history(spark, tmp_path):
+    """Router-level layout extensions end to end: a TOML-declared
+    partitioned target with in-stream retention (keep newest 2 year
+    partitions) plus an SCD2 history table, maintained across streamed
+    micro-batches."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.plans.pipeline import compile_pipeline
+    from qin_cdc_spark.streaming.cdc_stream import file_envelope_stream
+
+    schema = _parse_datatype_string("k long, yr int, v long")
+    pipe = compile_pipeline(
+        spark,
+        PIPE_CONFIG,
+        schemas={("src", "t"): schema},
+        primary_keys={("src", "t"): ["k"]},
+        target_root=str(tmp_path / "targets"),
+        n_buckets=2,
+    )
+    env_dir = str(tmp_path / "envelope")
+    batches = [_ev(spark, BATCH1), _ev(spark, BATCH2)]
+    for t in batches:
+        envelope_from_typed(
+            t.select("k", "yr", "v", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+    q = pipe.run_stream(
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    tgt = pipe.routes[0].target
+    # retention kept only the newest 2 year partitions
+    assert tgt.partitions() == ["1996", "1997"]
+    live = {r.k: (r.yr, r.v) for r in pipe.read_target("dw", "ods_t").collect()}
+    assert live == {4: (1996, 40), 5: (1997, 50)}
+    # SCD2 history rode the same batches (full event grain, pre-drop)
+    hist = {
+        (r.k, r.valid_from): (r.valid_to, r.v)
+        for r in pipe.read_history("dw", "ods_t").collect()
+    }
+    assert hist == _intervals_py(
+        [(op, seq, k, v) for op, seq, k, yr, v in BATCH1 + BATCH2]
+    )
 
 
 def test_partition_value_must_be_path_safe(spark, tmp_path):
