@@ -1487,3 +1487,87 @@ WHERE rn = 1 AND op <> 'delete' AND year(o_orderdate) >= 1995
 
 QUERIES["cdc_partitioned_retention"] = cdc_partitioned_retention
 ORACLES["cdc_partitioned_retention"] = CDC_PARTITIONED_RETENTION_ORACLE
+
+
+def cdc_cdf_kafka_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF EGRESS in the reference's Kafka wire format — the CDC-relay
+    loop closed: a maintained versioned table re-emits its own change
+    feed downstream as ``{database, table, type, ts, data, old}``
+    messages (outputs/kafka/kafka_utils.go:73-94), with the update
+    messages carrying the PREIMAGE as ``old`` and delete messages
+    naming the removed row — exactly what the reference forwards from
+    the binlog, here reconstructed from snapshots.  The oracle builds
+    the same per-key diff between the half-stream and full-stream LWW
+    materializations and renders the SAME JSON — the wire BYTES are
+    hash-checked, not just their parse (the ``kafka_default_format``
+    precedent, extended to a real preimage-carrying feed)."""
+    import tempfile
+
+    from qin_cdc_spark.sinks.kafka import cdf_json_messages
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    tbl = VersionedBucketedTable(
+        spark, tempfile.mkdtemp(prefix="egress_gate_") + "/t",
+        ["o_orderkey"], n_buckets=8,
+    )
+    v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    v2 = tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    return cdf_json_messages(
+        tbl, v1, v2, database="src", table_name="orders", ts_epoch=1704067200
+    )
+
+
+CDC_CDF_KAFKA_EGRESS_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (SELECT max(seq) // 2 AS s FROM ev),
+a AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+    FROM ev WHERE seq <= (SELECT s FROM half))
+  WHERE rn = 1 AND op <> 'delete'
+),
+b AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+    FROM ev)
+  WHERE rn = 1 AND op <> 'delete'
+),
+d AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+              WHEN b.o_orderkey IS NULL THEN 'delete'
+              WHEN a.seq <> b.seq THEN 'update' END AS type,
+         a.o_custkey AS ac, a.o_orderstatus AS ast, a.o_totalprice AS ap,
+         -- render timestamps the way Spark's to_json does (ISO-8601,
+         -- UTC session tz, millisecond precision) — fixture dates are
+         -- midnight, so the .000Z suffix is exact
+         strftime(a.o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000Z' AS ad,
+         a.o_orderpriority AS apr,
+         b.o_custkey AS bc, b.o_orderstatus AS bst, b.o_totalprice AS bp,
+         strftime(b.o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000Z' AS bd,
+         b.o_orderpriority AS bpr
+  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT CAST(k AS VARCHAR) AS key,
+       to_json(struct_pack(
+         database := 'src',
+         "table" := 'orders',
+         type := type,
+         ts := CAST(1704067200 AS BIGINT),
+         data := struct_pack(
+           o_orderkey := k,
+           o_custkey := CASE WHEN type = 'delete' THEN ac ELSE bc END,
+           o_orderstatus := CASE WHEN type = 'delete' THEN ast ELSE bst END,
+           o_totalprice := CASE WHEN type = 'delete' THEN ap ELSE bp END,
+           o_orderdate := CASE WHEN type = 'delete' THEN ad ELSE bd END,
+           o_orderpriority := CASE WHEN type = 'delete' THEN apr ELSE bpr END),
+         old := CASE WHEN type = 'update' THEN struct_pack(
+           o_orderkey := k, o_custkey := ac, o_orderstatus := ast,
+           o_totalprice := ap, o_orderdate := ad, o_orderpriority := apr)
+         END))::VARCHAR AS value
+FROM d WHERE type IS NOT NULL
+"""
+
+QUERIES["cdc_cdf_kafka_egress"] = cdc_cdf_kafka_egress
+ORACLES["cdc_cdf_kafka_egress"] = CDC_CDF_KAFKA_EGRESS_ORACLE

@@ -118,6 +118,73 @@ def canal_json_value(
     )
 
 
+def cdf_json_messages(
+    table,
+    v_from: int,
+    v_to: int,
+    *,
+    database: str,
+    table_name: str,
+    ts_epoch: int = 0,
+) -> DataFrame:
+    """CDF EGRESS: re-emit a versioned table's change feed between two
+    snapshots as reference-format Kafka messages — the CDC-relay loop
+    closed engine-side.  The reference's one job is MySQL→Kafka
+    (outputs/kafka/kafka.go:154-208); here any maintained table (a
+    synced target, an MV's bucketed state, a partitioned fact) replays
+    its own changes downstream in the same default JSON wire format
+    ``{database, table, type, ts, data, old}``
+    (outputs/kafka/kafka_utils.go:73-94), faithfully:
+
+    * insert → data = postimage, old = null
+    * update → data = postimage, old = PREIMAGE (the reference carries
+      the old row image on updates — the preimage CDF provides it)
+    * delete → data = preimage (a delete message names the row it
+      removes, not nulls), old = null
+
+    ``ts_epoch`` stamps the envelope ts (the relay's emission time in
+    production; a deterministic literal here so the wire bytes are
+    oracle-checkable).  Everything is JVM-side ``to_json`` — O(|CDF|)
+    with no Python in the path."""
+    cdf = table.changes_between(v_from, v_to, include_preimage=True)
+    keys = list(table.keys)
+    value_cols = [
+        c
+        for c in cdf.columns
+        if c not in {*keys, "_change"} and not c.startswith("_pre_")
+    ]
+    is_del = F.col("_change") == "delete"
+    is_upd = F.col("_change") == "update"
+    data = F.struct(
+        *[F.col(k).alias(k) for k in keys],
+        *[
+            F.when(is_del, F.col(f"_pre_{c}")).otherwise(F.col(c)).alias(c)
+            for c in value_cols
+        ],
+    )
+    old = F.when(
+        is_upd,
+        F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(f"_pre_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    return cdf.select(
+        kafka_key(keys).alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit(database).alias("database"),
+                F.lit(table_name).alias("table"),
+                F.col("_change").alias("type"),
+                F.lit(ts_epoch).cast("long").alias("ts"),
+                data.alias("data"),
+                old.alias("old"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value"),
+    )
+
+
 def write_kafka_stream(
     formatted: DataFrame,
     *,

@@ -190,7 +190,8 @@ class PartitionedVersionedTable:
             return meta["current"]
         cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
         new_man = dict(cur_man)
-        for pv in sorted(pvals, key=str):
+
+        def _merge_one(pv):
             pstr = self._pstr(pv)
             ent = cur_man.get(pstr)
             if ent is None:
@@ -202,14 +203,28 @@ class PartitionedVersionedTable:
                 gen = f"g{batch_id}" if batch_id is not None else f"g-{uuid.uuid4().hex[:8]}"
             else:
                 gen = ent["gen"]
-            sub = self._sub(pstr, gen)
-            sv = sub.merge(
+            sv = self._sub(pstr, gen).merge(
                 changes.filter(F.col(self.partition_col) == F.lit(pv)),
                 op_col=op_col,
                 seq_col=seq_col,
                 batch_id=batch_id,
             )
-            new_man[pstr] = {"gen": gen, "v": sv}
+            return pstr, {"gen": gen, "v": sv}
+
+        # sub-stores are independent (disjoint dirs + manifests), so
+        # their merges run CONCURRENTLY from driver threads — Spark
+        # interleaves the jobs across the cluster instead of leaving it
+        # idle while small per-partition merges run back to back.  A
+        # failure in any slice aborts the batch before the parent
+        # publish (landed slices replay as sub-guard no-ops).
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(pvals) == 1:
+            results = [_merge_one(pvals[0])]
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(pvals))) as ex:
+                results = list(ex.map(_merge_one, sorted(pvals, key=str)))
+        new_man.update(dict(results))
         new_v = meta["current"] + 1
         meta["versions"][str(new_v)] = new_man
         meta["current"] = new_v
