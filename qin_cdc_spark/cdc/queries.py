@@ -1571,3 +1571,51 @@ FROM d WHERE type IS NOT NULL
 
 QUERIES["cdc_cdf_kafka_egress"] = cdc_cdf_kafka_egress
 ORACLES["cdc_cdf_kafka_egress"] = CDC_CDF_KAFKA_EGRESS_ORACLE
+
+
+def cdc_gsi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global secondary index maintained from the CDF: orders indexed
+    by STATUS (a covering index carrying custkey + price), refreshed
+    across two apply batches whose updates MOVE rows between indexed
+    values (O/F/P → 'U' → 'V') — the index-move case where a naive
+    additive mirror leaves stale rows under the old value — and whose
+    deletes drop indexed rows.  ``lookup(['U','V','P'])`` is a
+    manifest-pruned read of exactly the buckets those values hash into
+    (structural one-bucket serving, vs the best-effort Bloom path of
+    ``cdc_versioned_bloom_lookup``); the oracle recomputes the filter
+    from scratch over the full-stream LWW materialization."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.gsi import GlobalSecondaryIndex
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="gsi_gate_")
+    tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
+    gsi = GlobalSecondaryIndex(
+        spark, base + "/idx", index_col="o_orderstatus",
+        pk_cols=["o_orderkey"], include_cols=["o_custkey", "o_totalprice"],
+        n_buckets=8,
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    gsi.refresh(tbl)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    gsi.refresh(tbl)
+    return gsi.lookup(["U", "V", "P"]).select(
+        "o_orderstatus", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+CDC_GSI_LOOKUP_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice
+FROM last
+WHERE rn = 1 AND op <> 'delete' AND o_orderstatus IN ('U', 'V', 'P')
+"""
+
+QUERIES["cdc_gsi_lookup"] = cdc_gsi_lookup
+ORACLES["cdc_gsi_lookup"] = CDC_GSI_LOOKUP_ORACLE
