@@ -79,4 +79,13 @@ def build_materialized_view(
             bin_width=int(cfg["bin-width"]),
             ndv_buckets=int(cfg.get("ndv-buckets", 32)),
         )
+    if mv_type == "gsi":
+        from qin_cdc_spark.streaming.gsi import GlobalSecondaryIndex
+
+        return GlobalSecondaryIndex(
+            spark, path, index_col=cfg["index-col"],
+            pk_cols=list(cfg["pk-cols"]),
+            include_cols=list(cfg.get("include-cols", [])),
+            n_buckets=int(cfg.get("n-buckets", 32)),
+        )
     raise ValueError(f"unknown materialized-view type {mv_type!r}")

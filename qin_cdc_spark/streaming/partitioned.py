@@ -336,6 +336,17 @@ class PartitionedVersionedTable:
             ]
         )
 
+    def read_key(self, partition_value, key_values: list) -> DataFrame | None:
+        """Point lookup: the partition value names the sub-store (pure
+        manifest math), whose own ``read_key`` prunes to one bucket —
+        O(partition/n_buckets) for any key at any table size."""
+        ent = self._manifest().get(self._pstr(partition_value))
+        if ent is None:
+            return None
+        return self._sub(self._pstr(partition_value), ent["gen"]).read_key(
+            key_values
+        )
+
     # -- change data feed ------------------------------------------------------------
 
     def _value_cols(self, df: DataFrame) -> list[str]:

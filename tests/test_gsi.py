@@ -110,6 +110,34 @@ def test_purge_cascades_through_index(spark, tmp_path):
     assert _idx_rows(gsi) == {("a", 1), ("b", 3)}
 
 
+def test_gsi_declared_in_mview_config(spark, tmp_path):
+    """'gsi' as a [[materialized-views]] type: refreshed in-stream like
+    any other declared view."""
+    from qin_cdc_spark.streaming.mviews import build_materialized_view
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    gsi = build_materialized_view(
+        spark, str(tmp_path / "idx"), "gsi",
+        {"index-col": "cat", "pk-cols": ["k"], "include-cols": ["v"],
+         "n-buckets": 4},
+    )
+    tbl.merge(_ev(spark, BATCH1), batch_id=0)
+    gsi.refresh(tbl)
+    assert {r.k for r in gsi.lookup(["a"]).collect()} == {1, 2}
+
+
+def test_partitioned_point_lookup(spark, tmp_path):
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    tbl = PartitionedVersionedTable(
+        spark, str(tmp_path / "pt"), ["k"], partition_col="cat", n_buckets=4
+    )
+    tbl.merge(_ev(spark, [r for r in BATCH1 if r[3] is not None]), batch_id=0)
+    got = tbl.read_key("a", [2]).collect()
+    assert [(r.k, r.v) for r in got] == [(2, 20)]
+    assert tbl.read_key("zzz", [2]) is None
+
+
 @pytest.mark.parametrize("seed", [11])
 def test_random_rounds_match_projection(spark, tmp_path, seed):
     import random
