@@ -1619,3 +1619,67 @@ WHERE rn = 1 AND op <> 'delete' AND o_orderstatus IN ('U', 'V', 'P')
 
 QUERIES["cdc_gsi_lookup"] = cdc_gsi_lookup
 ORACLES["cdc_gsi_lookup"] = CDC_GSI_LOOKUP_ORACLE
+
+
+def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels maintained INCREMENTALLY under corpus
+    mutation (streaming/cc_store.py): batch 1 plants deterministic
+    duplicate chains and pairs over the documents corpus, batch 2 ADDS
+    edges (merging components) and REMOVES every doc_id ≡ 1 (mod 10)
+    (splitting its chain — the removed bridge's neighbours fall into
+    separate components, and nodes left edgeless drop out as implicit
+    singletons).  Per batch the store touches only the affected
+    components (adjacency + labels bucket-pruned, members via the label
+    GSI) — never the graph.  The oracle recomputes min-label connected
+    components from scratch over the FINAL live edge set with a
+    recursive CTE (the ``dedup_cluster_cc`` oracle pattern); the hash
+    check proves incremental merge/split maintenance == recompute."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.cc_store import IncrementalClusterStore
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 10
+    st = IncrementalClusterStore(
+        spark, tempfile.mkdtemp(prefix="cc_gate_") + "/cc", n_buckets=8
+    )
+    b1 = (
+        d.filter(k.isin(0, 1, 2))
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .unionByName(
+            d.filter(k == 5).select(
+                F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+            )
+        )
+    )
+    st.apply_batch(b1, batch_id=0)
+    b2 = d.filter(k == 6).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 2).alias("b")
+    )
+    rm = d.filter(k == 1).select(F.col("doc_id").alias("node"))
+    st.apply_batch(b2, rm, batch_id=1)
+    return st.read().select("node", "label")
+
+
+DEDUP_CLUSTER_INCREMENTAL_ORACLE = """
+WITH RECURSIVE
+e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 IN (0, 1, 2)
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 5
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 = 6
+),
+live AS (SELECT a, b FROM e0 WHERE a % 10 <> 1 AND b % 10 <> 1),
+edges AS (SELECT a, b FROM live UNION SELECT b, a FROM live),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, least(a, min(b)) AS label
+FROM reach GROUP BY a
+"""
+
+QUERIES["dedup_cluster_incremental"] = dedup_cluster_incremental
+ORACLES["dedup_cluster_incremental"] = DEDUP_CLUSTER_INCREMENTAL_ORACLE
