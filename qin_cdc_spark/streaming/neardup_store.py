@@ -91,12 +91,9 @@ def _banded(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _reject_within(sigs: DataFrame, threshold: float) -> DataFrame:
-    """Doc ids rejected by the within-batch min-id-wins policy: any doc
-    whose signature agrees ≥ threshold with a lower-id doc in the same
-    set.  Non-iterative by design (a doc is rejected even if its lower
-    partner is itself rejected — both trace to the same admitted root,
-    so admitted docs are still pairwise non-near-dup)."""
+def _within_pairs(sigs: DataFrame, threshold: float) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b) WITHIN one signature set —
+    banded candidates, signature-agreement verify."""
     banded = _banded(sigs)
     cand = (
         banded.alias("x")
@@ -111,9 +108,19 @@ def _reject_within(sigs: DataFrame, threshold: float) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(_agreement(F.col("sig_a"), F.col("sig_b")) >= threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        .select("doc_a", "doc_b")
     )
+
+
+def _reject_within(sigs: DataFrame, threshold: float) -> DataFrame:
+    """Doc ids rejected by the within-batch min-id-wins policy: any doc
+    whose signature agrees ≥ threshold with a lower-id doc in the same
+    set.  Non-iterative by design (a doc is rejected even if its lower
+    partner is itself rejected — both trace to the same admitted root,
+    so admitted docs are still pairwise non-near-dup)."""
+    return _within_pairs(sigs, threshold).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
 
 
 def _reject_against(sigs: DataFrame, store_sigs: DataFrame, threshold: float) -> DataFrame:
@@ -303,10 +310,11 @@ class NearDupStore:
             .distinct()
         )
 
-    def _reject_against_store(self, sigs: DataFrame) -> DataFrame:
-        """Batch doc ids near-matching anything admitted — candidate
-        generation via :meth:`_store_candidates`, then the same
-        candidate-bounded signature-agreement verify."""
+    def _store_pairs(self, sigs: DataFrame) -> DataFrame:
+        """Verified (doc_id, store_doc_id) near-dup pairs of the batch
+        against the store — candidate generation via
+        :meth:`_store_candidates`, then the candidate-bounded
+        signature-agreement verify."""
         cand = self._store_candidates(sigs)
         sa = sigs.select("doc_id", F.col("sig").alias("sig_a"))
         sb = self.read().select(
@@ -316,28 +324,68 @@ class NearDupStore:
             cand.join(sa, "doc_id")
             .join(sb, "store_doc_id")
             .filter(_agreement(F.col("sig_a"), F.col("sig_b")) >= self.threshold)
-            .select("doc_id")
-            .distinct()
+            .select("doc_id", "store_doc_id")
         )
 
-    def admit_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _reject_against_store(self, sigs: DataFrame) -> DataFrame:
+        """Batch doc ids near-matching anything admitted."""
+        return self._store_pairs(sigs).select("doc_id").distinct()
+
+    def admit_batch(
+        self, batch_df: DataFrame, batch_id: int, clusters=None
+    ) -> None:
         """Admit the slice of a batch that near-matches nothing admitted
-        before it (in the store or earlier — lower doc_id — in the batch)."""
+        before it (in the store or earlier — lower doc_id — in the batch).
+
+        With ``clusters`` (an ``IncrementalClusterStore``), every
+        VERIFIED pair this batch produced — within-batch and
+        batch-vs-store — also folds into the live cluster assignment,
+        so dedup decisions and cluster membership stay one system:
+        rejected docs are recorded as members of their match's cluster
+        even though only the representative's signature is stored.  The
+        pair sets are forced BEFORE the store append (they must reflect
+        the pre-batch store, not the post-append self-matches) and the
+        cluster fold rides its own batch guard, so a replay after a
+        crash between append and fold converges."""
         # persist: the signature feeds banding twice (within/cross) plus
         # two verify joins; without a barrier CollapseProject inlines the
         # 64-hash expression into every consumer (the similarity.py hazard)
         sigs = _signatures(batch_df).persist()
+        wp = sp = None
         try:
-            rejected = _reject_within(sigs, self.threshold).union(
-                self._reject_against_store(sigs)
-            )
+            if clusters is not None:
+                wp = _within_pairs(sigs, self.threshold).persist()
+                sp = self._store_pairs(sigs).persist()
+                wp.count(), sp.count()  # force pre-append evaluation
+                rejected = (
+                    wp.select(F.col("doc_b").alias("doc_id"))
+                    .union(sp.select("doc_id"))
+                    .distinct()
+                )
+            else:
+                rejected = _reject_within(sigs, self.threshold).union(
+                    self._reject_against_store(sigs)
+                )
             admitted = (
                 sigs.join(rejected, "doc_id", "left_anti")
                 .withColumn("first_seen_batch", F.lit(batch_id))
             )
             admitted.write.mode("append").parquet(self.path)
+            if clusters is not None:
+                pairs = wp.select(
+                    F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                ).unionByName(
+                    sp.select(
+                        F.col("doc_id").alias("a"),
+                        F.col("store_doc_id").alias("b"),
+                    )
+                )
+                clusters.apply_batch(pairs, batch_id=batch_id)
         finally:
             sigs.unpersist()
+            for df in (wp, sp):
+                if df is not None:
+                    df.unpersist()
 
 
 def start_streaming_neardup(
@@ -345,11 +393,15 @@ def start_streaming_neardup(
     stream: DataFrame,
     store: NearDupStore,
     checkpoint_dir: str,
+    clusters=None,
 ):
-    """Wire a documents stream into the store via foreachBatch."""
+    """Wire a documents stream into the store via foreachBatch; with
+    ``clusters`` the live cluster assignment rides the same batches."""
     return (
         stream.writeStream.foreachBatch(
-            lambda batch_df, batch_id: store.admit_batch(batch_df, batch_id)
+            lambda batch_df, batch_id: store.admit_batch(
+                batch_df, batch_id, clusters=clusters
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -140,6 +140,41 @@ def test_scope_is_bounded_to_touched_components(spark, tmp_path):
     assert _labels(st) == _cc_py(E1 + [(30, 31)])
 
 
+def test_neardup_store_feeds_cluster_store(spark, tmp_path):
+    """End-to-end dedup story: the streaming near-dup store's verified
+    pairs (within-batch AND batch-vs-store) maintain the live cluster
+    assignment — rejected docs are members of their match's cluster
+    even though only the representative's signature is stored — and a
+    purge removes the doc from BOTH stores."""
+    from qin_cdc_spark.streaming.neardup_store import NearDupStore
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq1 = "one two three four five six seven eight nine ten"
+    uniq2 = "red orange yellow green blue indigo violet black white gray"
+    store = NearDupStore(spark, str(tmp_path / "nd"))
+    cc = IncrementalClusterStore(spark, str(tmp_path / "cc"), n_buckets=4)
+    store.admit_batch(
+        docs([(1, dup), (2, dup), (3, dup), (4, uniq1)]), 0, clusters=cc
+    )
+    # within-batch: 2 and 3 rejected against 1; all three one cluster
+    assert _labels(cc) == {1: 1, 2: 1, 3: 1}
+    store.admit_batch(docs([(5, dup), (6, uniq2)]), 1, clusters=cc)
+    # cross-batch: 5 matched the stored representative 1
+    assert _labels(cc) == {1: 1, 2: 1, 3: 1, 5: 1}
+    assert {r.doc_id for r in store.read().collect()} == {1, 4, 6}
+    # purge composition: remove doc 1 from the signature store AND the
+    # cluster graph — 2,3 re-solve to the new min label via their own
+    # edge; 5's only recorded relation was to the purged representative,
+    # so it drops to an implicit singleton
+    store.purge([1])
+    cc.apply_batch(None, _nodes(spark, [1]), batch_id=2)
+    assert _labels(cc) == {2: 2, 3: 2}
+    assert store.read().filter(F.col("doc_id") == 1).count() == 0
+
+
 @pytest.mark.parametrize("seed", [5])
 def test_random_rounds_match_union_find(spark, tmp_path, seed):
     import random
