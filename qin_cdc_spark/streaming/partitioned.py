@@ -255,6 +255,38 @@ class PartitionedVersionedTable:
         self._publish(meta)
         return new_v
 
+    def overwrite_partition(
+        self, value, rows: DataFrame, *, seq_col: str | None = None
+    ) -> int:
+        """Backfill / restatement: atomically replace ONE partition's
+        contents with ``rows`` (a corrected recomputation, a late bulk
+        load) while every other partition — and time travel to the
+        pre-restatement snapshot — is untouched.  The replacement lands
+        as a FRESH generation (the dropped-partition discipline: the old
+        store must not leak rows into the restated view), referenced by
+        a new parent version in one manifest flip; the old generation
+        remains readable via older parent versions until ``expire``.
+        ``rows`` are inserts; ``seq_col`` names an existing total-order
+        column, else a constant seq is stamped (the restatement IS the
+        truth)."""
+        pstr = self._pstr(value)
+        meta = self._meta()
+        gen = f"g-{uuid.uuid4().hex[:8]}"
+        sub = self._sub(pstr, gen)
+        ev = rows
+        if seq_col is None:
+            ev = ev.withColumn("_seq_bf", F.lit(1).cast("long"))
+            seq_col = "_seq_bf"
+        ev = ev.withColumn("_op_bf", F.lit("insert"))
+        sv = sub.merge(ev, op_col="_op_bf", seq_col=seq_col)
+        cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
+        cur_man[pstr] = {"gen": gen, "v": sv}
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = cur_man
+        meta["current"] = new_v
+        self._publish(meta)
+        return new_v
+
     def retain_latest(self, keep: int) -> int:
         """Streaming retention policy: drop every partition but the
         newest ``keep`` (numeric order when every value parses as an

@@ -235,6 +235,41 @@ def test_pipeline_partitioned_route_with_retention_and_history(spark, tmp_path):
     )
 
 
+def test_overwrite_partition_restates_atomically(spark, tmp_path):
+    """Backfill: one partition's contents replaced in a fresh
+    generation + one manifest flip; other partitions and pre-restate
+    time travel untouched; the CDF carries the restatement as
+    delete-all + insert-all so MVs retract/adopt through the normal
+    refresh."""
+    from qin_cdc_spark.streaming.derived import DerivedAggTable
+
+    tbl = _mk(spark, tmp_path)
+    v1 = tbl.merge(_ev(spark, BATCH1), batch_id=0)
+    mv = DerivedAggTable(
+        spark, str(tmp_path / "mv"), group_cols=["yr"], sum_cols=["v"]
+    )
+    mv.refresh(tbl)
+    fixed = spark.createDataFrame(
+        [(1, 1992, 100), (9, 1992, 900)], "k long, yr int, v long"
+    )
+    v2 = tbl.overwrite_partition(1992, fixed)
+    assert _live(tbl) == {
+        1: (1992, 100), 9: (1992, 900), 3: (1995, 30), 4: (1996, 40)
+    }
+    # pre-restatement snapshot still readable
+    at = {r.k: r.v for r in tbl.read_at(v1, partitions=[1992]).collect()}
+    assert at == {1: 10, 2: 20}
+    # CDF: old rows retracted, new rows inserted
+    cdf = tbl.changes_between(v1, v2, include_preimage=True)
+    rows = {(r.k, r._change) for r in cdf.collect()}
+    assert rows == {
+        (1, "delete"), (2, "delete"), (1, "insert"), (9, "insert")
+    }
+    mv.refresh(tbl)
+    got = {r.yr: (r.cnt, r.sum_v) for r in mv.read().collect()}
+    assert got[1992] == (2, 1000)
+
+
 def test_partition_value_must_be_path_safe(spark, tmp_path):
     tbl = PartitionedVersionedTable(
         spark, str(tmp_path / "t"), ["k"], partition_col="yr_s", n_buckets=2
