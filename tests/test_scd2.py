@@ -182,6 +182,42 @@ def test_temporal_join_semantics_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_composite_key_history_and_temporal_join(spark, tmp_path):
+    """Multi-PK parity (the reference's composite-key path,
+    outputs/mysql/mysql_utils.go:90-112): history keyed (k1, k2), and
+    the temporal join equi-joins on both key columns."""
+    rows = [
+        ("insert", 10, 1, 1, "a"),
+        ("insert", 11, 1, 2, "b"),   # same k1, different k2 — distinct keys
+        ("update", 20, 1, 1, "a2"),
+        ("delete", 21, 1, 2, "b"),
+    ]
+    ev = spark.createDataFrame(rows, "op string, seq long, k1 long, k2 long, v string")
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k1", "k2"], n_buckets=4)
+    scd.apply_batch(ev.filter(F.col("seq") <= 11), batch_id=0)
+    scd.apply_batch(ev.filter(F.col("seq") > 11), batch_id=1)
+    hist = {
+        (r.k1, r.k2, r.valid_from): (r.valid_to, r.v)
+        for r in scd.read_history().collect()
+    }
+    assert hist == {
+        (1, 1, 10): (20, "a"),
+        (1, 1, 20): (None, "a2"),
+        (1, 2, 11): (21, "b"),
+    }
+    facts = spark.createDataFrame(
+        [(1, 1, 15, 100), (1, 2, 15, 101), (1, 2, 22, 102)],
+        "k1 long, k2 long, asof long, fact_id long",
+    )
+    out = {
+        (r.fact_id, r.v)
+        for r in temporal_join(
+            facts, scd2_intervals(ev, ["k1", "k2"]), ["k1", "k2"], "asof"
+        ).collect()
+    }
+    assert out == {(100, "a"), (101, "b"), (102, None)}
+
+
 def test_stream_route_maintains_history(spark, tmp_path):
     """CdcStreamRoute(history_path=…): the SAME decoded batches maintain
     the LWW target and the SCD2 history; current() == target live rows,
