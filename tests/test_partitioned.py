@@ -270,6 +270,72 @@ def test_overwrite_partition_restates_atomically(spark, tmp_path):
     assert got[1992] == (2, 1000)
 
 
+MV_PART_CONFIG = """
+name = "partitioned-mv-sync"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+partition-col = "yr"
+
+[[materialized-views]]
+name = "t_by_year"
+type = "agg"
+source-schema = "src"
+source-table = "t"
+[materialized-views.config]
+group-cols = ["yr"]
+sum-cols = ["v"]
+"""
+
+
+def test_declared_mview_over_partitioned_route(spark, tmp_path):
+    """[[materialized-views]] against a PARTITIONED route: the view
+    maintains itself from the partitioned table's duck-typed CDF inside
+    each micro-batch — including whole-partition retractions when a
+    later batch drops partitions."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.plans.pipeline import compile_pipeline
+    from qin_cdc_spark.streaming.cdc_stream import file_envelope_stream
+
+    schema = _parse_datatype_string("k long, yr int, v long")
+    pipe = compile_pipeline(
+        spark,
+        MV_PART_CONFIG,
+        schemas={("src", "t"): schema},
+        primary_keys={("src", "t"): ["k"]},
+        target_root=str(tmp_path / "targets"),
+        n_buckets=2,
+    )
+    env_dir = str(tmp_path / "envelope")
+    for t in (_ev(spark, BATCH1), _ev(spark, BATCH2)):
+        envelope_from_typed(
+            t.select("k", "yr", "v", "op", "seq"), db="src", table="t"
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+    q = pipe.run_stream(
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = {r.yr: (r.cnt, r.sum_v) for r in pipe.read_mview("t_by_year").collect()}
+    assert got == {1992: (2, 31), 1996: (1, 40), 1997: (1, 50)}
+    # retention drop retracts through the declared view
+    pipe.routes[0].target.drop_partitions([1992])
+    pipe.mviews["t_by_year"][1].refresh(pipe.routes[0].target)
+    got = {r.yr: (r.cnt, r.sum_v) for r in pipe.read_mview("t_by_year").collect()}
+    assert got == {1996: (1, 40), 1997: (1, 50)}
+
+
 def test_partition_value_must_be_path_safe(spark, tmp_path):
     tbl = PartitionedVersionedTable(
         spark, str(tmp_path / "t"), ["k"], partition_col="yr_s", n_buckets=2
