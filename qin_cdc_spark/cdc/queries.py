@@ -1683,3 +1683,44 @@ FROM reach GROUP BY a
 
 QUERIES["dedup_cluster_incremental"] = dedup_cluster_incremental
 ORACLES["dedup_cluster_incremental"] = DEDUP_CLUSTER_INCREMENTAL_ORACLE
+
+
+def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot at an ARBITRARY stream coordinate: the
+    SCD2 history answers ``as_of(seq)`` for ANY seq by interval filter,
+    where ``read_at`` only resolves batch boundaries (time travel is
+    snapshot-grained; history is event-grained).  The probe coordinate
+    ``3·max_seq/4`` lands strictly INSIDE the second apply batch —
+    after some of its events, before others — so the result matches no
+    retained snapshot; the oracle materializes LWW over exactly the
+    events at-or-before the coordinate."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    scd = ScdType2Table(
+        spark, tempfile.mkdtemp(prefix="scd2_asof_gate_") + "/h",
+        keys=["o_orderkey"], n_buckets=8,
+    )
+    scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
+    scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=1)
+    probe = (decoded.agg(F.max("seq")).collect()[0][0] * 3) // 4
+    return scd.as_of(probe).select(
+        "o_orderkey", "valid_from", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+CDC_SCD2_ASOF_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+probe AS (SELECT (max(seq) * 3) // 4 AS p FROM ev),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev WHERE seq <= (SELECT p FROM probe)
+)
+SELECT o_orderkey, seq AS valid_from, o_custkey, o_orderstatus, o_totalprice
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+QUERIES["cdc_scd2_asof"] = cdc_scd2_asof
+ORACLES["cdc_scd2_asof"] = CDC_SCD2_ASOF_ORACLE
