@@ -1442,7 +1442,8 @@ def cdc_partitioned_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders change stream applies in two batches to a
     ``PartitionedVersionedTable`` partitioned by order YEAR (immutable
     per key — the partitioning contract), then every partition before
-    1995 is DROPPED.  The drop is a parent-manifest edit — zero data
+    1998 is DROPPED (the fixture spans 1995-2001, so real partitions
+    go).  The drop is a parent-manifest edit — zero data
     movement, the 100 TB retention story (purge-by-key would touch
     every bucket of the dropped years) — and time travel to the
     pre-drop snapshot still works until ``expire`` reclaims it
@@ -1466,7 +1467,7 @@ def cdc_partitioned_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
-    doomed = [int(p) for p in tbl.partitions() if int(p) < 1995]
+    doomed = [int(p) for p in tbl.partitions() if int(p) < 1998]
     tbl.drop_partitions(doomed)
     return tbl.read().select(
         "o_orderkey", "o_year", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -1482,7 +1483,7 @@ last AS (
 SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
        o_custkey, o_orderstatus, o_totalprice
 FROM last
-WHERE rn = 1 AND op <> 'delete' AND year(o_orderdate) >= 1995
+WHERE rn = 1 AND op <> 'delete' AND year(o_orderdate) >= 1998
 """
 
 QUERIES["cdc_partitioned_retention"] = cdc_partitioned_retention
@@ -1724,3 +1725,79 @@ FROM last WHERE rn = 1 AND op <> 'delete'
 
 QUERIES["cdc_scd2_asof"] = cdc_scd2_asof
 ORACLES["cdc_scd2_asof"] = CDC_SCD2_ASOF_ORACLE
+
+
+def cdc_partitioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table audit log as a query surface: a deterministic
+    4-version table — two apply batches of the year-partitioned orders
+    stream, a retention drop of years < 1998, then a 2-row BACKFILL of
+    1998 (generation swap: partition count unchanged, row delta shows)
+    — returns per-version partition counts, added/dropped partition
+    deltas, and parquet-footer-exact row totals (live rows +
+    not-yet-GC'd tombstones).  Every figure is SQL-derivable: rows(v1)
+    = distinct keys of the prefix, rows(v3) = distinct keys of retained
+    years, rows(v4) swaps 1998's count for the backfill's 2 rows.
+    ``history()`` runs entirely driver-side from manifests + footers —
+    zero Spark jobs."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn("o_year", F.year("o_orderdate")),
+        land_key="orders_year",
+    )
+    tbl = PartitionedVersionedTable(
+        spark, tempfile.mkdtemp(prefix="part_hist_gate_") + "/t",
+        ["o_orderkey"], partition_col="o_year", n_buckets=4,
+    )
+    tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    tbl.drop_partitions([int(p) for p in tbl.partitions() if int(p) < 1998])
+    backfill = spark.createDataFrame(
+        [(1, 1998, 1), (2, 1998, 2)], "o_orderkey long, o_year int, o_custkey long"
+    )
+    tbl.overwrite_partition(1998, backfill)
+    return spark.createDataFrame(
+        [
+            (h["version"], h["n_partitions"], h["added"], h["dropped"], h["rows"])
+            for h in tbl.history()
+        ],
+        "version long, n_partitions long, added long, dropped long, n_rows long",
+    )
+
+
+CDC_PARTITIONED_HISTORY_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (SELECT max(seq) // 2 AS s FROM ev),
+ny1 AS (SELECT count(DISTINCT year(o_orderdate)) AS n FROM ev
+        WHERE seq <= (SELECT s FROM half)),
+ny AS (SELECT count(DISTINCT year(o_orderdate)) AS n FROM ev),
+nyk AS (SELECT count(DISTINCT year(o_orderdate)) AS n FROM ev
+        WHERE year(o_orderdate) >= 1998),
+r1 AS (SELECT count(DISTINCT o_orderkey) AS n FROM ev
+       WHERE seq <= (SELECT s FROM half)),
+r2 AS (SELECT count(DISTINCT o_orderkey) AS n FROM ev),
+r3 AS (SELECT count(DISTINCT o_orderkey) AS n FROM ev
+       WHERE year(o_orderdate) >= 1998),
+r4 AS (SELECT count(DISTINCT o_orderkey) AS n FROM ev
+       WHERE year(o_orderdate) >= 1999)
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST((SELECT n FROM ny1) AS BIGINT) AS n_partitions,
+       CAST((SELECT n FROM ny1) AS BIGINT) AS added,
+       CAST(0 AS BIGINT) AS dropped,
+       CAST((SELECT n FROM r1) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 2, (SELECT n FROM ny), (SELECT n FROM ny) - (SELECT n FROM ny1),
+       0, (SELECT n FROM r2)
+UNION ALL
+SELECT 3, (SELECT n FROM nyk), 0,
+       (SELECT n FROM ny) - (SELECT n FROM nyk), (SELECT n FROM r3)
+UNION ALL
+SELECT 4, (SELECT n FROM nyk), 0, 0, (SELECT n FROM r4) + 2
+"""
+
+QUERIES["cdc_partitioned_history"] = cdc_partitioned_history
+ORACLES["cdc_partitioned_history"] = CDC_PARTITIONED_HISTORY_ORACLE

@@ -36,8 +36,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # currently: cdc_derived_topk, cdc_derived_keyed_agg, cdc_derived_mv_chain,
 # cdc_table_stats_incremental, cdc_scd2_history, cdc_temporal_join,
 # cdc_partitioned_retention, cdc_cdf_kafka_egress, cdc_gsi_lookup,
-# dedup_cluster_incremental, cdc_scd2_asof (all oracle-backed, all
-# pass the local gate).
+# dedup_cluster_incremental, cdc_scd2_asof, cdc_partitioned_history
+# (all oracle-backed, all pass the local gate).
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge

@@ -368,6 +368,47 @@ class PartitionedVersionedTable:
             ]
         )
 
+    def history(self) -> list[dict]:
+        """Parent-level snapshot audit (the partitioned analog of
+        ``VersionedBucketedTable.history``): per retained parent
+        version — partition count, partitions ADDED/DROPPED vs the
+        previous retained version (a retention drop shows as dropped;
+        a backfill's generation swap keeps the name and shows in the
+        row delta), and the exact row total across the referenced
+        sub-snapshots (parquet-footer-exact, including not-yet-GC'd
+        tombstones).  Entirely driver-side from manifests
+        + footers — zero Spark jobs, safe for monitoring at any
+        frequency; per-(partition, generation) sub-histories are
+        computed once."""
+        meta = self._meta()
+        subs: dict[tuple[str, str], dict[int, int]] = {}
+        out: list[dict] = []
+        prev: set[str] = set()
+        for v in sorted(int(x) for x in meta["versions"]):
+            man = meta["versions"][str(v)]
+            rows = 0
+            for pstr, ent in man.items():
+                key = (pstr, ent["gen"])
+                if key not in subs:
+                    subs[key] = {
+                        h["version"]: h["rows"]
+                        for h in self._sub(pstr, ent["gen"]).history()
+                    }
+                rows += subs[key].get(int(ent["v"]), 0)
+            parts = set(man)
+            out.append(
+                {
+                    "version": v,
+                    "n_partitions": len(parts),
+                    "added": len(parts - prev),
+                    "dropped": len(prev - parts),
+                    "rows": rows,
+                    "is_current": v == meta["current"],
+                }
+            )
+            prev = parts
+        return out
+
     def read_key(self, partition_value, key_values: list) -> DataFrame | None:
         """Point lookup: the partition value names the sub-store (pure
         manifest math), whose own ``read_key`` prunes to one bucket —
