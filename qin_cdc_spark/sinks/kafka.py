@@ -22,20 +22,65 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-# JDBC type codes used by the canal format's sqlType map
-# (outputs/kafka/kafka_utils.go maps qin-cdc types → java.sql.Types).
-_JDBC_TYPE_CODES = {
-    "long": -5,  # BIGINT
-    "bigint": -5,
-    "int": 4,  # INTEGER
-    "double": 8,  # DOUBLE
-    "float": 6,
-    "string": 12,  # VARCHAR
-    "timestamp": 93,
-    "date": 91,
-    "boolean": 16,
-    "binary": 2004,
+# The canal format's sqlType codes are the reference's OWN mapping
+# (outputs/kafka/kafka_utils.go:134-227 — MySQL wire column types, not
+# java.sql.Types): keyed by the MySQL raw-type PREFIX when declared,
+# else derived from the Spark dtype.  mysqlType carries the matched
+# BASE name ("varchar", "bigint"), mirroring the same switch.
+_CANAL_RAW_PREFIXES = [
+    # (raw-type prefix, sqlType code, mysqlType base name)
+    ("smallint", 2, "smallint"),
+    ("tinyint", 1, "tinyint"),
+    ("mediumint", 9, "mediumint"),
+    ("bigint", 8, "bigint"),
+    ("year", None, "year"),  # reference sets no sqlType for year
+    ("float", 4, "float"),
+    ("double", 5, "double"),
+    ("enum", 247, "enum"),
+    ("set", 248, "set"),
+    ("char", 254, "char"),
+    ("datetime", 12, "datetime"),
+    ("timestamp", 7, "timestamp"),
+    ("date", 10, "date"),
+    ("time", 11, "time"),
+    ("bit", 16, "bit"),
+    ("json", 245, "json"),
+    ("decimal", 246, "decimal"),
+    ("binary", 252, "binary"),
+    ("varchar", 253, "varchar"),
+]
+
+# Spark dtype fallback when no raw MySQL type is declared for a column.
+_CANAL_DTYPE_CODES = {
+    "long": (8, "bigint"),
+    "bigint": (8, "bigint"),
+    "int": (3, "int"),
+    "smallint": (2, "smallint"),
+    "tinyint": (1, "tinyint"),
+    "double": (5, "double"),
+    "float": (4, "float"),
+    "string": (253, "varchar"),
+    "timestamp": (7, "timestamp"),
+    "date": (10, "date"),
+    "boolean": (16, "bit"),
+    "binary": (252, "blob"),
 }
+
+
+def _canal_type(col: str, dtype: str, raw_types: dict[str, str]):
+    """(sqlType code, mysqlType name) per the reference's switch."""
+    raw = raw_types.get(col)
+    if raw:
+        low = raw.lower()
+        if low.endswith("text"):
+            return 15, "text"
+        for prefix, code, name in _CANAL_RAW_PREFIXES:
+            if low.startswith(prefix):
+                return code, name
+        return None, raw  # default branch: raw type carried verbatim
+    base = dtype.split("(")[0]
+    code, name = _CANAL_DTYPE_CODES.get(base, (253, base))
+    return code, name
 
 
 def kafka_key(pk_cols: list[str]) -> Column:
@@ -67,53 +112,97 @@ def default_json_value(
 
 
 def canal_json_value(
-    df: DataFrame, *, database: str, table: str, pk_cols: list[str], raw_types: dict[str, str] | None = None
+    df: DataFrame,
+    *,
+    database: str,
+    table: str,
+    pk_cols: list[str],
+    raw_types: dict[str, str] | None = None,
+    old_cols: dict[str, str] | None = None,
+    emit_ts_ms: int | None = None,
 ) -> DataFrame:
-    """aliyun_dts_canal format: data/old are 1-element arrays of
-    STRINGIFIED values; sqlType (JDBC codes) and mysqlType maps come
-    from the schema; pkNames from the route; id = seq."""
-    payload = [c for c in df.columns if c not in {"op", "seq", "ts"}]
+    """aliyun_dts_canal format, field-for-field the reference's struct
+    in its declaration (= marshal) order — database, table, type, es,
+    ts, data, old, sqlType, mysqlType, serverId, sql, pkNames, isDdl,
+    id, gtid (outputs/kafka/kafka_utils.go:98-114):
+
+    * data/old are 1-element arrays of STRINGIFIED row maps; ``old`` is
+      null unless ``old_cols`` maps payload columns to their preimage
+      columns (the reference carries ``DmlMsg.Old`` when present,
+      kafka_utils.go:119-124);
+    * es = the event timestamp in MILLIS (UnixMilli, :249), ts = the
+      emit time in millis (time.Now, :250) — ``emit_ts_ms`` pins it for
+      deterministic tests, None uses the current time;
+    * sqlType/mysqlType follow the reference's own raw-type switch
+      (:134-227 — MySQL wire codes, base-name mysqlType), NOT
+      java.sql.Types; serverId/sql are empty strings and gtid is null
+      exactly as shipped (:258-264); id = seq (the reference's
+      inputSequence counter analog)."""
+    meta_cols = {"op", "seq", "ts"}
+    # columns that exist ONLY as preimage carriers (e.g. _pre_*) are
+    # not payload; a column mapping to itself (keys in the old image)
+    # stays payload
+    pre_only = (set(old_cols.values()) - set(old_cols)) if old_cols else set()
+    payload = [c for c in df.columns if c not in meta_cols and c not in pre_only]
     dtypes = dict(df.dtypes)
     raw_types = raw_types or {}
-    sql_type = F.create_map(
-        *[
-            x
-            for c in payload
-            for x in (F.lit(c), F.lit(_JDBC_TYPE_CODES.get(dtypes[c], 12)))
-        ]
-    )
-    mysql_type = F.create_map(
-        *[
-            x
-            for c in payload
-            for x in (F.lit(c), F.lit(raw_types.get(c, dtypes[c])))
-        ]
-    )
+    sql_pairs, mysql_pairs = [], []
+    for c in payload:
+        code, name = _canal_type(c, dtypes[c], raw_types)
+        if code is not None:
+            sql_pairs += [F.lit(c), F.lit(code)]
+        mysql_pairs += [F.lit(c), F.lit(name)]
     data_map = F.create_map(
         *[x for c in payload for x in (F.lit(c), F.col(c).cast("string"))]
     )
+    if old_cols:
+        old_map = F.create_map(
+            *[
+                x
+                for c in payload
+                if c in old_cols
+                for x in (F.lit(c), F.col(old_cols[c]).cast("string"))
+            ]
+        )
+        old_arr = F.when(
+            F.col("op") == "update", F.array(old_map)
+        )  # null (not []) otherwise — Go marshals the nil slice as null
+    else:
+        old_arr = F.lit(None).cast("array<map<string,string>>")
     canal_op = (
         F.when(F.col("op") == "insert", "INSERT")
         .when(F.col("op") == "replace", "INSERT")
         .when(F.col("op") == "update", "UPDATE")
         .otherwise("DELETE")
     )
+    emit_ts = (
+        F.lit(emit_ts_ms).cast("long")
+        if emit_ts_ms is not None
+        else F.unix_millis(F.current_timestamp())
+    )
     return df.select(
         kafka_key(pk_cols).alias("key"),
         F.to_json(
             F.struct(
-                F.col("seq").alias("id"),
                 F.lit(database).alias("database"),
                 F.lit(table).alias("table"),
-                F.array(*[F.lit(c) for c in pk_cols]).alias("pkNames"),
                 canal_op.alias("type"),
-                F.lit(False).alias("isDdl"),
-                sql_type.alias("sqlType"),
-                mysql_type.alias("mysqlType"),
+                F.unix_millis(
+                    F.coalesce(F.col("ts"), F.current_timestamp())
+                ).alias("es"),
+                emit_ts.alias("ts"),
                 F.array(data_map).alias("data"),
-                F.lit(None).cast("array<map<string,string>>").alias("old"),
-                F.unix_timestamp(F.coalesce(F.col("ts"), F.current_timestamp())).alias("es"),
-            )
+                old_arr.alias("old"),
+                F.create_map(*sql_pairs).alias("sqlType"),
+                F.create_map(*mysql_pairs).alias("mysqlType"),
+                F.lit("").alias("serverId"),
+                F.lit("").alias("sql"),
+                F.array(*[F.lit(c) for c in pk_cols]).alias("pkNames"),
+                F.lit(False).alias("isDdl"),
+                F.col("seq").alias("id"),
+                F.lit(None).cast("string").alias("gtid"),
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("value"),
     )
 
@@ -182,6 +271,58 @@ def cdf_json_messages(
             ),
             {"ignoreNullFields": "false"},
         ).alias("value"),
+    )
+
+
+def cdf_canal_messages(
+    table,
+    v_from: int,
+    v_to: int,
+    *,
+    database: str,
+    table_name: str,
+    raw_types: dict[str, str] | None = None,
+    event_ts_ms: int = 0,
+    emit_ts_ms: int = 0,
+) -> DataFrame:
+    """CDF egress in the aliyun_dts_canal wire format — the canal
+    sibling of :func:`cdf_json_messages`: a versioned table's change
+    feed re-emitted as reference-exact canal messages, with the UPDATE
+    messages carrying the full PREIMAGE row in the ``old`` array
+    (kafka_utils.go:119-124) and DELETE messages naming the removed row
+    as ``data``.  Timestamps are pinned (the snapshot diff has no
+    binlog event time; a live relay stamps real ones) and ``id`` is 0
+    for the same reason — the stream position is the (v_from, v_to)
+    snapshot pair."""
+    cdf = table.changes_between(v_from, v_to, include_preimage=True)
+    keys = list(table.keys)
+    value_cols = [
+        c
+        for c in cdf.columns
+        if c not in {*keys, "_change"} and not c.startswith("_pre_")
+    ]
+    is_del = F.col("_change") == "delete"
+    changes = cdf.select(
+        F.col("_change").alias("op"),
+        F.lit(0).cast("long").alias("seq"),
+        F.timestamp_millis(F.lit(event_ts_ms)).alias("ts"),
+        *[F.col(k) for k in keys],
+        *[
+            F.when(is_del, F.col(f"_pre_{c}")).otherwise(F.col(c)).alias(c)
+            for c in value_cols
+        ],
+        *[F.col(f"_pre_{c}") for c in value_cols],
+    )
+    old_cols = {k: k for k in keys}
+    old_cols.update({c: f"_pre_{c}" for c in value_cols})
+    return canal_json_value(
+        changes,
+        database=database,
+        table=table_name,
+        pk_cols=keys,
+        raw_types=raw_types,
+        old_cols=old_cols,
+        emit_ts_ms=emit_ts_ms,
     )
 
 

@@ -111,17 +111,63 @@ def test_kafka_canal_format(spark, small_changes):
         table="customer",
         pk_cols=["c_custkey"],
         raw_types={"c_custkey": "bigint(20)", "c_name": "varchar(25)"},
+        emit_ts_ms=1704067200000,
     )
     msg = json.loads(out.first().value)
+    # reference struct fields in marshal order (kafka_utils.go:98-114)
+    assert list(msg) == [
+        "database", "table", "type", "es", "ts", "data", "old", "sqlType",
+        "mysqlType", "serverId", "sql", "pkNames", "isDdl", "id", "gtid",
+    ]
     assert msg["pkNames"] == ["c_custkey"]
     assert msg["isDdl"] is False
     assert msg["type"] in ("INSERT", "DELETE")
     # canal carries stringified values in 1-element data arrays
     assert isinstance(msg["data"], list) and len(msg["data"]) == 1
     assert all(isinstance(v, str) for v in msg["data"][0].values())
-    assert msg["sqlType"]["c_custkey"] == -5  # JDBC BIGINT
-    assert msg["mysqlType"]["c_name"] == "varchar(25)"
+    # the reference's OWN type switch (MySQL wire codes, base names —
+    # kafka_utils.go:134-227), not java.sql.Types
+    assert msg["sqlType"]["c_custkey"] == 8
+    assert msg["mysqlType"]["c_name"] == "varchar"
+    assert msg["old"] is None and msg["gtid"] is None
+    assert msg["serverId"] == "" and msg["sql"] == ""
+    assert msg["ts"] == 1704067200000
     assert msg["id"] == int(msg["data"][0]["c_custkey"])  # id carries seq (= custkey here)
+
+
+def test_canal_cdf_egress_carries_preimages(spark, tmp_path):
+    """cdf_canal_messages: a versioned table's change feed in the canal
+    wire format — UPDATE messages carry the full preimage row as the
+    1-element old array, DELETE messages name the removed row as data."""
+    from qin_cdc_spark.sinks.kafka import cdf_canal_messages
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    ev = spark.createDataFrame(
+        [("insert", 1, 1, "a"), ("insert", 2, 2, "b")],
+        "op string, seq long, k long, v string",
+    )
+    v1 = tbl.merge(ev, batch_id=0)
+    ev2 = spark.createDataFrame(
+        [("update", 3, 1, "a2"), ("delete", 4, 2, "b"), ("insert", 5, 3, "c")],
+        "op string, seq long, k long, v string",
+    )
+    v2 = tbl.merge(ev2, batch_id=1)
+    out = {
+        json.loads(r.value)["type"]: json.loads(r.value)
+        for r in cdf_canal_messages(
+            tbl, v1, v2, database="src", table_name="t"
+        ).collect()
+    }
+    assert set(out) == {"INSERT", "UPDATE", "DELETE"}
+    upd = out["UPDATE"]
+    assert upd["data"] == [{"k": "1", "v": "a2"}]
+    assert upd["old"] == [{"k": "1", "v": "a"}]      # full preimage row
+    dele = out["DELETE"]
+    assert dele["data"] == [{"k": "2", "v": "b"}]    # removed row named
+    assert dele["old"] is None
+    ins = out["INSERT"]
+    assert ins["data"] == [{"k": "3", "v": "c"}] and ins["old"] is None
 
 
 def test_bulk_upsert_sql_mysql_dialect():
