@@ -154,9 +154,14 @@ def train_kmeans_df(
             (F.row_number().over(wk) - 1).cast("int").alias("cluster"),
             F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
         )
-        .persist()
+        # localCheckpoint, not persist: each round's plan embeds the
+        # previous centroids TWICE (assignment broadcast + the carry
+        # join), so without a plan LEAF per round the logical plan
+        # doubles each iteration and plan analysis/rendering — not the
+        # data — becomes the bottleneck (the connected_components
+        # lesson, found by its property test)
+        .localCheckpoint()
     )
-    cents.count()
     for it in range(n_iters):
         batch = emb
         if sample_fraction is not None:
@@ -184,10 +189,8 @@ def train_kmeans_df(
                 "cluster",
                 F.coalesce(F.col("n.cvec"), F.col("o.cvec")).alias("cvec"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materialized plan leaf per round
         )
-        nxt.count()  # materialize before releasing the previous iteration
-        cents.unpersist()
         cents = nxt
     return cents
 

@@ -233,8 +233,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     Convergence is checked with one scalar agg per round (sum of labels
     strictly decreases until fixpoint).  At 100 TB scale the same loop
     holds: every round is a shuffle on doc_id, and near-dup components
-    are shallow (pairs, triangles), so rounds ≈ 2-4; checkpointing via
-    persist() keeps lineage flat.
+    are shallow (pairs, triangles), so rounds ≈ 2-4.
+
+    Lineage is truncated per round with ``localCheckpoint`` — NOT
+    ``persist()``: a cached frame still carries the full logical plan,
+    which doubles every iteration (new_labels embeds labels twice), so
+    a high-diameter component makes plan ANALYSIS itself the bottleneck
+    — the heap dies rendering the exponential plan string long before
+    any data moves (found by the union-find property test on a planted
+    chain graph).  The checkpoint pins each round's result as a plan
+    LEAF, so round N's plan is constant-size no matter N.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -242,13 +250,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iters):
@@ -257,7 +265,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, "doc_id", "left_outer")
             .select(
                 "doc_id",
@@ -265,16 +273,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        old = labels
-        labels = new_labels
-        old.unpersist()
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
     return labels
 
 

@@ -163,9 +163,12 @@ def train_pq_codebooks_df(
         subs_src.join(F.broadcast(seed_ids), "vec_id")
         .select("m", "subvec", (F.row_number().over(wk) - 1).cast("int").alias("code"))
         .select("m", "code", F.col("subvec").alias("cvec"))
-        .persist()
+        # localCheckpoint, not persist: the per-round plan embeds the
+        # previous codebook twice (assignment broadcast + carry join) —
+        # a plan leaf per round keeps plan size constant in n_iters
+        # (the connected_components lesson)
+        .localCheckpoint()
     )
-    cb.count()
     for _ in range(n_iters):
         assigned = (
             subs_src.crossJoin(F.broadcast(_cb_one_row(cb)))
@@ -193,10 +196,8 @@ def train_pq_codebooks_df(
             .select(
                 "m", "code", F.coalesce(F.col("n.cvec"), F.col("o.cvec")).alias("cvec")
             )
-            .persist()
+            .localCheckpoint()  # eager: materialized plan leaf per round
         )
-        nxt.count()
-        cb.unpersist()
         cb = nxt
     return cb
 

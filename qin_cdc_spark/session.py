@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Long-lived sessions (the 550-test pytest run, the 225-query
+        # gate sweep) execute tens of thousands of jobs in ONE JVM; the
+        # app/SQL status stores retain up to 1000 executions' plan
+        # graphs + job/stage/task rows by default even with the UI off,
+        # and this repo's plans are large (Spark itself warns it
+        # truncates their string forms).  Observed: a 16 GiB driver heap
+        # exhausted ~380 tests into a run.  Cap the retained telemetry —
+        # nothing reads it here.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
