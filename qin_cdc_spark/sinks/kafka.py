@@ -34,6 +34,10 @@ _CANAL_RAW_PREFIXES = [
     ("mediumint", 9, "mediumint"),
     ("bigint", 8, "bigint"),
     ("year", None, "year"),  # reference sets no sqlType for year
+    # TypeNumber else-branch (kafka_utils.go:154-157): any remaining
+    # numeric raw type — int(11), integer — is sqlType 3 / "int".
+    # MUST follow the longer *int prefixes above.
+    ("int", 3, "int"),
     ("float", 4, "float"),
     ("double", 5, "double"),
     ("enum", 247, "enum"),
@@ -74,6 +78,12 @@ def _canal_type(col: str, dtype: str, raw_types: dict[str, str]):
         low = raw.lower()
         if low.endswith("text"):
             return 15, "text"
+        # TypeBinary (kafka_utils.go:219-226): sqlType 252 for the whole
+        # family; mysqlType "binary" only for the binary(N) prefix, every
+        # other member (blob/tinyblob/mediumblob/longblob/varbinary) is
+        # carried as "blob".
+        if low.endswith("blob") or low.startswith("varbinary"):
+            return 252, "blob"
         for prefix, code, name in _CANAL_RAW_PREFIXES:
             if low.startswith(prefix):
                 return code, name

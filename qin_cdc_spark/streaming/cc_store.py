@@ -90,11 +90,18 @@ class IncrementalClusterStore:
             str(store.current_version()), {"buckets": {}}
         )
         nb = store._manifest_n_buckets(man)
+        # the bucket index must come from F.hash over the SAME node type
+        # the writers hashed (the read_key type-alignment guard): cast
+        # the batch's node values to the STORED key type before hashing,
+        # else an int32/string batch hashes into the wrong buckets and
+        # silently misses stored rows
+        st = store.read_internal()
+        if st is not None:
+            stored_t = st.schema["node"].dataType
+            nodes = nodes.select(F.col("node").cast(stored_t).alias("node"))
         return [
             str(r[0])
-            for r in nodes.select(
-                F.pmod(F.hash(F.col("node")), F.lit(nb)).alias("_b")
-            )
+            for r in nodes.select(store._bucket_expr(nb).alias("_b"))
             .distinct()
             .collect()
         ]
@@ -162,16 +169,36 @@ class IncrementalClusterStore:
             # between the label merge and the index refresh heals here.
             self.members.refresh(self.labels)
             return
-        empty = self.spark.createDataFrame([], "node long")
+        if new_pairs is None and removed_nodes is None:
+            return
+        # node type follows the DATA (string/int32 doc ids work), with
+        # the stored labels schema winning once the store exists — a
+        # hardcoded `node long` empty frame would union-error on string
+        # ids and mis-hash int32 ids
+        import pyspark.sql.types as T
+
+        stored = self.labels.read_internal()
+        if stored is not None:
+            node_t = stored.schema["node"].dataType
+        elif removed_nodes is not None:
+            node_t = removed_nodes.schema[removed_nodes.columns[0]].dataType
+        else:
+            node_t = new_pairs.schema["a"].dataType
+        empty = self.spark.createDataFrame(
+            [], T.StructType([T.StructField("node", node_t)])
+        )
         rm = (
-            removed_nodes.select(F.col(removed_nodes.columns[0]).alias("node"))
+            removed_nodes.select(
+                F.col(removed_nodes.columns[0]).cast(node_t).alias("node")
+            )
             .distinct()
             if removed_nodes is not None
             else empty
         )
         if new_pairs is not None:
             p = new_pairs.select(
-                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+                F.least(F.col("a").cast(node_t), F.col("b").cast(node_t)).alias("a"),
+                F.greatest(F.col("a").cast(node_t), F.col("b").cast(node_t)).alias("b"),
             ).filter(F.col("a") != F.col("b")).distinct()
             # removals win over same-batch additions
             p = (
@@ -260,14 +287,14 @@ class IncrementalClusterStore:
                     F.lit("delete").alias("op"),
                     F.lit(lseq).cast("long").alias("seq"),
                     "node",
-                    F.lit(None).cast("long").alias("label"),
+                    F.lit(None).cast(node_t).alias("label"),
                 )
             )
             kept = solved.select(
                 F.lit("upsert").alias("op"),
                 F.lit(lseq).cast("long").alias("seq"),
                 "node",
-                F.col("label").cast("long").alias("label"),
+                F.col("label").cast(node_t).alias("label"),
             )
             self.labels.merge(kept.unionByName(gone), batch_id=batch_id)
             # member index follows the label store's own change feed

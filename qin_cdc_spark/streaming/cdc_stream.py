@@ -485,6 +485,12 @@ class CdcStreamRoute:
                 )
                 if self.transform is not None:
                     decoded = self.transform(decoded)
+                if self.history_path is not None:
+                    # the history contract is "maintained from the SAME
+                    # batches the target consumes" — replayed rows are
+                    # dimension versions too.  No batch_id: the SCD2
+                    # high-water mark absorbs replay redelivery.
+                    self.bind_history().apply_batch(decoded)
                 if self.sink is not None:
                     self.sink(latest_by_key(decoded, self.keys))
                 else:

@@ -387,6 +387,7 @@ class PartitionedVersionedTable:
         for v in sorted(int(x) for x in meta["versions"]):
             man = meta["versions"][str(v)]
             rows = 0
+            partial = False
             for pstr, ent in man.items():
                 key = (pstr, ent["gen"])
                 if key not in subs:
@@ -394,7 +395,14 @@ class PartitionedVersionedTable:
                         h["version"]: h["rows"]
                         for h in self._sub(pstr, ent["gen"]).history()
                     }
-                rows += subs[key].get(int(ent["v"]), 0)
+                sub_rows = subs[key].get(int(ent["v"]))
+                if sub_rows is None:
+                    # referenced sub-version reclaimed by a sub-level gc:
+                    # surface the inconsistency instead of silently
+                    # counting the partition as 0 rows
+                    partial = True
+                else:
+                    rows += sub_rows
             parts = set(man)
             out.append(
                 {
@@ -402,7 +410,8 @@ class PartitionedVersionedTable:
                     "n_partitions": len(parts),
                     "added": len(parts - prev),
                     "dropped": len(prev - parts),
-                    "rows": rows,
+                    "rows": None if partial else rows,
+                    "partial": partial,
                     "is_current": v == meta["current"],
                 }
             )
@@ -482,5 +491,19 @@ class PartitionedVersionedTable:
                     parts.append(self._as_inserts(new, include_preimage))
         out = self._union(parts)
         if out is None:
-            raise ValueError("changes_between: v_to snapshot is empty")
+            # Degenerate-but-valid range (v_from == v_to, or no partition
+            # moved): mirror the flat VersionedBucketedTable's contract and
+            # return an EMPTY CDF frame instead of raising, so a generic
+            # consumer can duck-type over both stores.  Schema comes from
+            # the v_to snapshot shaped exactly like a real CDF row.
+            snap = self.read_at(v_to)
+            if snap is None:
+                raise ValueError("changes_between: v_to snapshot is empty")
+            empty = snap.limit(0)
+            return self._union(
+                [
+                    self._as_inserts(empty, include_preimage),
+                    self._as_deletes(empty, include_preimage),
+                ]
+            )
         return out

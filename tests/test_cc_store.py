@@ -84,6 +84,28 @@ def test_removal_with_alternate_path_keeps_component(spark, tmp_path):
     assert _labels(st)[4] == 1  # still reaches 1 via 3
 
 
+def test_string_and_int32_node_ids(spark, tmp_path):
+    """The node schema follows the DATA (no hardcoded `node long`):
+    string doc ids work end-to-end, and int32 batches against a store
+    created from int32 hash into the right buckets across batches."""
+    st = IncrementalClusterStore(spark, str(tmp_path / "cc_s"), n_buckets=4)
+    p1 = spark.createDataFrame([("d1", "d2"), ("d2", "d3"), ("x", "y")],
+                               "a string, b string")
+    st.apply_batch(p1, batch_id=0)
+    assert _labels(st) == {"d1": "d1", "d2": "d1", "d3": "d1", "x": "x", "y": "x"}
+    # second batch + removal against the stored string schema
+    p2 = spark.createDataFrame([("d3", "x")], "a string, b string")
+    st.apply_batch(p2, spark.createDataFrame([("y",)], "node string"), batch_id=1)
+    assert _labels(st) == {"d1": "d1", "d2": "d1", "d3": "d1", "x": "d1"}
+
+    st32 = IncrementalClusterStore(spark, str(tmp_path / "cc_i"), n_buckets=4)
+    pi = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+    st32.apply_batch(pi, batch_id=0)
+    # a later int32 batch must find the stored rows (bucket alignment)
+    st32.apply_batch(spark.createDataFrame([(3, 4)], "a int, b int"), batch_id=1)
+    assert _labels(st32) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 def test_same_batch_add_and_remove(spark, tmp_path):
     """Removals win over same-batch additions (a purged doc contributes
     no edges)."""

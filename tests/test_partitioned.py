@@ -166,6 +166,11 @@ def test_cdf_shapes_match_flat_store(spark, tmp_path):
     cdf = tbl.changes_between(v2, v3, include_preimage=True)
     rows = {r.k: (r._change, r.v, r._pre_v) for r in cdf.collect()}
     assert rows == {1: ("delete", None, 10), 2: ("delete", None, 21)}
+    # degenerate-but-valid range: no partition moved → EMPTY frame with
+    # the CDF schema (flat-store duck-typing parity), not a raise
+    same = tbl.changes_between(v3, v3, include_preimage=True)
+    assert same.count() == 0
+    assert {"_change", "_pre_v", "k", "v"} <= set(same.columns)
 
 
 PIPE_CONFIG = """

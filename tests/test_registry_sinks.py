@@ -135,6 +135,26 @@ def test_kafka_canal_format(spark, small_changes):
     assert msg["id"] == int(msg["data"][0]["c_custkey"])  # id carries seq (= custkey here)
 
 
+def test_canal_type_switch_matches_reference():
+    """The reference's TypeNumber else-branch and TypeBinary family
+    (kafka_utils.go:154-157, 219-226): plain int raw types are
+    sqlType 3 / "int"; blob/varbinary are 252 / "blob" while binary(N)
+    keeps its own base name."""
+    from qin_cdc_spark.sinks.kafka import _canal_type
+
+    rt = {
+        "a": "int(11)", "b": "integer", "c": "blob", "d": "longblob",
+        "e": "varbinary(255)", "f": "binary(16)", "g": "mediumint(9)",
+    }
+    assert _canal_type("a", "long", rt) == (3, "int")
+    assert _canal_type("b", "long", rt) == (3, "int")
+    assert _canal_type("c", "binary", rt) == (252, "blob")
+    assert _canal_type("d", "binary", rt) == (252, "blob")
+    assert _canal_type("e", "binary", rt) == (252, "blob")
+    assert _canal_type("f", "binary", rt) == (252, "binary")
+    assert _canal_type("g", "long", rt) == (9, "mediumint")
+
+
 def test_canal_cdf_egress_carries_preimages(spark, tmp_path):
     """cdf_canal_messages: a versioned table's change feed in the canal
     wire format — UPDATE messages carry the full preimage row as the

@@ -218,6 +218,45 @@ def test_composite_key_history_and_temporal_join(spark, tmp_path):
     assert out == {(100, "a"), (101, "b"), (102, None)}
 
 
+def test_dlq_replay_folds_into_history(spark, tmp_path):
+    """replay_dlq honors the history contract: recovered rows are
+    dimension versions too, so after a replay the SCD2 history matches
+    the target — not permanently missing the quarantined versions."""
+    import pyspark.sql.types as T
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import CdcStreamRoute
+
+    changes = _ev(spark, BATCH1)
+    env = envelope_from_typed(changes, db="src", table="dim")
+    good_schema = changes.drop("op", "seq").schema
+    broken = T.StructType(
+        [
+            T.StructField("k", T.ArrayType(T.LongType()))
+            if f.name == "k"
+            else f
+            for f in good_schema.fields
+        ]
+    )
+    route = CdcStreamRoute(
+        spark, db="src", table="dim", schema=broken, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4, versioned=True,
+        history_path=str(tmp_path / "hist"), dlq_path=str(tmp_path / "dlq"),
+    )
+    route.apply_batch(env, batch_id=0)  # pk parses null → all quarantined
+    assert route.history is None or route.history.read_history() is None
+
+    route.schema = good_schema
+    applied, still_bad = route.replay_dlq()
+    assert (applied, still_bad) == (len(BATCH1), 0)
+    assert _hist_rows(route.history) == _intervals_py(BATCH1)
+    live = {(r.k, r.v) for r in route.target.read().collect()}
+    assert {(r.k, r.v) for r in route.history.current().collect()} == live
+    # replay idempotence extends to the history (high-water mark absorbs it)
+    route.replay_dlq()
+    assert _hist_rows(route.history) == _intervals_py(BATCH1)
+
+
 def test_stream_route_maintains_history(spark, tmp_path):
     """CdcStreamRoute(history_path=…): the SAME decoded batches maintain
     the LWW target and the SCD2 history; current() == target live rows,
