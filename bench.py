@@ -262,6 +262,11 @@ BNLJ_ALLOWED = {
     # the sketches themselves are S·k rows) — same bound as
     # corpus_overlap_matrix's pair agg, expressed as a "<" theta join
     "sketch_kmv_source_overlap",
+    # the SemDeDup recall CONTRACT's brute-force truth side (broadcast
+    # embeddings block, corpus streams once — measurement scaffolding);
+    # the production scale path is semantic_cluster_pairs (O(n²/k),
+    # cluster-keyed hash join)
+    "dedup_semantic_clustered",
 }
 
 
@@ -286,6 +291,32 @@ def registry_join_audit(spark, sf_dir: str, queries) -> dict[str, list[str]]:
         if bad:
             offenders[name] = bad
     return offenders
+
+
+def _calibration_sec(spark, n_runs: int) -> float:
+    """Fixed constant-size calibration workload, run before the headline
+    loop: 20M rows generated in-memory (zero I/O variance) → hash
+    project → 32-way shuffle agg.  The work is identical every round on
+    every host, so BENCH_r{N}-to-BENCH_r{N+1} comparisons can separate
+    HOST drift (calibration moved too) from PLAN regressions (one query
+    moved against a stable calibration).  Median of the same n_runs the
+    headline queries use."""
+    import pyspark.sql.functions as F
+
+    samples = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select((F.xxhash64("id") % 997).alias("k"), "id")
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
 
 
 def main() -> None:
@@ -364,6 +395,8 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    calibration = _calibration_sec(spark, n_runs)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
@@ -389,6 +422,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # fixed constant-size workload (see _calibration_sec):
+                # compare rounds via queries[name]/calibration_sec to
+                # cancel host drift; "calibrated" precomputes it
+                "calibration_sec": calibration,
+                "calibrated": {
+                    k: round(v / calibration, 2) for k, v in timings.items()
+                },
                 "sf": sf,
                 "runs": n_runs,
                 "plan_checks": plan_checks(spark, sf_dir, queries),

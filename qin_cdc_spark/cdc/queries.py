@@ -1437,6 +1437,69 @@ QUERIES["cdc_temporal_join"] = cdc_temporal_join
 ORACLES["cdc_temporal_join"] = CDC_TEMPORAL_JOIN_ORACLE
 
 
+def cdc_temporal_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side temporal join against the INCREMENTAL history store,
+    pruned to the fact keys' buckets (``ScdType2Table.temporal_join``):
+    the feature-store inference shape — a point-lookup-sized fact batch
+    (~tens of keys) is enriched point-in-time-correctly while the
+    history read opens ONLY the buckets those keys hash into
+    (driver-side manifest math; the bucket-pruning itself is
+    inputFiles-asserted in tests/test_scd2.py).  Contrast with
+    ``cdc_temporal_join``, which derives history one-shot and streams
+    the whole history side — correct for analytic joins, wasteful for
+    serving.  The store is built incrementally in two batches, so this
+    also end-to-end-proves store maintenance → pruned serve."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    scd = ScdType2Table(
+        spark, tempfile.mkdtemp(prefix="scd2_serve_gate_") + "/h",
+        keys=["o_orderkey"], n_buckets=64,
+    )
+    scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
+    scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=1)
+    li = load_table(spark, sf_dir, "lineitem")
+    facts = (
+        li.filter(F.col("l_orderkey") % 512 == 0)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber")
+        .distinct()
+        .withColumn(
+            "asof",
+            (F.col("o_orderkey") * 4 + (F.col("l_linenumber") % 6) - 1).cast("long"),
+        )
+    )
+    return scd.temporal_join(facts, "asof", how="left").select(
+        F.col("o_orderkey").alias("l_orderkey"), "l_linenumber", "asof",
+        "valid_from", "o_orderstatus", "o_totalprice",
+    )
+
+
+CDC_TEMPORAL_JOIN_PRUNED_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+  FROM ev
+),
+hist AS (SELECT * FROM h WHERE op <> 'delete'),
+f AS (
+  SELECT DISTINCT l_orderkey, l_linenumber,
+         CAST(l_orderkey*4 + (l_linenumber % 6) - 1 AS BIGINT) AS asof
+  FROM lineitem WHERE l_orderkey % 512 = 0
+)
+SELECT f.l_orderkey, f.l_linenumber, f.asof,
+       h.seq AS valid_from, h.o_orderstatus, h.o_totalprice
+FROM f LEFT JOIN hist h
+  ON h.o_orderkey = f.l_orderkey
+ AND h.seq <= f.asof
+ AND (h.valid_to IS NULL OR f.asof < h.valid_to)
+"""
+
+QUERIES["cdc_temporal_join_pruned"] = cdc_temporal_join_pruned
+ORACLES["cdc_temporal_join_pruned"] = CDC_TEMPORAL_JOIN_PRUNED_ORACLE
+
+
 def cdc_partitioned_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-partitioned CDC target + partition-grain retention: the
     orders change stream applies in two batches to a

@@ -639,13 +639,13 @@ def _topm_clusters(centroids: list, m: int):
     return F.transform(F.slice(ranked, 1, m), lambda s: s["c"])
 
 
-def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cluster cosine near-dup pairs (threshold matches
     dedup_embedding_cosine so recall vs the global operator is
     measurable).  The pair join is keyed on cluster id — each cluster's
     block never leaves its partition; skewed clusters are AQE-split.
-    Rows-only gate (k-means is iterative); recall vs the oracle-checked
-    global operator is asserted in tests."""
+    This is the PRODUCTION operator (O(n²/k)); the gate query below
+    wraps it in the SemDeDup recall/precision CONTRACT."""
     from qin_cdc_spark.operators.ivf import train_kmeans
 
     emb = load_table(spark, sf_dir, "embeddings").repartition(
@@ -678,7 +678,84 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SemDeDup contract (the sim_ivf_pq_topk pattern —
+    iterative k-means can't be SQL-recomputed, so the CONTRACT is the
+    oracle, which DuckDB verifies against its own brute-force pair
+    recompute): one row asserting
+
+    * ``n_true_pairs`` — the exact global pair census at the threshold
+      (Spark's brute-force count must equal DuckDB's — both engines
+      agree at round-9 as proven by dedup_embedding_cosine);
+    * ``n_assignments`` — cluster-census: top-2 soft assignment places
+      every vector in exactly 2 clusters (= 2·|embeddings|);
+    * ``all_found_true`` — precision 1.0: every clustered pair is a true
+      pair (the within-cluster verify is exact cosine at the same
+      rounding);
+    * ``recall_ge_50pct`` — the clustered pair set covers ≥ 50% of the
+      true pairs (measured 63-80% across fixture scales; the production
+      recall curve stays asserted in tests/test_curation.py).
+
+    The brute-force truth side is gate-scale measurement scaffolding
+    (bounded broadcast, corpus streams once — the sim_cosine_topk
+    contract); the production scale path is ``semantic_cluster_pairs``.
+    """
+    from qin_cdc_spark.sources.tables import load_table as _lt
+
+    found = semantic_cluster_pairs(spark, sf_dir)
+    emb = _lt(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    truth = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= SEMDEDUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    n_true = truth.count()
+    n_found = found.count()
+    n_hits = found.join(truth, ["vec_a", "vec_b"], "left_semi").count()
+    n_emb = emb.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_true,
+                2 * n_emb,
+                n_hits == n_found,
+                n_hits * 100 >= n_true * 50,
+            )
+        ],
+        "n_true_pairs long, n_assignments long, all_found_true boolean, "
+        "recall_ge_50pct boolean",
+    )
+
+
+_SEMDEDUP_COS = (
+    _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    + " / (sqrt(" + _DOT_SQL.format(a="a.embedding", b="a.embedding") + ")"
+    + " * sqrt(" + _DOT_SQL.format(a="b.embedding", b="b.embedding") + "))"
+)
+
+SEMDEDUP_ORACLE = f"""
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({_SEMDEDUP_COS}, 9) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_true_pairs,
+       CAST(2 * (SELECT count(*) FROM embeddings) AS BIGINT) AS n_assignments,
+       true AS all_found_true,
+       true AS recall_ge_50pct
+"""
+
 QUERIES["dedup_semantic_clustered"] = dedup_semantic_clustered
+ORACLES["dedup_semantic_clustered"] = SEMDEDUP_ORACLE
 
 
 # ---------------------------------------------------------------------------

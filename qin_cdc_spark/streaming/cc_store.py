@@ -217,20 +217,46 @@ class IncrementalClusterStore:
             # labels of the touched nodes → affected component set
             lab0 = self._rows_of_nodes(touched0, self.labels)
             if lab0 is None:
-                affected_labels: list = []
+                mem = None
             else:
                 rows = lab0.select("label").distinct().limit(
                     self.probe_limit + 1
                 ).collect()
                 if len(rows) > self.probe_limit:
-                    raise ValueError(
-                        "apply_batch: touched components exceed probe_limit "
-                        f"({self.probe_limit}) — split the batch"
+                    # LOGGED SLOW PATH, not a failure: a batch touching
+                    # more components than the driver-side label list
+                    # allows (or one giant boilerplate component whose
+                    # member set dwarfs the probe budget's intent) keeps
+                    # the SAME touched-component bound, computed
+                    # DISTRIBUTED — full members-index scan semi-joined
+                    # to the affected labels instead of a bucket-pruned
+                    # lookup.  Correctness identical (the solve still
+                    # sees exactly the affected subgraph); cost = one
+                    # index scan instead of a pruned read.
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "cc_store: %d+ touched components exceed probe_limit "
+                        "(%d); degrading to distributed scoping",
+                        len(rows), self.probe_limit,
                     )
-                affected_labels = [r[0] for r in rows]
-            # members of the affected components (GSI lookup) + the
-            # batch's own nodes
-            mem = self.members.lookup(affected_labels) if affected_labels else None
+                    mem_all = self.members.read()
+                    mem = (
+                        mem_all.join(
+                            lab0.select("label").distinct(), "label", "left_semi"
+                        )
+                        if mem_all is not None
+                        else None
+                    )
+                else:
+                    affected_labels = [r[0] for r in rows]
+                    # members of the affected components: bucket-pruned
+                    # GSI lookup
+                    mem = (
+                        self.members.lookup(affected_labels)
+                        if affected_labels
+                        else None
+                    )
             scope = touched0 if mem is None else touched0.unionByName(
                 mem.select("node")
             ).distinct()

@@ -176,6 +176,46 @@ class ScdType2Table:
     def applied_batch(self) -> int:
         return self.store.last_batch_id()
 
+    def _buckets_of_facts(self, facts: DataFrame) -> list[str]:
+        """Distinct history buckets the fact rows' keys hash into —
+        driver-side manifest math over the store's OWN typed bucket
+        expression (fact key columns are cast to the stored key types
+        first).  The collect is bounded by n_buckets: the distinct runs
+        on the bucket id, never the keys."""
+        man = self.store._meta()["versions"].get(
+            str(self.store.current_version()), {"buckets": {}}
+        )
+        nb = self.store._manifest_n_buckets(man)
+        st = self.store.read_internal()
+        if st is None:
+            return []
+        typed = {f.name: f.dataType for f in st.limit(0).select(*self.keys).schema.fields}
+        kf = facts.select(
+            *[F.col(k).cast(typed[k]).alias(k) for k in self.keys]
+        )
+        return [
+            str(r[0])
+            for r in kf.select(self.store._bucket_expr(nb).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+
+    def temporal_join(
+        self, facts: DataFrame, asof_col: str, *, how: str = "left"
+    ) -> DataFrame:
+        """Serving-side point-in-time enrichment pruned to the FACT
+        KEYS' history buckets: a point-lookup-shaped fact batch (the
+        feature-store inference case) opens only the buckets its keys
+        hash into (the ``history_of`` discipline applied to a batch);
+        a fact batch touching every bucket degrades gracefully to the
+        full history read.  The join itself is the module-level
+        ``temporal_join`` — equi-join on the keys with the interval
+        predicate residual, never a range join."""
+        hist = self.store.read_buckets(self._buckets_of_facts(facts))
+        if hist is None:
+            raise ValueError("temporal_join: history is empty")
+        return temporal_join(facts, hist, self.keys, asof_col, how=how)
+
     # -- maintenance -----------------------------------------------------------
 
     def _buckets_of_values(self, rows: list[list]) -> list[str]:

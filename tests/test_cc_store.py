@@ -162,6 +162,27 @@ def test_scope_is_bounded_to_touched_components(spark, tmp_path):
     assert _labels(st) == _cc_py(E1 + [(30, 31)])
 
 
+def test_probe_limit_overflow_degrades_not_raises(spark, tmp_path):
+    """More touched components than probe_limit → the LOGGED slow path
+    (distributed members-index scoping), not a raise; the result still
+    converges to the union-find oracle.  Also covers the giant-component
+    shape: the second batch merges everything into one component whose
+    member set exceeds the probe budget's intent."""
+    st = IncrementalClusterStore(spark, str(tmp_path / "cc"), n_buckets=4,
+                                 probe_limit=2)
+    # 5 separate 2-node components > probe_limit=2 when all touched
+    e1 = [(i, i + 100) for i in range(1, 6)]
+    st.apply_batch(_pairs(spark, e1), batch_id=0)
+    # chain them all together: touches all 5 components at once
+    e2 = [(i, i + 1) for i in range(1, 5)]
+    st.apply_batch(_pairs(spark, e2), batch_id=1)
+    assert _labels(st) == _cc_py(e1 + e2)
+    assert set(_labels(st).values()) == {1}
+    # removal inside the (now giant) component still converges
+    st.apply_batch(None, _nodes(spark, [3]), batch_id=2)
+    assert _labels(st) == _cc_py(e1 + e2, removed={3})
+
+
 def test_neardup_store_feeds_cluster_store(spark, tmp_path):
     """End-to-end dedup story: the streaming near-dup store's verified
     pairs (within-batch AND batch-vs-store) maintain the live cluster

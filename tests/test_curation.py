@@ -121,12 +121,15 @@ def test_hll_sketch_union_within_tolerance(spark):
 def test_semantic_clustered_dedup_recall_vs_global(spark):
     """Cluster-scoped pairs are a subset of the global brute-force pairs
     with usable recall (near-dups land in the same cluster)."""
-    from qin_cdc_spark.operators.curation import dedup_semantic_clustered
+    from qin_cdc_spark.operators.curation import (
+        dedup_semantic_clustered,
+        semantic_cluster_pairs,
+    )
     from qin_cdc_spark.operators.similarity import dedup_embedding_cosine_bruteforce
 
     got = {
         (r.vec_a, r.vec_b)
-        for r in dedup_semantic_clustered(spark, SF_SMOKE).collect()
+        for r in semantic_cluster_pairs(spark, SF_SMOKE).collect()
     }
     want = {
         (min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
@@ -135,6 +138,11 @@ def test_semantic_clustered_dedup_recall_vs_global(spark):
     assert got <= want  # no false pairs: same threshold, same metric
     if want:
         assert len(got) / len(want) >= 0.6
+    # the gate contract row agrees with the set arithmetic above
+    row = dedup_semantic_clustered(spark, SF_SMOKE).first()
+    assert row.n_true_pairs == len(want)
+    assert row.all_found_true and row.recall_ge_50pct
+    assert row.n_assignments == 2 * 500  # top-2 soft assignment census
 
 
 def test_weighted_pps_sample_size_tracks_weight(spark):

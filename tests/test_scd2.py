@@ -218,6 +218,28 @@ def test_composite_key_history_and_temporal_join(spark, tmp_path):
     assert out == {(100, "a"), (101, "b"), (102, None)}
 
 
+def test_temporal_join_pruned_opens_fact_buckets_only(spark, tmp_path):
+    """ScdType2Table.temporal_join: serving a point-lookup-shaped fact
+    batch opens strictly fewer bucket dirs than the history holds
+    (the test_gsi.py inputFiles discipline), and the result matches the
+    stream-the-whole-history module-level join."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=16)
+    rows = [("insert", i * 10, i, f"v{i}") for i in range(1, 33)] + [
+        ("update", i * 10 + 5, i, f"w{i}") for i in range(1, 33)
+    ]
+    scd.apply_batch(_ev(spark, rows), batch_id=0)
+    facts = spark.createDataFrame([(1, 12), (1, 3)], "k long, asof long")
+    out = scd.temporal_join(facts, "asof", how="left")
+    man = scd.store._meta()["versions"][str(scd.store.current_version())]
+    opened = {f.rsplit("/", 2)[-2] for f in out.inputFiles()}
+    assert opened < set(man["buckets"].values())
+    got = {(r.k, r.asof, r.v) for r in out.collect()}
+    assert got == {(1, 12, "v1"), (1, 3, None)}
+    # parity with the full-history module-level join
+    full = temporal_join(facts, scd.read_history(), ["k"], "asof", how="left")
+    assert {(r.k, r.asof, r.v) for r in full.collect()} == got
+
+
 def test_dlq_replay_folds_into_history(spark, tmp_path):
     """replay_dlq honors the history contract: recovered rows are
     dimension versions too, so after a replay the SCD2 history matches
