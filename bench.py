@@ -97,6 +97,14 @@ HEADLINE = [
     "cdc_scd2_history",
     "cdc_temporal_join",
     "cdc_partitioned_retention",
+    # round 6 (appended, never reordered — BENCH_rN comparability):
+    # bucket-pruned point-in-time SERVING join vs the analytic join
+    # above, canal-format CDF egress (wire formatting is JVM to_json —
+    # measures the egress path end to end), and retention restatement
+    # through a two-level MV chain
+    "cdc_temporal_join_pruned",
+    "cdc_cdf_canal_egress",
+    "cdc_partitioned_mv_chain",
 ]
 
 

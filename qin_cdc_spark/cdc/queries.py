@@ -1553,6 +1553,81 @@ QUERIES["cdc_partitioned_retention"] = cdc_partitioned_retention
 ORACLES["cdc_partitioned_retention"] = CDC_PARTITIONED_RETENTION_ORACLE
 
 
+def cdc_partitioned_mv_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-grain retention restated through TWO MV levels: a
+    year-partitioned CDC fact feeds a keyed per-customer order count
+    (level 1), whose own preimage CDF feeds the order-count histogram
+    (level 2).  After both stream batches land and both views refresh,
+    every partition before 1998 is DROPPED (a manifest edit, zero data
+    movement) and the views refresh again — the drop surfaces as
+    whole-partition DELETE rows in the fact's CDF, retracts customers'
+    pre-1998 orders from level 1, and each changed count ripples into
+    the level-2 histogram as a retract+apply pair.  The oracle
+    recomputes both levels from scratch over the retained years; the
+    hash check proves retention restatement composes through the whole
+    chain (cdc_partitioned_retention proves level 0→1;
+    cdc_derived_mv_chain proves 1→2 without retention — this closes
+    the composition)."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn("o_year", F.year("o_orderdate")),
+        land_key="orders_year",
+    )
+    base = tempfile.mkdtemp(prefix="pchain_gate_")
+    tbl = PartitionedVersionedTable(
+        spark, base + "/t", ["o_orderkey"], partition_col="o_year", n_buckets=4,
+    )
+    mv1 = DerivedKeyedAggTable(
+        spark, base + "/lvl1", group_cols=["o_custkey"], sum_cols=[], n_buckets=8,
+    )
+    mv2 = DerivedKeyedAggTable(
+        spark, base + "/lvl2", group_cols=["cnt"], sum_cols=[],
+        n_buckets=4, cnt_col="n_custs",
+    )
+    for bid, part in (
+        (0, decoded.filter(F.col("seq") <= s)),
+        (1, decoded.filter(F.col("seq") > s)),
+    ):
+        tbl.merge(part, batch_id=bid)
+        mv1.refresh(tbl)
+        mv2.refresh(mv1.store)
+    tbl.drop_partitions([int(p) for p in tbl.partitions() if int(p) < 1998])
+    mv1.refresh(tbl)
+    mv2.refresh(mv1.store)
+    return mv2.read().select(
+        F.col("cnt").alias("n_orders"),
+        F.col("n_custs").cast("long").alias("n_custs"),
+    )
+
+
+CDC_PARTITIONED_MV_CHAIN_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_custkey FROM last
+  WHERE rn = 1 AND op <> 'delete' AND year(o_orderdate) >= 1998
+),
+lvl1 AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM live GROUP BY 1
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+FROM lvl1 GROUP BY 1
+"""
+
+QUERIES["cdc_partitioned_mv_chain"] = cdc_partitioned_mv_chain
+ORACLES["cdc_partitioned_mv_chain"] = CDC_PARTITIONED_MV_CHAIN_ORACLE
+
+
 def cdc_cdf_kafka_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF EGRESS in the reference's Kafka wire format — the CDC-relay
     loop closed: a maintained versioned table re-emits its own change
@@ -1635,6 +1710,114 @@ FROM d WHERE type IS NOT NULL
 
 QUERIES["cdc_cdf_kafka_egress"] = cdc_cdf_kafka_egress
 ORACLES["cdc_cdf_kafka_egress"] = CDC_CDF_KAFKA_EGRESS_ORACLE
+
+
+def cdc_cdf_canal_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF egress in the aliyun_dts_canal wire format — the canal
+    sibling of ``cdc_cdf_kafka_egress``, byte-hash-checked the same
+    way: the oracle rebuilds the per-key snapshot diff AND renders the
+    full canal struct (outputs/kafka/kafka_utils.go:98-114) in DuckDB —
+    stringified 1-element ``data`` arrays, preimage ``old`` arrays on
+    UPDATE, the reference's own sqlType/mysqlType switch over declared
+    MySQL raw types (bigint/char/decimal/date/varchar branches all
+    exercised), pkNames, empty serverId/sql, null gtid.  A parse-level
+    check would miss field order and stringification drift; the
+    hash-match proves the WIRE BYTES."""
+    import tempfile
+
+    from qin_cdc_spark.sinks.kafka import cdf_canal_messages
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    tbl = VersionedBucketedTable(
+        spark, tempfile.mkdtemp(prefix="canal_gate_") + "/t",
+        ["o_orderkey"], n_buckets=8,
+    )
+    v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
+    v2 = tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
+    return cdf_canal_messages(
+        tbl, v1, v2, database="src", table_name="orders",
+        raw_types={
+            "o_orderkey": "bigint(20)",
+            "o_custkey": "bigint(20)",
+            "o_orderstatus": "char(1)",
+            "o_totalprice": "decimal(15,2)",
+            "o_orderdate": "date",
+            "o_orderpriority": "varchar(15)",
+        },
+    )
+
+
+CDC_CDF_CANAL_EGRESS_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (SELECT max(seq) // 2 AS s FROM ev),
+a AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+    FROM ev WHERE seq <= (SELECT s FROM half))
+  WHERE rn = 1 AND op <> 'delete'
+),
+b AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+    FROM ev)
+  WHERE rn = 1 AND op <> 'delete'
+),
+d AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+              WHEN b.o_orderkey IS NULL THEN 'DELETE'
+              WHEN a.seq <> b.seq THEN 'UPDATE' END AS type,
+         CAST(a.o_custkey AS VARCHAR) AS ac,
+         CAST(a.o_orderstatus AS VARCHAR) AS ast,
+         CAST(a.o_totalprice AS VARCHAR) AS ap,
+         -- canal stringifies values with Spark's string CAST, not JSON
+         -- timestamp encoding: 'YYYY-MM-DD HH:MM:SS'
+         strftime(a.o_orderdate, '%Y-%m-%d %H:%M:%S') AS ad,
+         CAST(a.o_orderpriority AS VARCHAR) AS apr,
+         CAST(b.o_custkey AS VARCHAR) AS bc,
+         CAST(b.o_orderstatus AS VARCHAR) AS bst,
+         CAST(b.o_totalprice AS VARCHAR) AS bp,
+         strftime(b.o_orderdate, '%Y-%m-%d %H:%M:%S') AS bd,
+         CAST(b.o_orderpriority AS VARCHAR) AS bpr
+  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT CAST(k AS VARCHAR) AS key,
+       to_json(struct_pack(
+         database := 'src',
+         "table" := 'orders',
+         type := type,
+         es := CAST(0 AS BIGINT),
+         ts := CAST(0 AS BIGINT),
+         data := list_value(struct_pack(
+           o_orderkey := CAST(k AS VARCHAR),
+           o_custkey := CASE WHEN type = 'DELETE' THEN ac ELSE bc END,
+           o_orderstatus := CASE WHEN type = 'DELETE' THEN ast ELSE bst END,
+           o_totalprice := CASE WHEN type = 'DELETE' THEN ap ELSE bp END,
+           o_orderdate := CASE WHEN type = 'DELETE' THEN ad ELSE bd END,
+           o_orderpriority := CASE WHEN type = 'DELETE' THEN apr ELSE bpr END)),
+         old := CASE WHEN type = 'UPDATE' THEN list_value(struct_pack(
+           o_orderkey := CAST(k AS VARCHAR), o_custkey := ac,
+           o_orderstatus := ast, o_totalprice := ap, o_orderdate := ad,
+           o_orderpriority := apr)) END,
+         "sqlType" := struct_pack(
+           o_orderkey := 8, o_custkey := 8, o_orderstatus := 254,
+           o_totalprice := 246, o_orderdate := 10, o_orderpriority := 253),
+         "mysqlType" := struct_pack(
+           o_orderkey := 'bigint', o_custkey := 'bigint',
+           o_orderstatus := 'char', o_totalprice := 'decimal',
+           o_orderdate := 'date', o_orderpriority := 'varchar'),
+         "serverId" := '',
+         sql := '',
+         "pkNames" := list_value('o_orderkey'),
+         "isDdl" := false,
+         id := CAST(0 AS BIGINT),
+         gtid := CAST(NULL AS VARCHAR)))::VARCHAR AS value
+FROM d WHERE type IS NOT NULL
+"""
+
+QUERIES["cdc_cdf_canal_egress"] = cdc_cdf_canal_egress
+ORACLES["cdc_cdf_canal_egress"] = CDC_CDF_CANAL_EGRESS_ORACLE
 
 
 def cdc_gsi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

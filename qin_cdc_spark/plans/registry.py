@@ -16,28 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate evaluates a PREFIX of this registry (rounds
-# 1-4: exactly the first 50 entries), so iteration order is part of the
-# contract.  Round-5 layout: positions 1-8 stay ONE known-green family
-# representative each; positions 9-50 ROTATE the remaining 38 names that
-# have never had a driver row (union of CORRECTNESS_r01-r04 vs the
-# registry) — after this round EVERY registry query will have been
-# driver-verified at least once.  The block includes the four former
-# rows-only queries converted to oracle-checked this round
-# (sim_ann_ivf probe-all exactness, sketch_hll_mergeable bounded-error,
-# sim_pq_adc_topk / sim_ivf_pq_topk recall contracts, tokenize_bpe_counts
-# word-count + sandwich-bound contract, approx_distinct_rows_only
-# bounded-error — its name is historical) and the one that stays
-# rows-only by declared design (dedup_semantic_clustered — k-means
-# cluster scoping, no SQL recompute).  cdc_rtbf_purge (new this round) takes a spare slot;
-# the remaining spares fall through to known-green registry order.
-#
-# Never-driver-checked ledger for the NEXT rotation (round 6): the 50-entry
-# prefix is full, so round-5 additions past slot 50 wait one round —
-# currently: cdc_derived_topk, cdc_derived_keyed_agg, cdc_derived_mv_chain,
-# cdc_table_stats_incremental, cdc_scd2_history, cdc_temporal_join,
-# cdc_partitioned_retention, cdc_cdf_kafka_egress, cdc_gsi_lookup,
-# dedup_cluster_incremental, cdc_scd2_asof, cdc_partitioned_history
-# (all oracle-backed, all pass the local gate).
+# 1-5: exactly the first 50 entries), so iteration order is part of the
+# contract.  Round-6 layout: positions 1-8 stay ONE known-green family
+# representative each; positions 9-25 close the driver ledger — the 13
+# names that have never had a driver row (the round-5 additions past slot
+# 50 plus approx_distinct_rows_only, whose only driver row predates its
+# conversion to an oracle-checked contract), dedup_semantic_clustered in
+# its NEW oracle-checked contract form (its r5 row was `err: no_oracle` —
+# this flips the ledger to 50/50 green with zero asterisks), and the three
+# round-6 gate queries (bucket-pruned temporal-join serving, canal-format
+# CDF egress, retention restated through a two-level MV chain).  After
+# this round every registry query has a green driver row at least once.
+# The remaining 25 slots fall through to known-green family spread from
+# the round-5 prefix.
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
@@ -48,49 +39,51 @@ _HEAD = [
     "mm_decode_meta",  # multimodal
     "udf_apply_in_pandas",  # UDF surface
     "neardup_store_two_batch",  # streaming near-dup store
-    # -- rotation block (9-50): first-ever driver rows --
+    # -- ledger-closing block (9-21): first-ever driver rows --
+    "cdc_derived_topk",
+    "cdc_derived_keyed_agg",
+    "cdc_derived_mv_chain",
+    "cdc_table_stats_incremental",
+    "cdc_scd2_history",
+    "cdc_scd2_asof",
+    "cdc_temporal_join",
+    "cdc_partitioned_retention",
+    "cdc_partitioned_history",
+    "cdc_cdf_kafka_egress",
+    "cdc_gsi_lookup",
+    "dedup_cluster_incremental",
+    "approx_distinct_rows_only",  # oracle-checked since r5 (name historical)
+    # -- conversion + round-6 additions (22-25) --
+    "dedup_semantic_clustered",  # NOW oracle-checked (SemDeDup contract)
+    "cdc_temporal_join_pruned",  # round 6: bucket-pruned PIT serving join
+    "cdc_cdf_canal_egress",  # round 6: canal wire-format CDF egress
+    "cdc_partitioned_mv_chain",  # round 6: retention through 2 MV levels
+    # -- known-green family spread (26-50) --
     "cdc_bootstrap_overlap",
     "cdc_consistent_snapshot",
     "cdc_derived_extrema",
     "cdc_derived_join_mv",
+    "cdc_derived_distinct",
+    "cdc_derived_quantile",
+    "cdc_rtbf_purge",
     "cdc_snapshot_history",
     "cdc_versioned_bloom_lookup",
     "chunk_content_defined",
-    "corpus_snapshot_diff",
     "corpus_term_drift",
     "curation_dsir_topk",
     "decontaminate_bloom",
     "dedup_minhash_lsh_indexed",
     "dedup_substring_spans",
     "dq_constraint_report",
-    "dq_profile_orders",
-    "ev_attribution_last_touch",
-    "ev_dedup_first_by_key",
     "ev_rate_anomaly",
-    "ev_sliding_window",
     "mix_temperature_alloc",
     "mm_ahash_neardup",
-    "retrieval_hard_negatives",
     "retrieval_rrf_fusion",
-    "shards_plan_stats",
-    "sketch_countmin_stream_merge",
-    "sketch_countmin_topk",
-    "sketch_kmv_source_overlap",
-    "sketch_quantile_bins",
-    "text_bm25_topk",
-    "text_hashed_linear_score",
-    "udf_map_in_arrow",
-    "udf_python_rowwise",
     "sim_ann_ivf",
-    "sim_pq_adc_topk",
     "sim_ivf_pq_topk",
     "sketch_hll_mergeable",
-    "dedup_semantic_clustered",  # rows-only by design
+    "text_bm25_indexed",
     "tokenize_bpe_counts",
-    "cdc_rtbf_purge",  # round-5 addition: E2E purge vs LWW-minus-keys oracle
-    "cdc_derived_distinct",  # round-5 addition: refcount-transition distinct MV
-    "text_bm25_indexed",  # round-5 addition: incrementally maintained BM25 index
-    "cdc_derived_quantile",  # round-5 addition: retractable binned-quantile MV
 ]
 
 
