@@ -189,6 +189,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        import qin_cdc_spark.operators.linalg as linalg
+
+        modules.append(linalg)
+    except ImportError:
+        pass
+    try:
         import qin_cdc_spark.operators.shards as shards
 
         modules.append(shards)

@@ -173,6 +173,23 @@ class ScdType2Table:
             cond = c if cond is None else (cond & c)
         return st.filter(cond).withColumn("is_current", F.col("valid_to").isNull())
 
+    def read_key_asof(self, key_values: list, seq: int) -> DataFrame | None:
+        """Point-in-time POINT lookup: the version of ONE key current
+        at stream coordinate ``seq`` — a one-bucket read
+        (``history_of``) + interval filter, so the cost is the key's
+        own bucket, never the table.  This is the hot-path serving
+        shape (``as_of`` scans the store by design — it answers for
+        EVERY key); even a very hot key (thousands of versions) costs
+        exactly its bucket's rows: versions co-locate by construction
+        (``bucket_cols=keys``)."""
+        h = self.history_of(key_values)
+        if h is None:
+            return None
+        return h.filter(
+            (F.col("valid_from") <= F.lit(seq))
+            & (F.col("valid_to").isNull() | (F.lit(seq) < F.col("valid_to")))
+        ).drop("is_current", "valid_to")
+
     def applied_batch(self) -> int:
         return self.store.last_batch_id()
 

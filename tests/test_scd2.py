@@ -218,6 +218,28 @@ def test_composite_key_history_and_temporal_join(spark, tmp_path):
     assert out == {(100, "a"), (101, "b"), (102, None)}
 
 
+def test_hot_key_serving_reads_one_bucket(spark, tmp_path):
+    """The VERDICT r5 watch item measured: history_of / read_key_asof
+    on a HOT key (hundreds of versions) open exactly the key's bucket —
+    cost is the key's own version list, never the table."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=8)
+    hot = [("update", s, 1, f"v{s}") for s in range(1, 401)]
+    cold = [("insert", i, i, f"c{i}") for i in range(401, 601)]
+    scd.apply_batch(_ev(spark, hot + cold), batch_id=0)
+    h = scd.history_of([1])
+    man = scd.store._meta()["versions"][str(scd.store.current_version())]
+    opened = {f.rsplit("/", 2)[-2] for f in h.inputFiles()}
+    assert len(opened) == 1 and opened < set(man["buckets"].values())
+    assert h.count() == 400  # every version of the hot key, one bucket
+    # point-in-time point lookup: interval filter over the same bucket
+    snap = scd.read_key_asof([1], 250)
+    opened2 = {f.rsplit("/", 2)[-2] for f in snap.inputFiles()}
+    assert opened2 == opened
+    assert [(r.k, r.valid_from, r.v) for r in snap.collect()] == [(1, 250, "v250")]
+    # before the first event → empty, not an error
+    assert scd.read_key_asof([1], 0).count() == 0
+
+
 def test_temporal_join_pruned_opens_fact_buckets_only(spark, tmp_path):
     """ScdType2Table.temporal_join: serving a point-lookup-shaped fact
     batch opens strictly fewer bucket dirs than the history holds
