@@ -54,11 +54,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
     ap.add_argument("--await-seconds", type=int, default=0,
                     help="0 = run until terminated")
+    ap.add_argument("--fsck", metavar="PATH",
+                    help="integrity-check the store at PATH (auto-detects the "
+                         "versioned/partitioned layout) and exit nonzero on errors; "
+                         "driver-side manifest walk, no Spark session")
+    ap.add_argument("--fsck-deep", action="store_true",
+                    help="with --fsck: also open every referenced parquet footer")
     args = ap.parse_args(argv)
 
     if args.version:
         print(f"qin_cdc_spark {VERSION}")
         return 0
+    if args.fsck:
+        import json as _json
+
+        from qin_cdc_spark.streaming.fsck import fsck_path, ok
+
+        rep = fsck_path(args.fsck, deep=args.fsck_deep)
+        print(_json.dumps(rep, indent=1))
+        return 0 if ok(rep) else 1
     for req in ("config", "target_root"):
         if not getattr(args, req):
             ap.error(f"--{req.replace('_', '-')} is required (unless --version)")

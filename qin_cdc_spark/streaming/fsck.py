@@ -1,0 +1,231 @@
+"""Store integrity checker (fsck) — the operational audit for every
+manifest-backed store in the engine.
+
+The reference ships a relay with no owned storage to audit; this
+engine OWNS state (versioned targets, partitioned facts, MV state,
+GSI/CC/BM25/near-dup indexes — all `VersionedBucketedTable` layouts or
+compositions of it), and state that can be owned can be corrupted by
+operators: a manifest hand-edited, a data dir lost to a partial
+restore, a sub-version reclaimed by a sub-level gc while a parent
+still references it.  ``fsck_path`` walks a store the way the engine
+reads it — manifests first, parquet footers second — and returns a
+structured report instead of letting the damage surface as a read-time
+stack trace three consumers downstream.
+
+Everything is DRIVER-SIDE manifest/footer walking (zero Spark jobs,
+the ``history()`` discipline), so it is safe to run from monitoring at
+any frequency and at any table size: cost is O(versions × buckets)
+manifest entries + one footer stat per referenced file with
+``deep=True``, never a data scan.
+
+Checks (V = versioned store, P = partitioned parent):
+
+* V/P: meta parses; ``current`` is a retained version; version keys
+  are ints; ``last_batch_id`` ≥ −1.
+* V: every retained manifest's bucket dirs EXIST; bucket ids are
+  integers in [0, n_buckets); orphan ``d-*`` dirs reported as a
+  warning (legitimate crash residue — the next publish GC's them).
+* V deep: every referenced parquet file's footer opens (pyarrow), and
+  every file carries the engine columns ``_seq``/``_deleted``.
+* P: every partition entry's generation dir exists and is a valid
+  versioned store; the referenced sub-version IS retained there (the
+  `history(partial=)` inconsistency, caught structurally); partition
+  names are path-safe; orphan generation dirs reported as warnings.
+* Consumer progress (``fsck_consumer``): a CDF consumer's applied
+  version must not be AHEAD of its source's current version (a
+  restored-from-backup source with a non-restored consumer — the
+  operational mistake that silently freezes refreshes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from qin_cdc_spark.streaming.partitioned import PART_META_NAME
+from qin_cdc_spark.streaming.versioned import META_NAME
+
+_SAFE_PART = re.compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+def _report(path: str, kind: str) -> dict:
+    return {"path": path, "kind": kind, "errors": [], "warnings": []}
+
+
+def _load_json(path: str, rep: dict) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError) as e:
+        rep["errors"].append(f"meta unreadable: {e}")
+        return None
+
+
+def _check_meta_shape(meta: dict, rep: dict) -> bool:
+    for k in ("current", "last_batch_id", "versions"):
+        if k not in meta:
+            rep["errors"].append(f"meta missing key {k!r}")
+            return False
+    if not isinstance(meta["versions"], dict):
+        rep["errors"].append("meta['versions'] is not a mapping")
+        return False
+    bad = [v for v in meta["versions"] if not str(v).lstrip("-").isdigit()]
+    if bad:
+        rep["errors"].append(f"non-integer version keys: {bad[:5]}")
+    if meta["versions"] and str(meta["current"]) not in meta["versions"]:
+        rep["errors"].append(
+            f"current version {meta['current']} not retained "
+            f"(have {sorted(int(v) for v in meta['versions'])})"
+        )
+    if meta["versions"]:
+        mx = max(int(v) for v in meta["versions"])
+        if int(meta["current"]) < mx:
+            rep["errors"].append(
+                f"current {meta['current']} behind max retained version {mx}"
+            )
+    if not isinstance(meta["last_batch_id"], int) or meta["last_batch_id"] < -1:
+        rep["errors"].append(f"bad last_batch_id: {meta['last_batch_id']!r}")
+    return True
+
+
+def _footer_check(data_dir: str, rep: dict) -> None:
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover — baked into this environment
+        rep["warnings"].append("pyarrow unavailable: footer checks skipped")
+        return
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(data_dir, f)
+        try:
+            schema = pq.ParquetFile(fp).schema_arrow
+        except Exception as e:  # noqa: BLE001 — any footer damage is the finding
+            rep["errors"].append(f"unreadable parquet footer: {fp}: {e}")
+            continue
+        missing = {"_seq", "_deleted"} - set(schema.names)
+        if missing:
+            rep["errors"].append(
+                f"{fp}: missing engine columns {sorted(missing)}"
+            )
+
+
+def fsck_versioned_path(path: str, *, deep: bool = False) -> dict:
+    """fsck one `VersionedBucketedTable` directory."""
+    rep = _report(path, "versioned")
+    meta_path = os.path.join(path, META_NAME)
+    if not os.path.exists(meta_path):
+        rep["errors"].append(f"no {META_NAME} at {path}")
+        return rep
+    meta = _load_json(meta_path, rep)
+    if meta is None or not _check_meta_shape(meta, rep):
+        return rep
+    live_dirs: set[str] = set()
+    for v, man in meta["versions"].items():
+        buckets = man.get("buckets")
+        if not isinstance(buckets, dict):
+            rep["errors"].append(f"version {v}: manifest missing 'buckets'")
+            continue
+        nb = man.get("n_buckets")
+        for b, d in buckets.items():
+            live_dirs.add(d)
+            if not str(b).isdigit() or (
+                isinstance(nb, int) and not (0 <= int(b) < nb)
+            ):
+                rep["errors"].append(
+                    f"version {v}: bucket id {b!r} outside [0, {nb})"
+                )
+            dd = os.path.join(path, d)
+            if not os.path.isdir(dd):
+                rep["errors"].append(f"version {v}: data dir missing: {d}")
+            elif deep:
+                _footer_check(dd, rep)
+    for d in sorted(os.listdir(path)):
+        if d.startswith("d-") and d not in live_dirs:
+            rep["warnings"].append(
+                f"orphan data dir {d} (crash residue; next publish GCs it)"
+            )
+    return rep
+
+
+def fsck_partitioned_path(path: str, *, deep: bool = False) -> dict:
+    """fsck one `PartitionedVersionedTable` parent + all referenced
+    sub-stores (each sub-report nests under 'partitions')."""
+    rep = _report(path, "partitioned")
+    meta_path = os.path.join(path, PART_META_NAME)
+    if not os.path.exists(meta_path):
+        rep["errors"].append(f"no {PART_META_NAME} at {path}")
+        return rep
+    meta = _load_json(meta_path, rep)
+    if meta is None or not _check_meta_shape(meta, rep):
+        return rep
+    rep["partitions"] = {}
+    referenced: set[tuple[str, str]] = set()
+    for v, man in meta["versions"].items():
+        if not isinstance(man, dict):
+            rep["errors"].append(f"version {v}: manifest is not a mapping")
+            continue
+        for pstr, ent in man.items():
+            if not _SAFE_PART.match(pstr):
+                rep["errors"].append(f"version {v}: unsafe partition name {pstr!r}")
+                continue
+            gen, sub_v = ent.get("gen"), ent.get("v")
+            referenced.add((pstr, gen))
+            sub_path = os.path.join(path, f"p={pstr}", gen)
+            key = f"{pstr}/{gen}"
+            if key not in rep["partitions"]:
+                rep["partitions"][key] = fsck_versioned_path(sub_path, deep=deep)
+            sub_meta_path = os.path.join(sub_path, META_NAME)
+            if os.path.exists(sub_meta_path):
+                sub_meta = _load_json(sub_meta_path, rep) or {"versions": {}}
+                if str(sub_v) not in sub_meta["versions"]:
+                    rep["errors"].append(
+                        f"version {v}: partition {pstr} references sub-version "
+                        f"{sub_v} of {gen}, which is not retained there "
+                        "(reclaimed by a sub-level gc?)"
+                    )
+    # orphan generation dirs: legitimate after drop_partitions+expire
+    # crash windows — warn, never error
+    for d in sorted(os.listdir(path)):
+        if d.startswith("p="):
+            pstr = d[2:]
+            for gen in sorted(os.listdir(os.path.join(path, d))):
+                if (pstr, gen) not in referenced:
+                    rep["warnings"].append(
+                        f"orphan generation {d}/{gen} (no retained version "
+                        "references it; expire reclaims it)"
+                    )
+    for sub in rep["partitions"].values():
+        rep["errors"].extend(f"[{sub['path']}] {e}" for e in sub["errors"])
+    return rep
+
+
+def fsck_path(path: str, *, deep: bool = False) -> dict:
+    """Auto-detect the store layout at ``path`` and fsck it."""
+    if os.path.exists(os.path.join(path, PART_META_NAME)):
+        return fsck_partitioned_path(path, deep=deep)
+    if os.path.exists(os.path.join(path, META_NAME)):
+        return fsck_versioned_path(path, deep=deep)
+    rep = _report(path, "unknown")
+    rep["errors"].append("no engine manifest found (neither layout)")
+    return rep
+
+
+def fsck_consumer(consumer_applied: int, source_current: int, *, name: str = "consumer") -> dict:
+    """Progress sanity for a CDF consumer (MV/GSI/index): applied must
+    not run AHEAD of the source (a source restored from backup under a
+    non-restored consumer silently freezes every refresh — the guard
+    sees 'already applied' forever)."""
+    rep = {"name": name, "errors": [], "warnings": []}
+    if consumer_applied > source_current:
+        rep["errors"].append(
+            f"{name}: applied version {consumer_applied} is ahead of the "
+            f"source's current {source_current} — restore the consumer to a "
+            "snapshot at-or-before the source's, or rebuild it"
+        )
+    return rep
+
+
+def ok(report: dict) -> bool:
+    return not report["errors"]

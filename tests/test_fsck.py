@@ -1,0 +1,134 @@
+"""Store integrity checker (streaming/fsck.py).
+
+Each test plants ONE specific damage class in a real store and asserts
+fsck names it — plus the clean-store and CLI contracts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from qin_cdc_spark.streaming.fsck import (
+    fsck_consumer,
+    fsck_path,
+    fsck_versioned_path,
+    ok,
+)
+from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+from qin_cdc_spark.streaming.versioned import META_NAME, VersionedBucketedTable
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+
+def _mk_versioned(spark, path):
+    tbl = VersionedBucketedTable(spark, path, ["k"], n_buckets=4)
+    tbl.merge(_ev(spark, [("insert", 1, 1, "a"), ("insert", 2, 2, "b")]), batch_id=0)
+    tbl.merge(_ev(spark, [("update", 3, 1, "a2")]), batch_id=1)
+    return tbl
+
+
+def test_clean_versioned_store_is_ok(spark, tmp_path):
+    _mk_versioned(spark, str(tmp_path / "t"))
+    rep = fsck_path(str(tmp_path / "t"))
+    assert rep["kind"] == "versioned"
+    assert ok(rep) and rep["errors"] == []
+
+
+def test_missing_data_dir_is_an_error(spark, tmp_path):
+    tbl = _mk_versioned(spark, str(tmp_path / "t"))
+    man = tbl._meta()["versions"][str(tbl.current_version())]
+    victim = next(iter(man["buckets"].values()))
+    shutil.rmtree(os.path.join(tbl.path, victim))
+    rep = fsck_path(tbl.path)
+    assert not ok(rep)
+    assert any("data dir missing" in e and victim in e for e in rep["errors"])
+
+
+def test_current_behind_and_bad_bucket_id(spark, tmp_path):
+    tbl = _mk_versioned(spark, str(tmp_path / "t"))
+    meta = tbl._meta()
+    meta["current"] = 1  # hand-edit: current behind max retained
+    meta["versions"]["2"]["buckets"]["99"] = next(
+        iter(meta["versions"]["2"]["buckets"].values())
+    )
+    with open(os.path.join(tbl.path, META_NAME), "w") as f:
+        json.dump(meta, f)
+    rep = fsck_path(tbl.path)
+    errs = " | ".join(rep["errors"])
+    assert "behind max retained" in errs and "outside [0," in errs
+
+
+def test_orphan_dir_is_warning_not_error(spark, tmp_path):
+    tbl = _mk_versioned(spark, str(tmp_path / "t"))
+    os.makedirs(os.path.join(tbl.path, "d-deadbeef"))
+    rep = fsck_path(tbl.path)
+    assert ok(rep)
+    assert any("orphan data dir d-deadbeef" in w for w in rep["warnings"])
+
+
+def test_deep_footer_check_catches_truncation(spark, tmp_path):
+    tbl = _mk_versioned(spark, str(tmp_path / "t"))
+    man = tbl._meta()["versions"][str(tbl.current_version())]
+    d = os.path.join(tbl.path, next(iter(man["buckets"].values())))
+    victim = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    with open(os.path.join(d, victim), "r+b") as f:
+        f.truncate(10)  # destroy the footer
+    assert ok(fsck_path(tbl.path))  # shallow: dirs exist, no error
+    rep = fsck_path(tbl.path, deep=True)
+    assert not ok(rep)
+    assert any("unreadable parquet footer" in e for e in rep["errors"])
+
+
+def test_partitioned_store_and_reclaimed_subversion(spark, tmp_path):
+    p = str(tmp_path / "pt")
+    tbl = PartitionedVersionedTable(
+        spark, p, ["k"], partition_col="yr", n_buckets=2
+    )
+    ev = spark.createDataFrame(
+        [("insert", 1, 1, 1995, "a"), ("insert", 2, 2, 1996, "b")],
+        "op string, seq long, k long, yr int, v string",
+    )
+    tbl.merge(ev, batch_id=0)
+    tbl.merge(
+        spark.createDataFrame(
+            [("update", 3, 1, 1995, "a2")],
+            "op string, seq long, k long, yr int, v string",
+        ),
+        batch_id=1,
+    )
+    rep = fsck_path(p)
+    assert rep["kind"] == "partitioned" and ok(rep)
+    assert len(rep["partitions"]) == 2
+    # reclaim a referenced sub-version behind the parent's back
+    ent = tbl._manifest(1)["1995"]
+    sub = tbl._sub("1995", ent["gen"])
+    sub.gc(keep_last=1)  # parent v1 still references the old sub-version
+    rep = fsck_path(p)
+    assert not ok(rep)
+    assert any("not retained there" in e for e in rep["errors"])
+
+
+def test_consumer_ahead_of_source(spark):
+    assert ok(fsck_consumer(3, 5))
+    rep = fsck_consumer(7, 5, name="mv1")
+    assert not ok(rep) and "ahead of the source" in rep["errors"][0]
+
+
+def test_cli_fsck(spark, tmp_path, capsys):
+    from qin_cdc_spark.__main__ import main
+
+    tbl = _mk_versioned(spark, str(tmp_path / "t"))
+    assert main(["--fsck", tbl.path]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["errors"] == []
+    assert main(["--fsck", str(tmp_path / "nothing")]) == 1
+
+
+def test_unknown_layout(spark, tmp_path):
+    os.makedirs(tmp_path / "x", exist_ok=True)
+    rep = fsck_versioned_path(str(tmp_path / "x"))
+    assert not ok(rep)
