@@ -29,6 +29,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # this round every registry query has a green driver row at least once.
 # The remaining 25 slots fall through to known-green family spread from
 # the round-5 prefix.
+#
+# Never-driver-checked ledger for the NEXT rotation (round 7):
+# emb_whitening (added after this round's prefix was frozen; passes the
+# local gate replica).
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
