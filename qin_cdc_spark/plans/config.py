@@ -48,6 +48,11 @@ class Router:
     partition_col: str | None = None
     partition_keep_latest: int | None = None
     history: bool = False
+    # egress-format = "default" | "canal": after every batch lands, the
+    # target's change feed re-emits as reference wire-format messages
+    # (the relay loop, in-stream; see CdcStreamRoute.emit_egress).
+    # Forces the target to be versioned (the CDF is the source).
+    egress_format: str | None = None
 
     @property
     def key(self) -> str:
@@ -129,6 +134,7 @@ def parse_config(text: str) -> PipelineConfig:
                     else None
                 ),
                 history=bool(r.get("history", False)),
+                egress_format=r.get("egress-format"),
             )
         )
 

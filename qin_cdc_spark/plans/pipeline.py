@@ -94,12 +94,12 @@ class Pipeline:
                     label_prefix=opts.get("label-prefix"),
                 )
                 sink = loader.load_batch
-            # a declared materialized view refreshes from the target's
-            # change data feed — its route must retain versions
+            # a declared materialized view OR egress refreshes from the
+            # target's change data feed — its route must retain versions
             has_mv = any(
                 (m.source_schema, m.source_table) == (db, table)
                 for m in config.mviews
-            )
+            ) or router.egress_format is not None
             self.routes.append(
                 CdcStreamRoute(
                     spark,
@@ -120,6 +120,12 @@ class Pipeline:
                     history_path=(
                         target_path + "_history" if router.history else None
                     ),
+                    # wire-format relay: re-emit the target's CDF after
+                    # every batch, named for the TARGET (what a
+                    # downstream Kafka consumer expects)
+                    egress_format=router.egress_format,
+                    egress_database=router.target_schema,
+                    egress_table=router.target_table,
                 )
             )
 

@@ -332,6 +332,10 @@ class CdcStreamRoute:
         history_path: str | None = None,
         partition_col: str | None = None,
         partition_keep_latest: int | None = None,
+        egress_format: str | None = None,
+        egress_dir: str | None = None,
+        egress_database: str | None = None,
+        egress_table: str | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -379,6 +383,27 @@ class CdcStreamRoute:
         self.partition_keep_latest = partition_keep_latest
         if partition_keep_latest is not None and partition_col is None:
             raise ValueError("partition_keep_latest requires partition_col")
+        # egress_format ∈ {default, canal}: after every batch lands, the
+        # target's change feed since the egress high-water mark re-emits
+        # as reference wire-format (key, value) messages — the relay
+        # loop the reference exists for (MySQL → Kafka), closed
+        # IN-STREAM over the engine's own tables.  Messages land as
+        # parquet dirs named v{from}-{to} under egress_dir (the
+        # broker stand-in; write_kafka_stream is the live wiring), the
+        # range naming making emission CRASH-SAFE: the high-water mark
+        # is the largest emitted `to`, so a crash between the merge and
+        # the emit heals on the next batch (the gap rides into its
+        # range), and a replayed batch re-emits nothing (staged rename,
+        # skip-if-exists).  Requires a versioned target (CDF source).
+        if egress_format is not None:
+            if egress_format not in ("default", "canal"):
+                raise ValueError(f"unknown egress format {egress_format!r}")
+            if not versioned and partition_col is None:
+                raise ValueError("egress requires a versioned target")
+        self.egress_format = egress_format
+        self.egress_dir = egress_dir or (target_path + "_egress")
+        self.egress_database = egress_database
+        self.egress_table = egress_table
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -440,6 +465,8 @@ class CdcStreamRoute:
             self.target.merge(reduced, batch_id=batch_id)
         else:
             self.target.merge(reduced)
+        if self.egress_format is not None:
+            self.emit_egress()
 
     def replay_dlq(self) -> tuple[int, int]:
         """Re-attempt quarantined envelope rows under the route's
@@ -508,6 +535,69 @@ class CdcStreamRoute:
         finally:
             good.unpersist()
             bad.unpersist()
+
+    def _egress_hwm(self) -> int:
+        """Largest emitted v_to — parsed from the final dir names, so
+        progress is exactly the set of fully-published emissions."""
+        if not os.path.isdir(self.egress_dir):
+            return 0
+        hwm = 0
+        for d in os.listdir(self.egress_dir):
+            if d.startswith("v") and "-" in d and ".stage-" not in d:
+                try:
+                    hwm = max(hwm, int(d.split("-", 1)[1]))
+                except ValueError:
+                    continue
+        return hwm
+
+    def emit_egress(self) -> tuple[int, int] | None:
+        """Emit the target's CDF since the egress high-water mark as
+        wire-format messages; returns the emitted (v_from, v_to) range
+        or None when already caught up.  Safe to call any time —
+        at-least-once delivery with exactly-once PUBLICATION (staged
+        rename, skip-if-exists), and a crash-created gap heals on the
+        next call because the range always starts at the hwm."""
+        self.bind_target()
+        if self.target is None or not self.target.exists():
+            return None
+        v_cur = self.target.current_version()
+        hwm = self._egress_hwm()
+        if v_cur <= hwm:
+            return None
+        from qin_cdc_spark.sinks.kafka import cdf_canal_messages, cdf_json_messages
+
+        database = self.egress_database or self.db
+        table_name = self.egress_table or self.table
+        if self.egress_format == "canal":
+            msgs = cdf_canal_messages(
+                self.target, hwm, v_cur, database=database, table_name=table_name
+            )
+        else:
+            msgs = cdf_json_messages(
+                self.target, hwm, v_cur, database=database, table_name=table_name
+            )
+        os.makedirs(self.egress_dir, exist_ok=True)
+        final = os.path.join(self.egress_dir, f"v{hwm}-{v_cur}")
+        if os.path.isdir(final):
+            return None  # replayed emission: already published
+        stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
+        msgs.write.parquet(stage)
+        os.rename(stage, final)
+        return (hwm, v_cur)
+
+    def read_egress(self) -> DataFrame | None:
+        """All published egress messages (key, value), oldest ranges
+        included — the test/audit read of the broker stand-in."""
+        if not os.path.isdir(self.egress_dir):
+            return None
+        dirs = [
+            os.path.join(self.egress_dir, d)
+            for d in sorted(os.listdir(self.egress_dir))
+            if d.startswith("v") and ".stage-" not in d
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
 
     def bind_history(self):
         """Bind the SCD2 history table lazily (post-transform columns,

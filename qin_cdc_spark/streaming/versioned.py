@@ -550,8 +550,12 @@ class VersionedBucketedTable:
 
         Detection rides on the persisted per-key ``_seq`` (every change
         arrives as an event with a new seq) — one full-outer join on
-        the key, no value-column comparison."""
-        a = self.read_internal(v_from)
+        the key, no value-column comparison.
+
+        ``v_from = 0`` is the empty pre-state (everything in v_to is an
+        insert) — the same contract as the partitioned store, so a CDF
+        consumer can start from "nothing applied yet" uniformly."""
+        a = self.read_internal(v_from) if v_from > 0 else None
         b = self.read_internal(v_to)
         if b is None:
             raise ValueError("changes_between: v_to snapshot is empty")

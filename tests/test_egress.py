@@ -1,0 +1,152 @@
+"""In-stream CDF egress (CdcStreamRoute.emit_egress) — the reference's
+relay loop (MySQL → Kafka wire messages, outputs/kafka/kafka.go:154-208)
+closed over the engine's own tables: every landed batch re-emits the
+target's change feed since the egress high-water mark in the default or
+canal wire format, crash-safe (range-named publications, staged rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from qin_cdc_spark.cdc.envelope import envelope_from_typed
+from qin_cdc_spark.streaming.cdc_stream import CdcStreamRoute
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+
+B1 = [("insert", 1, 1, "a"), ("insert", 2, 2, "b")]
+B2 = [("update", 3, 1, "a2"), ("delete", 4, 2, "b"), ("insert", 5, 3, "c")]
+
+
+def _route(spark, tmp_path, **kw):
+    changes = _ev(spark, B1 + B2)
+    env = envelope_from_typed(changes, db="src", table="t")
+    schema = changes.drop("op", "seq").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4, versioned=True,
+        egress_format=kw.pop("egress_format", "default"), **kw,
+    )
+    return route, env
+
+
+def test_default_egress_follows_batches(spark, tmp_path):
+    route, env = _route(spark, tmp_path)
+    route.apply_batch(env.filter(F.col("seq") <= 2), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+    msgs = [json.loads(r.value) for r in route.read_egress().collect()]
+    by = {(m["type"], m["data"]["k"]): m for m in msgs}
+    assert set(by) == {
+        ("insert", 1), ("insert", 2),            # batch 1
+        ("update", 1), ("delete", 2), ("insert", 3),  # batch 2
+    }
+    upd = by[("update", 1)]
+    assert upd["data"]["v"] == "a2" and upd["old"]["v"] == "a"  # preimage
+    dele = by[("delete", 2)]
+    assert dele["data"]["v"] == "b"  # delete names the removed row
+    assert all(m["database"] == "src" and m["table"] == "t" for m in msgs)
+    # two range-named publications, contiguous from 0
+    dirs = sorted(d for d in os.listdir(route.egress_dir) if d.startswith("v"))
+    assert dirs == ["v0-1", "v1-2"]
+
+
+def test_crash_window_heals_and_replay_emits_nothing(spark, tmp_path):
+    route, env = _route(spark, tmp_path)
+    route.apply_batch(env.filter(F.col("seq") <= 2), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+    # caught up: no-op
+    assert route.emit_egress() is None
+    # crash between merge and emit, simulated: lose the last publication
+    shutil.rmtree(os.path.join(route.egress_dir, "v1-2"))
+    assert route.emit_egress() == (1, 2)  # heals from the hwm
+    assert route.read_egress().count() == 5
+    # whole-batch redelivery: merge no-ops (guard), egress no-ops (hwm)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+    assert route.read_egress().count() == 5
+    # a crashed stage dir is ignored by hwm and reads
+    os.makedirs(os.path.join(route.egress_dir, "v1-2.stage-dead"), exist_ok=True)
+    assert route.emit_egress() is None
+    assert route.read_egress().count() == 5
+
+
+def test_canal_egress_wire_shape(spark, tmp_path):
+    route, env = _route(spark, tmp_path, egress_format="canal")
+    route.apply_batch(env.filter(F.col("seq") <= 2), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+    msgs = [json.loads(r.value) for r in route.read_egress().collect()]
+    by = {(m["type"], m["data"][0]["k"]): m for m in msgs}
+    assert set(by) == {
+        ("INSERT", "1"), ("INSERT", "2"),
+        ("UPDATE", "1"), ("DELETE", "2"), ("INSERT", "3"),
+    }
+    upd = by[("UPDATE", "1")]
+    assert upd["old"] == [{"k": "1", "v": "a"}]
+    assert upd["pkNames"] == ["k"] and upd["isDdl"] is False
+
+
+def test_egress_requires_versioned_target(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="versioned"):
+        CdcStreamRoute(
+            spark, db="src", table="t",
+            schema=_ev(spark, B1).drop("op", "seq").schema, keys=["k"],
+            target_path=str(tmp_path / "t"), egress_format="default",
+        )
+    with pytest.raises(ValueError, match="unknown egress format"):
+        CdcStreamRoute(
+            spark, db="src", table="t",
+            schema=_ev(spark, B1).drop("op", "seq").schema, keys=["k"],
+            target_path=str(tmp_path / "t"), versioned=True,
+            egress_format="avro",
+        )
+
+
+EGRESS_CONFIG = """
+name = "relay"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+egress-format = "default"
+"""
+
+
+def test_pipeline_declared_egress(spark, tmp_path):
+    """TOML-declared egress end to end: the route's target is forced
+    versioned, messages appear after a batch apply, named for the
+    TARGET table (what the downstream consumer subscribes to)."""
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+    from qin_cdc_spark.plans.config import parse_config
+    from qin_cdc_spark.plans.pipeline import Pipeline
+
+    changes = _ev(spark, B1)
+    cfg = parse_config(EGRESS_CONFIG)
+    reg = SchemaRegistry()
+    reg.add("src", "t", changes.drop("op", "seq").schema)
+    pipe = Pipeline(
+        spark, cfg, reg,
+        primary_keys={("src", "t"): ["k"]},
+        target_root=str(tmp_path / "root"),
+        n_buckets=4,
+    )
+    pipe.run_batch(envelope_from_typed(changes, db="src", table="t"))
+    route = pipe.routes[0]
+    msgs = [json.loads(r.value) for r in route.read_egress().collect()]
+    assert {m["type"] for m in msgs} == {"insert"}
+    assert all(m["database"] == "dw" and m["table"] == "ods_t" for m in msgs)
