@@ -58,6 +58,73 @@ def _align_to_incoming(current: DataFrame, incoming: DataFrame) -> DataFrame:
     return current.select(*cols)
 
 
+def egress_hwm(egress_dir: str) -> int:
+    """Largest emitted v_to — parsed from the final dir names, so
+    progress is exactly the set of fully-published emissions."""
+    if not os.path.isdir(egress_dir):
+        return 0
+    hwm = 0
+    for d in os.listdir(egress_dir):
+        if d.startswith("v") and "-" in d and ".stage-" not in d:
+            try:
+                hwm = max(hwm, int(d.split("-", 1)[1]))
+            except ValueError:
+                continue
+    return hwm
+
+
+def emit_store_egress(
+    store,
+    egress_dir: str,
+    *,
+    fmt: str = "default",
+    database: str,
+    table_name: str,
+) -> tuple[int, int] | None:
+    """Wire-format egress for ANY versioned store (a synced target, an
+    MV's bucketed state, a partitioned fact): emit its CDF since the
+    directory's high-water mark as reference-format messages into a
+    range-named publication.  Crash-safe by construction — see
+    CdcStreamRoute.emit_egress, which delegates here.  Streaming a
+    DERIVED view downstream is the same call over ``mv.store``."""
+    v_cur = store.current_version()
+    hwm = egress_hwm(egress_dir)
+    if v_cur <= hwm:
+        return None
+    from qin_cdc_spark.sinks.kafka import cdf_canal_messages, cdf_json_messages
+
+    if fmt == "canal":
+        msgs = cdf_canal_messages(
+            store, hwm, v_cur, database=database, table_name=table_name
+        )
+    else:
+        msgs = cdf_json_messages(
+            store, hwm, v_cur, database=database, table_name=table_name
+        )
+    os.makedirs(egress_dir, exist_ok=True)
+    final = os.path.join(egress_dir, f"v{hwm}-{v_cur}")
+    if os.path.isdir(final):
+        return None  # replayed emission: already published
+    stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
+    msgs.write.parquet(stage)
+    os.rename(stage, final)
+    return (hwm, v_cur)
+
+
+def read_store_egress(spark: SparkSession, egress_dir: str) -> DataFrame | None:
+    """All published egress messages (key, value) under ``egress_dir``."""
+    if not os.path.isdir(egress_dir):
+        return None
+    dirs = [
+        os.path.join(egress_dir, d)
+        for d in sorted(os.listdir(egress_dir))
+        if d.startswith("v") and ".stage-" not in d
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 class ParquetUpsertTable:
     """A primary-keyed table materialized as a parquet directory with
     atomic swap-on-write — the local stand-in for a MERGE-capable sink.
@@ -536,20 +603,6 @@ class CdcStreamRoute:
             good.unpersist()
             bad.unpersist()
 
-    def _egress_hwm(self) -> int:
-        """Largest emitted v_to — parsed from the final dir names, so
-        progress is exactly the set of fully-published emissions."""
-        if not os.path.isdir(self.egress_dir):
-            return 0
-        hwm = 0
-        for d in os.listdir(self.egress_dir):
-            if d.startswith("v") and "-" in d and ".stage-" not in d:
-                try:
-                    hwm = max(hwm, int(d.split("-", 1)[1]))
-                except ValueError:
-                    continue
-        return hwm
-
     def emit_egress(self) -> tuple[int, int] | None:
         """Emit the target's CDF since the egress high-water mark as
         wire-format messages; returns the emitted (v_from, v_to) range
@@ -560,44 +613,18 @@ class CdcStreamRoute:
         self.bind_target()
         if self.target is None or not self.target.exists():
             return None
-        v_cur = self.target.current_version()
-        hwm = self._egress_hwm()
-        if v_cur <= hwm:
-            return None
-        from qin_cdc_spark.sinks.kafka import cdf_canal_messages, cdf_json_messages
-
-        database = self.egress_database or self.db
-        table_name = self.egress_table or self.table
-        if self.egress_format == "canal":
-            msgs = cdf_canal_messages(
-                self.target, hwm, v_cur, database=database, table_name=table_name
-            )
-        else:
-            msgs = cdf_json_messages(
-                self.target, hwm, v_cur, database=database, table_name=table_name
-            )
-        os.makedirs(self.egress_dir, exist_ok=True)
-        final = os.path.join(self.egress_dir, f"v{hwm}-{v_cur}")
-        if os.path.isdir(final):
-            return None  # replayed emission: already published
-        stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
-        msgs.write.parquet(stage)
-        os.rename(stage, final)
-        return (hwm, v_cur)
+        return emit_store_egress(
+            self.target,
+            self.egress_dir,
+            fmt=self.egress_format,
+            database=self.egress_database or self.db,
+            table_name=self.egress_table or self.table,
+        )
 
     def read_egress(self) -> DataFrame | None:
         """All published egress messages (key, value), oldest ranges
         included — the test/audit read of the broker stand-in."""
-        if not os.path.isdir(self.egress_dir):
-            return None
-        dirs = [
-            os.path.join(self.egress_dir, d)
-            for d in sorted(os.listdir(self.egress_dir))
-            if d.startswith("v") and ".stage-" not in d
-        ]
-        if not dirs:
-            return None
-        return self.spark.read.parquet(*dirs)
+        return read_store_egress(self.spark, self.egress_dir)
 
     def bind_history(self):
         """Bind the SCD2 history table lazily (post-transform columns,

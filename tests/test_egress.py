@@ -109,6 +109,37 @@ def test_egress_requires_versioned_target(spark, tmp_path):
         )
 
 
+def test_mv_state_egress(spark, tmp_path):
+    """emit_store_egress over an MV's own bucketed state: a derived
+    aggregate streams downstream in the wire format — retractions show
+    as update/delete messages carrying preimages."""
+    from qin_cdc_spark.streaming.cdc_stream import (
+        emit_store_egress,
+        read_store_egress,
+    )
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    mv = DerivedKeyedAggTable(
+        spark, str(tmp_path / "mv"), group_cols=["v"], sum_cols=[], n_buckets=4
+    )
+    out = str(tmp_path / "mv_egress")
+    tbl.merge(_ev(spark, B1), batch_id=0)  # k1→a, k2→b
+    mv.refresh(tbl)
+    emit_store_egress(mv.store, out, database="dw", table_name="counts_by_v")
+    tbl.merge(_ev(spark, B2), batch_id=1)  # a→a2, b deleted, +c
+    mv.refresh(tbl)
+    emit_store_egress(mv.store, out, database="dw", table_name="counts_by_v")
+    msgs = [json.loads(r.value) for r in read_store_egress(spark, out).collect()]
+    by = [(m["type"], m["data"]["v"], m["data"]["cnt"]) for m in msgs]
+    assert ("insert", "a", 1) in by and ("insert", "b", 1) in by  # batch 1
+    # deletes NAME the removed aggregate row (data = preimage)
+    assert ("delete", "a", 1) in by and ("delete", "b", 1) in by
+    assert ("insert", "a2", 1) in by and ("insert", "c", 1) in by
+    assert all(m["table"] == "counts_by_v" for m in msgs)
+
+
 EGRESS_CONFIG = """
 name = "relay"
 
