@@ -109,6 +109,31 @@ def test_egress_requires_versioned_target(spark, tmp_path):
         )
 
 
+def test_partitioned_route_egress_emits_retention_drops(spark, tmp_path):
+    """Egress over a PARTITIONED target: the in-stream retention drop
+    rides the same publication as the batch that triggered it — the
+    downstream consumer sees dropped partitions as delete messages."""
+    rows = [("insert", 1, 1, 1995, "a"), ("insert", 2, 2, 1996, "b"),
+            ("insert", 3, 3, 1997, "c")]
+    changes = spark.createDataFrame(
+        rows, "op string, seq long, k long, yr int, v string"
+    )
+    env = envelope_from_typed(changes, db="src", table="t")
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=changes.drop("op", "seq").schema,
+        keys=["k"], target_path=str(tmp_path / "t"), n_buckets=2,
+        partition_col="yr", partition_keep_latest=2, egress_format="default",
+    )
+    route.apply_batch(env.filter(F.col("seq") <= 2), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+    msgs = [json.loads(r.value) for r in route.read_egress().collect()]
+    by = [(m["type"], m["data"]["k"], m["data"]["yr"]) for m in msgs]
+    # batch 2 publication: 1997 born AND 1995 retention-dropped
+    assert ("insert", 3, 1997) in by
+    assert ("delete", 1, 1995) in by
+    assert ("insert", 1, 1995) in by and ("insert", 2, 1996) in by  # batch 1
+
+
 def test_mv_state_egress(spark, tmp_path):
     """emit_store_egress over an MV's own bucketed state: a derived
     aggregate streams downstream in the wire format — retractions show
