@@ -30,9 +30,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The remaining 25 slots fall through to known-green family spread from
 # the round-5 prefix.
 #
-# Never-driver-checked ledger for the NEXT rotation (round 7):
-# emb_whitening (added after this round's prefix was frozen; passes the
-# local gate replica).
+# Never-driver-checked ledger for the NEXT rotation (round 7): none —
+# every registry query is in the prefix or has a prior driver row.
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
@@ -72,7 +71,8 @@ _HEAD = [
     "cdc_rtbf_purge",
     "cdc_snapshot_history",
     "cdc_versioned_bloom_lookup",
-    "chunk_content_defined",
+    "emb_whitening",  # round 6: ZCA whitening contract (spare slot —
+    # replaces chunk_content_defined, driver-green in r5)
     "corpus_term_drift",
     "curation_dsir_topk",
     "decontaminate_bloom",
