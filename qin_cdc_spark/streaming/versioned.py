@@ -592,6 +592,91 @@ class VersionedBucketedTable:
             out = out.drop(*[f"_pre_{c}" for c in a_value_cols])
         return out
 
+    def gc_tombstones(self, min_live_seq: int) -> int:
+        """Mint a new version with delete tombstones BELOW the source's
+        redelivery low-water mark physically dropped — the versioned
+        analog of ParquetUpsertTable.gc_tombstones, and the missing
+        piece for a long-running CDC target (every delete and every
+        RTBF purge otherwise leaves a tombstone row in its bucket
+        FOREVER, inflating reads at 100 TB).
+
+        Safe by construction: (1) CDF delete detection derives from
+        live-row ABSENCE between snapshots, not tombstone presence, so
+        `changes_between` across the gc'd version is unchanged; (2) LWW
+        only needs a tombstone while the source can still redeliver an
+        older event for its key — below ``min_live_seq`` (the
+        reference's 3-second position-lag window, mysql_position.go:
+        150-170) that is impossible by contract.  Tombstones at-or-
+        above the mark are KEPT and keep masking redelivery.
+
+        Cost: candidate discovery is DRIVER-SIDE parquet footer stats
+        (max(_deleted), min(_seq) per row group — zero Spark jobs, the
+        history() discipline); only buckets that actually hold
+        droppable tombstones are rewritten (one filtered pass each);
+        untouched buckets share their data dirs with the prior version.
+        Returns the new version (or the current one when nothing was
+        droppable — no empty snapshot is minted)."""
+        import pyarrow.parquet as pq
+
+        meta = self._meta()
+        if not meta["versions"]:
+            return meta["current"]
+        man = meta["versions"][str(meta["current"])]
+        nb = self._manifest_n_buckets(man)
+
+        def _has_droppable(dname: str) -> bool:
+            dd = os.path.join(self.path, dname)
+            for f in os.listdir(dd):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dd, f)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if "_deleted" not in idx or "_seq" not in idx:
+                    continue
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    sd = g.column(idx["_deleted"]).statistics
+                    ss = g.column(idx["_seq"]).statistics
+                    if sd is None or ss is None:
+                        return True  # no stats: conservatively rewrite
+                    if sd.max and ss.min < min_live_seq:
+                        return True
+            return False
+
+        touched = {
+            b: d for b, d in man["buckets"].items() if _has_droppable(d)
+        }
+        if not touched:
+            return meta["current"]
+        droppable = F.col("_deleted") & (F.col("_seq") < F.lit(min_live_seq))
+        kept = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, d) for d in touched.values()])
+            .filter(~droppable)
+            .withColumn("_bucket", self._bucket_expr(nb))
+        )
+        kept = self._cluster(kept.repartition(max(1, len(touched)), F.col("_bucket")))
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
+        kept.write.partitionBy("_bucket").parquet(stage)
+        new_buckets = dict(man["buckets"])
+        new_dnames = []
+        for b in touched:
+            src = os.path.join(stage, f"_bucket={b}")
+            if os.path.isdir(src):
+                dname = f"d-{uuid.uuid4().hex[:12]}"
+                os.rename(src, os.path.join(self.path, dname))
+                new_buckets[b] = dname
+                new_dnames.append(dname)
+            else:
+                new_buckets.pop(b, None)  # bucket was pure tombstones
+        shutil.rmtree(stage, ignore_errors=True)
+        self._write_blooms(new_dnames)
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
+        meta["current"] = new_v
+        self._publish(meta)
+        return new_v
+
     def restore(self, version: int) -> int:
         """Roll the table back to snapshot ``version`` by minting a NEW
         version whose manifest is a copy of the old one (Delta RESTORE):

@@ -501,3 +501,55 @@ def test_history_reports_reuse_and_exact_rows(spark, tmp_path):
     assert v2["rows"] == tbl.read_internal(2).count()
     assert v2["is_current"] and not v1["is_current"]
     assert all(e["bytes"] > 0 and e["n_buckets"] == 8 for e in h)
+
+
+def test_gc_tombstones_drops_below_watermark_only(spark, tmp_path):
+    """Tombstones below the redelivery low-water mark are physically
+    dropped (touched buckets only — untouched dirs shared with the
+    prior version); tombstones at-or-above the mark are kept and keep
+    masking redelivered older events; CDF across the gc'd version is
+    unchanged; visible rows never change."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    v1 = tbl.merge(
+        _changes(spark, [("insert", 1, 1, "a"), ("insert", 2, 2, "b"),
+                         ("insert", 3, 3, "c"), ("insert", 4, 4, "d")]),
+        batch_id=0,
+    )
+    v2 = tbl.merge(
+        _changes(spark, [("delete", 5, 2, "b"), ("delete", 20, 3, "c")]),
+        batch_id=1,
+    )
+    man_before = _manifest(tbl)["versions"][str(v2)]["buckets"]
+    visible_before = {(r.id, r.val) for r in tbl.read().collect()}
+    # low-water mark 10: the seq-5 tombstone is unreachable by
+    # redelivery and drops; the seq-20 tombstone stays
+    v3 = tbl.gc_tombstones(10)
+    assert v3 == v2 + 1
+    internal = tbl.read_internal()
+    dead = {r.id: r._seq for r in internal.filter(F.col("_deleted")).collect()}
+    assert dead == {3: 20}
+    assert {(r.id, r.val) for r in tbl.read().collect()} == visible_before
+    # untouched buckets share dirs with the prior version
+    man_after = _manifest(tbl)["versions"][str(v3)]["buckets"]
+    shared = [b for b in man_after if man_before.get(b) == man_after[b]]
+    assert shared  # at least the buckets without droppable tombstones
+    # the kept tombstone still masks a redelivered OLDER event
+    tbl.merge(_changes(spark, [("insert", 6, 3, "ZOMBIE")]), batch_id=2)
+    assert 3 not in {r.id for r in tbl.read().collect()}
+    # CDF across the gc'd version: delete detection is unchanged
+    cdf = {(r.id, r._change) for r in tbl.changes_between(v1, v3).collect()}
+    assert cdf == {(2, "delete"), (3, "delete")}
+    # idempotent: nothing droppable → no new version minted
+    cur = tbl.current_version()
+    assert tbl.gc_tombstones(10) == cur
+    assert tbl.current_version() == cur
+
+
+def test_gc_tombstones_empties_pure_tombstone_bucket(spark, tmp_path):
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=2)
+    tbl.merge(_changes(spark, [("insert", 1, 1, "a")]), batch_id=0)
+    tbl.merge(_changes(spark, [("delete", 2, 1, "a")]), batch_id=1)
+    v = tbl.gc_tombstones(100)
+    man = _manifest(tbl)["versions"][str(v)]["buckets"]
+    assert man == {}  # the only bucket was pure tombstones → dropped
+    assert tbl.read() is None or tbl.read().count() == 0
