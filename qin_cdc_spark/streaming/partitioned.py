@@ -287,6 +287,33 @@ class PartitionedVersionedTable:
         self._publish(meta)
         return new_v
 
+    def gc_tombstones(self, min_live_seq: int) -> int:
+        """Partition-wise tombstone GC: delegate to every live
+        sub-store (each rewrites only its droppable buckets — see
+        VersionedBucketedTable.gc_tombstones) and mint ONE new parent
+        version mapping to the gc'd sub-versions.  Returns the current
+        parent version unchanged when no partition had droppable
+        tombstones."""
+        meta = self._meta()
+        if not meta["versions"]:
+            return meta["current"]
+        man = dict(meta["versions"][str(meta["current"])])
+        changed = False
+        new_man = {}
+        for pstr, ent in man.items():
+            sub = self._sub(pstr, ent["gen"])
+            sv = sub.gc_tombstones(min_live_seq)
+            if sv != int(ent["v"]):
+                changed = True
+            new_man[pstr] = {"gen": ent["gen"], "v": sv}
+        if not changed:
+            return meta["current"]
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = new_man
+        meta["current"] = new_v
+        self._publish(meta)
+        return new_v
+
     def retain_latest(self, keep: int) -> int:
         """Streaming retention policy: drop every partition but the
         newest ``keep`` (numeric order when every value parses as an

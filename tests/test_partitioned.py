@@ -351,3 +351,26 @@ def test_partition_value_must_be_path_safe(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="path-safe"):
         tbl.merge(bad)
+
+
+def test_partitioned_gc_tombstones(spark, tmp_path):
+    """Partition-wise tombstone GC: each sub-store drops its
+    below-watermark tombstones, one new parent version; visible rows
+    unchanged; no-op when nothing is droppable."""
+    tbl = _mk(spark, tmp_path)
+    tbl.merge(_ev(spark, BATCH1), batch_id=0)
+    tbl.merge(_ev(spark, BATCH2), batch_id=1)  # includes a delete
+    before = {(r.k, r.v) for r in tbl.read().collect()}
+    v = tbl.gc_tombstones(10_000)
+    assert v == tbl.current_version()
+    assert {(r.k, r.v) for r in tbl.read().collect()} == before
+    # internal: no tombstone below the mark anywhere
+    import pyspark.sql.functions as F
+
+    for pstr in tbl.partitions():
+        ent = tbl._manifest()[pstr]
+        sub = tbl._sub(pstr, ent["gen"])
+        internal = sub.read_internal()
+        if internal is not None:
+            assert internal.filter(F.col("_deleted")).count() == 0
+    assert tbl.gc_tombstones(10_000) == v  # idempotent no-op
