@@ -250,6 +250,56 @@ QUERIES["dedup_cluster_keep_best"] = dedup_cluster_keep_best
 ORACLES["dedup_cluster_keep_best"] = _keep_best_oracle()
 
 
+def dedup_decision_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING dedup-decision table end to end: verified MinHash
+    near-dup pairs feed the incremental cluster store in two
+    deterministic batches (pairs wholly inside the even-id half first,
+    then everything else — so batch 2 MERGES components straddling the
+    halves), and the decision — one representative per live cluster
+    (longest doc, id tie-break) — is served from the maintained labels.
+    Because the two batches partition the full pair set, the final
+    incremental assignment must equal the from-scratch CC over ALL
+    pairs, which is exactly what the ``dedup_cluster_keep_best`` oracle
+    recomputes (recursive CTE + window) — the hash check proves the
+    incremental path reaches the same DECISIONS as the batch path.
+    Scale shape: per batch the store touches only affected components;
+    the representative rank shuffles only clustered docs (tiny)."""
+    import tempfile
+
+    from qin_cdc_spark.operators.similarity import minhash_pairs_cached
+    from qin_cdc_spark.streaming.cc_store import IncrementalClusterStore
+
+    pairs = minhash_pairs_cached(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    both_even = (F.col("a") % 2 == 0) & (F.col("b") % 2 == 0)
+    st = IncrementalClusterStore(
+        spark, tempfile.mkdtemp(prefix="decision_gate_") + "/cc", n_buckets=8
+    )
+    st.apply_batch(pairs.filter(both_even), batch_id=0)
+    st.apply_batch(pairs.filter(~both_even), batch_id=1)
+    members = st.read().select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = docs.join(broadcast(members), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+QUERIES["dedup_decision_incremental"] = dedup_decision_incremental
+ORACLES["dedup_decision_incremental"] = _keep_best_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Embedding int8 quantization: the storage/serving compression step for
 # 100 TB embedding stores (4× smaller than float32, SIMD-friendly).

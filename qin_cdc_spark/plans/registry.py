@@ -30,8 +30,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The remaining 25 slots fall through to known-green family spread from
 # the round-5 prefix.
 #
-# Never-driver-checked ledger for the NEXT rotation (round 7): none —
-# every registry query is in the prefix or has a prior driver row.
+# Never-driver-checked ledger for the NEXT rotation (round 7):
+# dedup_decision_incremental (added after this round's prefix was
+# frozen; passes the local gate replica).
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
