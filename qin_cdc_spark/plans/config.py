@@ -53,6 +53,10 @@ class Router:
     # (the relay loop, in-stream; see CdcStreamRoute.emit_egress).
     # Forces the target to be versioned (the CDF is the source).
     egress_format: str | None = None
+    # tombstone-gc-lag = N: after every batch, drop delete tombstones
+    # below max(applied seq) - N (the reference's position-lag GC
+    # window in seq units; see CdcStreamRoute).
+    tombstone_gc_lag: int | None = None
 
     @property
     def key(self) -> str:
@@ -135,6 +139,11 @@ def parse_config(text: str) -> PipelineConfig:
                 ),
                 history=bool(r.get("history", False)),
                 egress_format=r.get("egress-format"),
+                tombstone_gc_lag=(
+                    int(r["tombstone-gc-lag"])
+                    if "tombstone-gc-lag" in r
+                    else None
+                ),
             )
         )
 

@@ -126,6 +126,7 @@ class Pipeline:
                     egress_format=router.egress_format,
                     egress_database=router.target_schema,
                     egress_table=router.target_table,
+                    tombstone_gc_lag=router.tombstone_gc_lag,
                 )
             )
 

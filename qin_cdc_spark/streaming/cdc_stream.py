@@ -403,6 +403,7 @@ class CdcStreamRoute:
         egress_dir: str | None = None,
         egress_database: str | None = None,
         egress_table: str | None = None,
+        tombstone_gc_lag: int | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -471,6 +472,14 @@ class CdcStreamRoute:
         self.egress_dir = egress_dir or (target_path + "_egress")
         self.egress_database = egress_database
         self.egress_table = egress_table
+        # tombstone_gc_lag = N: after every batch, physically drop
+        # delete tombstones below max(applied seq) - N — the in-stream
+        # analog of the reference's 3-second position-lag GC window
+        # (mysql_position.go:150-170).  N must cover the source's
+        # redelivery horizon in SEQ units.  Discovery is driver-side
+        # footer stats, so batches without droppable tombstones pay
+        # one tiny agg job and nothing else.
+        self.tombstone_gc_lag = tombstone_gc_lag
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -532,6 +541,10 @@ class CdcStreamRoute:
             self.target.merge(reduced, batch_id=batch_id)
         else:
             self.target.merge(reduced)
+        if self.tombstone_gc_lag is not None and hasattr(self.target, "gc_tombstones"):
+            hw = reduced.agg(F.max(F.col("seq").cast("long"))).first()[0]
+            if hw is not None:
+                self.target.gc_tombstones(int(hw) - self.tombstone_gc_lag)
         if self.egress_format is not None:
             self.emit_egress()
 

@@ -91,6 +91,31 @@ def test_canal_egress_wire_shape(spark, tmp_path):
     assert upd["pkNames"] == ["k"] and upd["isDdl"] is False
 
 
+def test_route_tombstone_gc_lag(spark, tmp_path):
+    """tombstone-gc-lag: after each batch the route drops delete
+    tombstones below max(applied seq) - lag; newer tombstones stay
+    inside the redelivery window."""
+    changes = _ev(spark, B1 + B2 + [("insert", 50, 9, "z"),
+                                    ("delete", 52, 9, "z")])
+    env = envelope_from_typed(changes, db="src", table="t")
+    schema = changes.drop("op", "seq").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4, versioned=True,
+        tombstone_gc_lag=10,
+    )
+    route.apply_batch(env.filter(F.col("seq") <= 5), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 5), batch_id=1)
+    # batch 2: hw=52, mark=42 → the k=2 tombstone (seq 4) dropped,
+    # the k=9 tombstone (seq 52) kept
+    internal = route.target.read_internal()
+    dead = {r.k: r._seq for r in internal.filter(F.col("_deleted")).collect()}
+    assert dead == {9: 52}
+    assert {(r.k, r.v) for r in route.target.read().collect()} == {
+        (1, "a2"), (3, "c")
+    }
+
+
 def test_egress_requires_versioned_target(spark, tmp_path):
     import pytest
 
