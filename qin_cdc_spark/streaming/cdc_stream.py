@@ -111,18 +111,77 @@ def emit_store_egress(
     return (hwm, v_cur)
 
 
-def read_store_egress(spark: SparkSession, egress_dir: str) -> DataFrame | None:
-    """All published egress messages (key, value) under ``egress_dir``."""
+def _egress_ranges(egress_dir: str) -> list[tuple[int, int, str]]:
+    """Published (v_from, v_to, dirname) tuples, stage residue excluded."""
     if not os.path.isdir(egress_dir):
-        return None
-    dirs = [
-        os.path.join(egress_dir, d)
-        for d in sorted(os.listdir(egress_dir))
-        if d.startswith("v") and ".stage-" not in d
-    ]
+        return []
+    out = []
+    for d in os.listdir(egress_dir):
+        if not d.startswith("v") or ".stage-" in d:
+            continue
+        try:
+            a, b = d[1:].split("-", 1)
+            out.append((int(a), int(b), d))
+        except ValueError:
+            continue
+    return sorted(out, key=lambda t: (t[0], -t[1]))
+
+
+def _egress_coverage(egress_dir: str) -> list[str]:
+    """Maximal non-overlapping publication set covering [0, hwm] —
+    widest range wins at each boundary, subsumed ranges (compaction
+    crash residue) are ignored.  Every publication starts at the
+    then-current hwm, so ranges always align on boundaries."""
+    picked, end = [], 0
+    for a, b, d in _egress_ranges(egress_dir):
+        if a == end and b > end:
+            picked.append(d)
+            end = b
+        # a < end → subsumed by a wider earlier pick; a > end cannot
+        # occur (emissions are contiguous from the hwm)
+    return picked
+
+
+def read_store_egress(spark: SparkSession, egress_dir: str) -> DataFrame | None:
+    """All published egress messages (key, value) under ``egress_dir``
+    (coverage-selected, so compaction crash residue never double-reads)."""
+    dirs = [os.path.join(egress_dir, d) for d in _egress_coverage(egress_dir)]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def compact_egress(spark: SparkSession, egress_dir: str) -> tuple[int, int] | None:
+    """Collapse the accumulated per-batch publications into ONE
+    ``v0-{hwm}`` publication — the small-files maintenance a
+    long-running relay needs (one dir per micro-batch otherwise grows
+    forever).  Crash-safe in the same model as emission: the combined
+    dir publishes by rename FIRST, subsumed dirs delete after — a crash
+    in between leaves residue that reads ignore (coverage rule) and the
+    next compaction removes.  Returns the combined range, or None when
+    there is nothing to combine."""
+    cover = _egress_coverage(egress_dir)
+    if len(cover) <= 1:
+        # nothing to combine — but clean any residue a crashed
+        # compaction left behind (subsumed dirs under the single cover)
+        for _a, _b, d in _egress_ranges(egress_dir):
+            if cover and d != cover[0]:
+                shutil.rmtree(os.path.join(egress_dir, d), ignore_errors=True)
+        return None
+    ranges = {d: next((a, b) for a, b, n in _egress_ranges(egress_dir) if n == d) for d in cover}
+    lo = min(a for a, _ in ranges.values())
+    hi = max(b for _, b in ranges.values())
+    combined = spark.read.parquet(*[os.path.join(egress_dir, d) for d in cover])
+    final = os.path.join(egress_dir, f"v{lo}-{hi}")
+    stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
+    combined.write.parquet(stage)
+    os.rename(stage, final)
+    # delete everything the combined publication subsumes — the cover
+    # dirs AND any crash residue inside the range
+    for a, b, d in _egress_ranges(egress_dir):
+        if d != f"v{lo}-{hi}" and a >= lo and b <= hi:
+            shutil.rmtree(os.path.join(egress_dir, d), ignore_errors=True)
+    return (lo, hi)
 
 
 class ParquetUpsertTable:

@@ -91,6 +91,39 @@ def test_canal_egress_wire_shape(spark, tmp_path):
     assert upd["pkNames"] == ["k"] and upd["isDdl"] is False
 
 
+def test_egress_compaction(spark, tmp_path):
+    """compact_egress collapses per-batch publications into one
+    v0-{hwm} dir; message content identical; crash residue (subsumed
+    dir left behind) never double-reads and is cleaned next time."""
+    import os as _os
+
+    from qin_cdc_spark.streaming.cdc_stream import (
+        compact_egress,
+        read_store_egress,
+    )
+
+    route, env = _route(spark, tmp_path)
+    route.apply_batch(env.filter(F.col("seq") <= 2), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+    before = sorted(r.value for r in route.read_egress().collect())
+    assert compact_egress(spark, route.egress_dir) == (0, 2)
+    dirs = sorted(d for d in _os.listdir(route.egress_dir) if d.startswith("v"))
+    assert dirs == ["v0-2"]
+    assert sorted(r.value for r in route.read_egress().collect()) == before
+    # new batches append after the compacted publication
+    ev3 = envelope_from_typed(
+        _ev(spark, [("insert", 9, 7, "g")]), db="src", table="t"
+    )
+    route.apply_batch(ev3, batch_id=2)
+    assert route.read_egress().count() == len(before) + 1
+    # crash residue: re-plant a subsumed dir — reads ignore it,
+    # compaction cleans it
+    _os.makedirs(_os.path.join(route.egress_dir, "v1-2"), exist_ok=True)
+    assert read_store_egress(spark, route.egress_dir).count() == len(before) + 1
+    compact_egress(spark, route.egress_dir)
+    assert not _os.path.isdir(_os.path.join(route.egress_dir, "v1-2"))
+
+
 def test_route_tombstone_gc_lag(spark, tmp_path):
     """tombstone-gc-lag: after each batch the route drops delete
     tombstones below max(applied seq) - lag; newer tombstones stay
