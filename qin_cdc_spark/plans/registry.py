@@ -30,9 +30,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The remaining 25 slots fall through to known-green family spread from
 # the round-5 prefix.
 #
-# Never-driver-checked ledger for the NEXT rotation (round 7):
-# dedup_decision_incremental (added after this round's prefix was
-# frozen; passes the local gate replica).
+# Never-driver-checked ledger for the NEXT rotation (round 7): none —
+# every registry query is in this prefix or has a prior driver row.
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
@@ -76,7 +75,8 @@ _HEAD = [
     # replaces chunk_content_defined, driver-green in r5)
     "corpus_term_drift",
     "curation_dsir_topk",
-    "decontaminate_bloom",
+    "dedup_decision_incremental",  # round 6: incremental clusters -> keep-best
+    # (spare slot — replaces decontaminate_bloom, driver-green in r2)
     "dedup_minhash_lsh_indexed",
     "dedup_substring_spans",
     "dq_constraint_report",
