@@ -553,3 +553,42 @@ def test_gc_tombstones_empties_pure_tombstone_bucket(spark, tmp_path):
     man = _manifest(tbl)["versions"][str(v)]["buckets"]
     assert man == {}  # the only bucket was pure tombstones → dropped
     assert tbl.read() is None or tbl.read().count() == 0
+
+
+def test_gc_tombstones_random_interleaving_preserves_lww(spark, tmp_path):
+    """Seeded random rounds: merges interleaved with tombstone GC at
+    random watermarks must never change visible rows (vs a pure-Python
+    LWW fold) and must never let a redelivered sub-watermark event
+    resurrect a key (events at-or-above the watermark can still be
+    redelivered and must stay masked)."""
+    import random
+
+    rng = random.Random(20260815)
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    state: dict[int, tuple[int, str | None]] = {}  # id -> (seq, val|None)
+    seq = 0
+    gc_mark = 0
+    for rnd in range(6):
+        batch = []
+        for _ in range(rng.randint(2, 6)):
+            seq += rng.randint(1, 3)
+            k = rng.randint(1, 8)
+            if rng.random() < 0.35:
+                batch.append(("delete", seq, k, "x"))
+            else:
+                batch.append(("insert", seq, k, f"v{seq}"))
+        tbl.merge(_changes(spark, batch), batch_id=rnd)
+        for op, s, k, v in batch:
+            if state.get(k, (-1, None))[0] < s:
+                state[k] = (s, None if op == "delete" else v)
+        if rng.random() < 0.6:
+            gc_mark = rng.randint(gc_mark, seq)
+            tbl.gc_tombstones(gc_mark)
+        # redeliver a random PAST event at-or-above the gc mark: the
+        # store must converge to the same state (LWW + kept tombstones)
+        redeliverable = [e for e in batch if e[1] >= gc_mark]
+        if redeliverable and rng.random() < 0.5:
+            tbl.merge(_changes(spark, [rng.choice(redeliverable)]))
+        expect = {k: v for k, (s, v) in state.items() if v is not None}
+        got = {r.id: r.val for r in tbl.read().collect()} if tbl.read() is not None else {}
+        assert got == expect, f"round {rnd}: {got} != {expect}"
