@@ -105,6 +105,9 @@ HEADLINE = [
     "cdc_temporal_join_pruned",
     "cdc_cdf_canal_egress",
     "cdc_partitioned_mv_chain",
+    # round 6 second wave: distributed moments + driver solve +
+    # row-local transform + verification pass, end to end
+    "emb_whitening",
 ]
 
 
