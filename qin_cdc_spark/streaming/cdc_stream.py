@@ -654,9 +654,19 @@ class CdcStreamRoute:
                 if self.history_path is not None:
                     # the history contract is "maintained from the SAME
                     # batches the target consumes" — replayed rows are
-                    # dimension versions too.  No batch_id: the SCD2
-                    # high-water mark absorbs replay redelivery.
-                    self.bind_history().apply_batch(decoded)
+                    # dimension versions too.  Two paths: apply_batch
+                    # folds the rows still above each key's high-water
+                    # mark (no batch_id: the hwm absorbs replay
+                    # redelivery), then insert_versions retroactively
+                    # places the rest — quarantined versions whose keys
+                    # saw NEWER events before the replay would otherwise
+                    # be silently and permanently missing from history
+                    # (apply_batch alone must drop at-or-below-hwm
+                    # events; only the replay path knows they are late
+                    # first deliveries, not redeliveries).
+                    h = self.bind_history()
+                    h.apply_batch(decoded)
+                    h.insert_versions(decoded)
                 if self.sink is not None:
                     self.sink(latest_by_key(decoded, self.keys))
                 else:

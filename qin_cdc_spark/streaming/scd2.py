@@ -230,7 +230,18 @@ class ScdType2Table:
         predicate residual, never a range join."""
         hist = self.store.read_buckets(self._buckets_of_facts(facts))
         if hist is None:
-            raise ValueError("temporal_join: history is empty")
+            # A None read collapses two cases: (a) the store was never
+            # written — no typed history schema exists, so the join
+            # result schema is undefinable and raising is honest; (b)
+            # the store is NON-empty but every fact key hashes to a
+            # bucket absent from the manifest (a small batch of unseen
+            # keys).  For (b) the correct result — for any how — is the
+            # join against an EMPTY typed history frame (left: facts
+            # with null enrichment; inner: empty), not an exception.
+            st = self.store.read()
+            if st is None:
+                raise ValueError("temporal_join: history is empty")
+            hist = st.limit(0)
         return temporal_join(facts, hist, self.keys, asof_col, how=how)
 
     # -- maintenance -----------------------------------------------------------
@@ -356,3 +367,154 @@ class ScdType2Table:
             return self.store.merge(events, batch_id=batch_id)
         finally:
             ev.unpersist()
+
+    def insert_versions(
+        self,
+        changes: DataFrame,
+        *,
+        op_col: str = "op",
+        seq_col: str = "seq",
+    ) -> int:
+        """Retroactively fold LATE events — events at-or-below their
+        key's stored high-water mark — into the history at their true
+        stream coordinates.  ``apply_batch`` must drop such events (it
+        cannot tell a late first delivery from an at-least-once
+        redelivery), which leaves DLQ-replayed versions permanently
+        missing whenever newer events for the key landed before the
+        replay.  THIS path can tell them apart: an event whose seq
+        matches NO stored version boundary was never folded, so it is
+        genuinely late, not redelivered.
+
+        Semantics per late event at seq ``s``: the stored interval
+        containing ``s`` (if any) closes at ``s``; a non-delete opens
+        ``[s, next-event-seq)`` with the late values.  Implemented as a
+        per-key event-list recompute: stored rows reconstruct the
+        original events (each row is an upsert at ``valid_from``; a
+        close with no successor row at that coordinate was a delete),
+        the late events union in, one delta-sized window re-derives the
+        intervals, and ONLY rows whose interval changed (plus brand-new
+        rows) merge back — stamped with an LWW seq strictly above every
+        stored ``_seq`` of the touched keys (the ``purge_keys``
+        discipline, forget.py), because a shortened close must beat the
+        stored row it replaces.  The open (current) interval is never
+        touched: late events sit below the hwm by definition.
+
+        Idempotent: a replayed insert finds every late seq already a
+        stored boundary and merges nothing.  Cost: O(|batch| + touched
+        buckets) — same class as ``apply_batch``.  Returns the store's
+        new version (the current one when nothing changed)."""
+        value_cols = [
+            c for c in changes.columns if c not in {op_col, seq_col, *self.keys}
+        ]
+        ev = changes.select(
+            F.col(op_col).alias("_op"),
+            F.col(seq_col).cast("long").alias("_seq_ev"),
+            *self.keys,
+            *value_cols,
+        )
+        touched = self._buckets_of_facts(ev)
+        raw = self.store.read_buckets(touched, internal=True) if touched else None
+        if raw is None:
+            return self.store.current_version()
+        stored = (
+            raw.filter(~F.col("_deleted"))
+            .join(ev.select(*self.keys).distinct(), self.keys, "left_semi")
+            .persist()
+        )
+        late = None
+        try:
+            hw = stored.groupBy(*self.keys).agg(
+                F.max(F.coalesce("valid_to", "valid_from")).alias("_hw")
+            )
+            # existing event coordinates: every interval start, plus
+            # every close that was a delete (a close that IS another
+            # row's start dedups against that start anyway)
+            existing = (
+                stored.select(*self.keys, F.col("valid_from").alias("_seq_ev"))
+                .unionByName(
+                    stored.filter(F.col("valid_to").isNotNull()).select(
+                        *self.keys, F.col("valid_to").alias("_seq_ev")
+                    )
+                )
+                .distinct()
+            )
+            late = (
+                ev.join(hw, self.keys, "inner")
+                .filter(F.col("_seq_ev") <= F.col("_hw"))
+                .drop("_hw")
+                .join(existing, [*self.keys, "_seq_ev"], "left_anti")
+                .dropDuplicates([*self.keys, "_seq_ev"])
+                .persist()
+            )
+            if not late.limit(1).count():
+                return self.store.current_version()
+            rows = stored.join(
+                late.select(*self.keys).distinct(), self.keys, "left_semi"
+            )
+            typed = {f.name: f.dataType for f in rows.schema.fields}
+            ups = rows.select(
+                F.lit("upsert").alias("_op"),
+                F.col("valid_from").alias("_seq_ev"),
+                *self.keys,
+                *value_cols,
+            )
+            dels = (
+                rows.filter(F.col("valid_to").isNotNull())
+                .join(
+                    rows.select(*self.keys, F.col("valid_from").alias("valid_to")),
+                    [*self.keys, "valid_to"],
+                    "left_anti",
+                )
+                .select(
+                    F.lit("delete").alias("_op"),
+                    F.col("valid_to").alias("_seq_ev"),
+                    *self.keys,
+                    *[F.lit(None).cast(typed[c]).alias(c) for c in value_cols],
+                )
+            )
+            all_ev = ups.unionByName(dels).unionByName(late)
+            w = Window.partitionBy(*self.keys).orderBy("_seq_ev")
+            recomputed = (
+                all_ev.withColumn("_vt", F.lead("_seq_ev").over(w))
+                .filter(F.col("_op") != "delete")
+                .select(
+                    *self.keys,
+                    F.col("_seq_ev").alias("valid_from"),
+                    F.col("_vt").cast("long").alias("valid_to"),
+                    *value_cols,
+                )
+            )
+            prior = rows.select(
+                *self.keys,
+                "valid_from",
+                F.col("valid_to").alias("_old_vt"),
+                F.lit(True).alias("_stored"),
+            )
+            changed = (
+                recomputed.join(prior, [*self.keys, "valid_from"], "left")
+                .filter(
+                    F.col("_stored").isNull()
+                    | ~F.col("valid_to").eqNullSafe(F.col("_old_vt"))
+                )
+                .drop("_old_vt", "_stored")
+            )
+            # bounded driver scalar: one max over the touched buckets
+            smax = (
+                raw.join(late.select(*self.keys).distinct(), self.keys, "left_semi")
+                .agg(F.max("_seq"))
+                .first()[0]
+                or 0
+            )
+            events = changed.select(
+                F.lit("upsert").alias("op"),
+                F.lit(int(smax) + 1).cast("long").alias("seq"),
+                *self.keys,
+                "valid_from",
+                *value_cols,
+                "valid_to",
+            )
+            return self.store.merge(events)
+        finally:
+            stored.unpersist()
+            if late is not None:
+                late.unpersist()

@@ -175,13 +175,16 @@ class VersionedBucketedTable:
         return self._visible(self.read_internal(version))
 
     def read_buckets(
-        self, bucket_ids: list, version: int | None = None
+        self, bucket_ids: list, version: int | None = None, *, internal: bool = False
     ) -> DataFrame | None:
         """Visible rows of exactly the named buckets — manifest-level
         pruning (no file under any other bucket is opened).  The
         serving-style read for a consumer that already knows which
         buckets its keys hash into (e.g. an incremental MV reading the
-        prior totals of just the groups its delta touches)."""
+        prior totals of just the groups its delta touches).
+        ``internal=True`` keeps ``_seq``/``_deleted`` (a maintenance
+        caller that must out-seq stored rows, e.g. retroactive SCD2
+        inserts, needs the stored LWW coordinates)."""
         meta = self._meta()
         if not meta["versions"]:
             return None
@@ -201,9 +204,8 @@ class VersionedBucketedTable:
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return None
-        return self._visible(
-            self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        )
+        full = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return full if internal else self._visible(full)
 
     @staticmethod
     def _visible(full: DataFrame | None) -> DataFrame | None:
