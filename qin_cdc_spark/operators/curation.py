@@ -689,6 +689,25 @@ def _topm_clusters(centroids: list, m: int):
     return F.transform(F.slice(ranked, 1, m), lambda s: s["c"])
 
 
+def _semantic_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(embeddings, top-2 soft cluster assignments) — the shared first
+    stage of SemDeDup: fixed-seed distributed k-means, then each vector
+    assigned to its 2 nearest centroids (multi-probe: a pair straddling
+    a cluster boundary still co-occurs in one of the two nearest
+    clusters — recall recovered for ~2x join volume, still O(n²/k) per
+    cluster)."""
+    from qin_cdc_spark.operators.ivf import train_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    centroids = train_kmeans(emb)
+    assigned = emb.select(
+        "vec_id", "embedding", F.explode(_topm_clusters(centroids, 2)).alias("cluster")
+    )
+    return emb, assigned
+
+
 def semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cluster cosine near-dup pairs (threshold matches
     dedup_embedding_cosine so recall vs the global operator is
@@ -696,18 +715,11 @@ def semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block never leaves its partition; skewed clusters are AQE-split.
     This is the PRODUCTION operator (O(n²/k)); the gate query below
     wraps it in the SemDeDup recall/precision CONTRACT."""
-    from qin_cdc_spark.operators.ivf import train_kmeans
+    _, assigned = _semantic_assignments(spark, sf_dir)
+    return _pairs_from_assignments(assigned)
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    centroids = train_kmeans(emb)
-    # top-2 soft assignment (multi-probe): a pair straddling a cluster
-    # boundary still co-occurs in one of the two nearest clusters —
-    # recall recovered for ~2x join volume, still O(n^2/k) per cluster.
-    assigned = emb.select(
-        "vec_id", "embedding", F.explode(_topm_clusters(centroids, 2)).alias("cluster")
-    )
+
+def _pairs_from_assignments(assigned: DataFrame) -> DataFrame:
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("vec_a"),
@@ -737,8 +749,11 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``n_true_pairs`` — the exact global pair census at the threshold
       (Spark's brute-force count must equal DuckDB's — both engines
       agree at round-9 as proven by dedup_embedding_cosine);
-    * ``n_assignments`` — cluster-census: top-2 soft assignment places
-      every vector in exactly 2 clusters (= 2·|embeddings|);
+    * ``n_assignments`` — cluster-census: the MEASURED row count of the
+      actual assignment DataFrame, which the oracle asserts equals
+      2·|embeddings| (top-2 soft assignment places every vector in
+      exactly 2 clusters — a k<2 training collapse or a dropped-vector
+      bug would break this row);
     * ``all_found_true`` — precision 1.0: every clustered pair is a true
       pair (the within-cluster verify is exact cosine at the same
       rounding);
@@ -750,12 +765,8 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded broadcast, corpus streams once — the sim_cosine_topk
     contract); the production scale path is ``semantic_cluster_pairs``.
     """
-    from qin_cdc_spark.sources.tables import load_table as _lt
-
-    found = semantic_cluster_pairs(spark, sf_dir)
-    emb = _lt(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb, assigned = _semantic_assignments(spark, sf_dir)
+    found = _pairs_from_assignments(assigned)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     truth = (
@@ -771,12 +782,15 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = truth.count()
     n_found = found.count()
     n_hits = found.join(truth, ["vec_a", "vec_b"], "left_semi").count()
-    n_emb = emb.count()
+    # the MEASURED assignment census (not recomputed from |emb|): the
+    # oracle's 2·count(embeddings) only verifies something because this
+    # side counts the real top-2 explode output
+    n_assignments = assigned.count()
     return spark.createDataFrame(
         [
             (
                 n_true,
-                2 * n_emb,
+                n_assignments,
                 n_hits == n_found,
                 n_hits * 100 >= n_true * 50,
             )

@@ -170,7 +170,28 @@ def fsck_partitioned_path(path: str, *, deep: bool = False) -> dict:
             if not _SAFE_PART.match(pstr):
                 rep["errors"].append(f"version {v}: unsafe partition name {pstr!r}")
                 continue
+            # hand-edited manifests are exactly what fsck exists to
+            # audit: a non-dict entry or one missing gen/v must become
+            # an error REPORT, never a traceback out of the walk
+            if not isinstance(ent, dict):
+                rep["errors"].append(
+                    f"version {v}: partition {pstr} entry is not a mapping "
+                    f"({type(ent).__name__})"
+                )
+                continue
             gen, sub_v = ent.get("gen"), ent.get("v")
+            if not isinstance(gen, str) or not gen:
+                rep["errors"].append(
+                    f"version {v}: partition {pstr} entry has no generation "
+                    f"('gen' = {gen!r})"
+                )
+                continue
+            if sub_v is None:
+                rep["errors"].append(
+                    f"version {v}: partition {pstr} entry has no sub-version "
+                    "('v' missing)"
+                )
+                continue
             referenced.add((pstr, gen))
             sub_path = os.path.join(path, f"p={pstr}", gen)
             key = f"{pstr}/{gen}"

@@ -132,3 +132,32 @@ def test_unknown_layout(spark, tmp_path):
     os.makedirs(tmp_path / "x", exist_ok=True)
     rep = fsck_versioned_path(str(tmp_path / "x"))
     assert not ok(rep)
+
+
+def test_hand_edited_partition_manifest_reports_not_raises(spark, tmp_path):
+    """A hand-edited parent manifest (string entry, missing gen, missing
+    sub-version) must come back as error REPORTS — fsck's whole purpose
+    is auditing exactly this damage, so a traceback is a bug."""
+    from qin_cdc_spark.streaming.partitioned import PART_META_NAME
+
+    p = str(tmp_path / "pt")
+    tbl = PartitionedVersionedTable(spark, p, ["k"], partition_col="yr", n_buckets=2)
+    ev = spark.createDataFrame(
+        [("insert", 1, 1, 1995, "a"), ("insert", 2, 2, 1996, "b")],
+        "op string, seq long, k long, yr int, v string",
+    )
+    tbl.merge(ev, batch_id=0)
+    mp = os.path.join(p, PART_META_NAME)
+    with open(mp) as f:
+        meta = json.load(f)
+    man = meta["versions"][str(meta["current"])]
+    man["1995"] = "gen-oops"            # entry is a bare string
+    man["1996"].pop("gen")              # entry lost its generation
+    man["1997"] = {"gen": "gen-x"}      # entry lost its sub-version
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    rep = fsck_path(p)                  # must not raise
+    assert not ok(rep)
+    assert any("entry is not a mapping" in e for e in rep["errors"])
+    assert any("has no generation" in e for e in rep["errors"])
+    assert any("has no sub-version" in e for e in rep["errors"])

@@ -480,13 +480,12 @@ def test_dlq_replay_after_later_events_completes_history(spark, tmp_path):
     )
     applied, still_bad = route.replay_dlq()
     assert (applied, still_bad) == (len(BATCH1), 0)
-    # history is COMPLETE: equals the in-order clean run of both batches.
-    # (k=2's delete@31 no-oped at stream time — its close evidence
-    # survives because BATCH2's insert@40 is a recorded boundary... no:
-    # the delete itself was a no-op.  BATCH1's insert@11 reconstructs
-    # [11, 40) where the clean run has [11, 31) — the documented
-    # no-op-delete limit.  Assert the reachable truth: every key except
-    # the no-op-delete one matches the clean run exactly.)
+    # history equals the in-order clean run of both batches for every
+    # key except k=2: its delete@31 no-oped at stream time (insert@11
+    # was quarantined, so there was nothing to close) and left no
+    # stored trace, so the replayed insert@11 reconstructs [11, 40)
+    # where the clean run has [11, 31) — the documented no-op-delete
+    # limit (test_insert_versions_noop_delete_limit).
     expect = _intervals_py(BATCH1 + BATCH2)
     got = _hist_rows(route.history)
     assert {kk: vv for kk, vv in got.items() if kk[0] != 2} == {
