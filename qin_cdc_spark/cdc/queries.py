@@ -621,6 +621,125 @@ QUERIES["cdc_consistent_snapshot"] = cdc_consistent_snapshot
 ORACLES["cdc_consistent_snapshot"] = CDC_CONSISTENT_SNAPSHOT_ORACLE
 
 
+def cdc_consistent_egress_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table-consistent WIRE egress — the `cdc_consistent_snapshot`
+    guarantee extended to the relay's own output: orders and lineitem
+    each egress their CDF per batch, the SnapshotCoordinator stamps each
+    batch's emitted (v_from, v_to) range per route, and a downstream
+    consumer holding ONLY the wire messages selects the batch-0 stamped
+    publication set per table (`read_egress_at`), LWW-folds each feed
+    (`replay_egress_state` — latest message per key in `_v_to` feed
+    order, deletes drop), and joins the rebuilt tables.  The result must
+    hash-equal the coordinator's own snapshot read of the same boundary
+    — the oracle IS cdc_consistent_snapshot's, so a green row proves the
+    wire replay and the manifest read agree bit-for-bit.  Reference
+    analog: the single global position every sink shares
+    (inputs/mysql/mysql_position.go:37-54) — without the stamp, a
+    consumer rebuilding two tables from two feeds has no cross-table
+    consistency marker at all."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from qin_cdc_spark.streaming.cdc_stream import (
+        emit_store_egress,
+        replay_egress_state,
+    )
+    from qin_cdc_spark.streaming.coordinator import SnapshotCoordinator
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    base = tempfile.mkdtemp(prefix="egress_coord_gate_")
+    l_schema = load_table(spark, sf_dir, "lineitem").schema
+    o_dec, so = _decoded_orders_halved(spark, sf_dir)
+    l_env = envelope_from_typed(
+        lineitem_change_stream(spark, sf_dir), db="src", table="lineitem"
+    )
+    l_dec = decode_envelope(l_env, l_schema, db="src", table="lineitem").persist()
+    sl = l_dec.agg(F.max("seq")).collect()[0][0] // 2
+
+    o_tbl = VersionedBucketedTable(spark, f"{base}/orders", ["o_orderkey"])
+    l_tbl = VersionedBucketedTable(
+        spark, f"{base}/lineitem", ["l_orderkey", "l_linenumber"]
+    )
+    dirs = {
+        "src.orders": f"{base}/orders_egress",
+        "src.lineitem": f"{base}/lineitem_egress",
+    }
+    coord = SnapshotCoordinator(
+        f"{base}/coord",
+        {"src.orders": o_tbl, "src.lineitem": l_tbl},
+        egress_dirs=dirs,
+    )
+
+    def emit():
+        emit_store_egress(
+            o_tbl, dirs["src.orders"], database="src", table_name="orders"
+        )
+        emit_store_egress(
+            l_tbl, dirs["src.lineitem"], database="src", table_name="lineitem"
+        )
+
+    o_tbl.merge(o_dec.filter(F.col("seq") <= so), batch_id=0)
+    l_tbl.merge(l_dec.filter(F.col("seq") <= sl), batch_id=0)
+    emit()
+    coord.record(0)
+    o_tbl.merge(o_dec.filter(F.col("seq") > so), batch_id=1)
+    l_tbl.merge(l_dec.filter(F.col("seq") > sl), batch_id=1)
+    emit()
+    coord.record(1)
+    l_dec.unpersist()
+
+    wire = coord.read_egress_at(spark, 0)
+    # the consumer projects only what it joins/aggregates on — a partial
+    # data schema is the replay contract (extra JSON fields ignored)
+    o_state = replay_egress_state(
+        wire["src.orders"],
+        StructType(
+            [
+                StructField("o_orderkey", LongType()),
+                StructField("o_orderstatus", StringType()),
+            ]
+        ),
+        ["o_orderkey"],
+    )
+    l_state = replay_egress_state(
+        wire["src.lineitem"],
+        StructType(
+            [
+                StructField("l_orderkey", LongType()),
+                StructField("l_linenumber", IntegerType()),
+                StructField("l_extendedprice", DoubleType()),
+            ]
+        ),
+        ["l_orderkey", "l_linenumber"],
+    )
+    return (
+        o_state.join(l_state, o_state.o_orderkey == l_state.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS LONG)")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+
+
+# deliberately the SAME oracle text: the wire replay must reproduce the
+# coordinator's manifest-side snapshot read exactly
+CDC_CONSISTENT_EGRESS_REPLAY_ORACLE = CDC_CONSISTENT_SNAPSHOT_ORACLE
+
+QUERIES["cdc_consistent_egress_replay"] = cdc_consistent_egress_replay
+ORACLES["cdc_consistent_egress_replay"] = CDC_CONSISTENT_EGRESS_REPLAY_ORACLE
+
+
 def cdc_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary-column serving read on the CDC target: the versioned
     table maintains per-data-dir Bloom bitsets over o_custkey (a

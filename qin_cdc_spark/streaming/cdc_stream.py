@@ -106,7 +106,11 @@ def emit_store_egress(
     if os.path.isdir(final):
         return None  # replayed emission: already published
     stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
-    msgs.write.parquet(stage)
+    # _v_to is the broker-offset analog: the wire bytes live in `value`,
+    # but a consumer folding per-key diffs needs each message's position
+    # in the feed, and the dir NAME stops carrying it the moment
+    # compaction combines ranges — the column survives compaction.
+    msgs.withColumn("_v_to", F.lit(int(v_cur)).cast("long")).write.parquet(stage)
     os.rename(stage, final)
     return (hwm, v_cur)
 
@@ -143,12 +147,76 @@ def _egress_coverage(egress_dir: str) -> list[str]:
 
 
 def read_store_egress(spark: SparkSession, egress_dir: str) -> DataFrame | None:
-    """All published egress messages (key, value) under ``egress_dir``
-    (coverage-selected, so compaction crash residue never double-reads)."""
+    """All published egress messages (key, value, _v_to) under
+    ``egress_dir`` (coverage-selected, so compaction crash residue never
+    double-reads)."""
     dirs = [os.path.join(egress_dir, d) for d in _egress_coverage(egress_dir)]
     if not dirs:
         return None
-    return spark.read.parquet(*dirs)
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+
+def read_store_egress_until(
+    spark: SparkSession, egress_dir: str, v_to: int
+) -> DataFrame | None:
+    """Published egress messages covering EXACTLY ``[0, v_to]`` — the
+    consistent-replay read: a consumer rebuilding a table as of a
+    coordinator-stamped batch boundary must stop at that boundary, and
+    a publication whose range CROSSES it cannot be cut (per-key diffs
+    don't decompose).  Raises when compaction has subsumed the boundary
+    — the retention statement a consumer needs to hear, exactly like
+    ``read_at`` on a gc-expired version."""
+    if v_to <= 0:
+        return None
+    picked, end = [], 0
+    for a, b, d in _egress_ranges(egress_dir):
+        if a == end and b > end:
+            if b > v_to:
+                raise ValueError(
+                    f"egress boundary {v_to} not reconstructible at "
+                    f"{egress_dir}: publication {d} crosses it "
+                    "(compacted past the coordinate?)"
+                )
+            picked.append(d)
+            end = b
+        if end == v_to:
+            break
+    if end != v_to:
+        raise ValueError(
+            f"egress boundary {v_to} not reconstructible at {egress_dir}: "
+            f"publications cover [0, {end}]"
+        )
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(egress_dir, d) for d in picked]
+    )
+
+
+def replay_egress_state(
+    msgs: DataFrame, data_schema, keys: list[str]
+) -> DataFrame:
+    """Consumer-side state fold over default-format wire messages: the
+    table's live rows as of the feed's end.  Each publication carries at
+    most one diff per key, so the state is the LATEST message per key in
+    feed order (``_v_to``, the broker-offset analog), minus deletes —
+    the same LWW fold every reference consumer applies.  ``data_schema``
+    may be a SUBSET of the emitted columns (project what you need; the
+    JSON parse ignores the rest) but must include ``keys``.  One shuffle
+    on the keys; scale is O(messages)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import StringType, StructField
+
+    parse_schema = StructType(
+        [StructField("type", StringType()), StructField("data", data_schema)]
+    )
+    parsed = msgs.select(
+        F.from_json(F.col("value"), parse_schema).alias("m"), "_v_to"
+    ).select("m.type", "m.data.*", "_v_to")
+    w = Window.partitionBy(*keys).orderBy(F.col("_v_to").desc())
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("type") != "delete"))
+        .drop("_rn", "_v_to", "type")
+    )
 
 
 def compact_egress(spark: SparkSession, egress_dir: str) -> tuple[int, int] | None:
@@ -171,7 +239,9 @@ def compact_egress(spark: SparkSession, egress_dir: str) -> tuple[int, int] | No
     ranges = {d: next((a, b) for a, b, n in _egress_ranges(egress_dir) if n == d) for d in cover}
     lo = min(a for a, _ in ranges.values())
     hi = max(b for _, b in ranges.values())
-    combined = spark.read.parquet(*[os.path.join(egress_dir, d) for d in cover])
+    combined = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(egress_dir, d) for d in cover]
+    )
     final = os.path.join(egress_dir, f"v{lo}-{hi}")
     stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
     combined.write.parquet(stage)

@@ -50,18 +50,33 @@ class SnapshotCoordinator:
     """Records which per-table snapshot versions belong to the same
     micro-batch, and serves consistent multi-table reads."""
 
-    def __init__(self, path: str, tables: dict[str, object]):
+    def __init__(
+        self,
+        path: str,
+        tables: dict[str, object],
+        *,
+        egress_dirs: dict[str, str] | None = None,
+    ):
         """``tables``: name → VersionedBucketedTable (every value must
-        expose current_version()/read_at())."""
+        expose current_version()/read_at()).  ``egress_dirs``: name →
+        wire-egress publication dir for the tables that relay their CDF
+        downstream; ``record`` then ALSO stamps each batch's emitted
+        egress range per table, so a WIRE consumer can select a
+        cross-table-consistent set of publications (``read_egress_at``)
+        — the reference's single global position
+        (inputs/mysql/mysql_position.go:37-54) extended to the relay's
+        own output."""
         self.path = path
         self.tables = dict(tables)
+        self.egress_dirs = dict(egress_dirs or {})
 
     @classmethod
     def for_routes(cls, path: str, routes: list) -> "SnapshotCoordinator":
         """Build from CDC stream routes; every route must be a
         versioned local target (a sink route has no snapshot to
-        coordinate)."""
-        tables = {}
+        coordinate).  Routes with egress enabled get their publication
+        ranges stamped per batch automatically."""
+        tables, egress_dirs = {}, {}
         for r in routes:
             if getattr(r, "sink", None) is not None or not getattr(
                 r, "versioned", False
@@ -70,8 +85,11 @@ class SnapshotCoordinator:
                     f"SnapshotCoordinator: route {r.db}.{r.table} is not a "
                     "versioned local target"
                 )
-            tables[f"{r.db}.{r.table}"] = r.bind_target()
-        return cls(path, tables)
+            name = f"{r.db}.{r.table}"
+            tables[name] = r.bind_target()
+            if getattr(r, "egress_format", None) is not None:
+                egress_dirs[name] = r.egress_dir
+        return cls(path, tables, egress_dirs=egress_dirs)
 
     # -- manifest ----------------------------------------------------------
 
@@ -103,6 +121,27 @@ class SnapshotCoordinator:
             return dict(meta["batches"][key])
         coord = {name: t.current_version() for name, t in self.tables.items()}
         meta["batches"][key] = coord
+        if self.egress_dirs:
+            # stamp the emitted (v_from, v_to) per egressing table: v_to
+            # is the publication high-water mark NOW (every route
+            # emitted before the hook runs, so it equals the table's
+            # coordinate version); v_from is the previous batch's stamp.
+            # Recomputed from the final dir names, this is correct even
+            # when this batch's emission no-oped (replay) or a crash gap
+            # healed into a wider range.
+            from qin_cdc_spark.streaming.cdc_stream import egress_hwm
+
+            eg = meta.setdefault("egress", {})
+            prev = {
+                name: max(
+                    (r[name][1] for r in eg.values() if name in r), default=0
+                )
+                for name in self.egress_dirs
+            }
+            eg[key] = {
+                name: [prev[name], egress_hwm(d)]
+                for name, d in self.egress_dirs.items()
+            }
         self._publish(meta)
         return coord
 
@@ -156,6 +195,33 @@ class SnapshotCoordinator:
             for name, v in self.versions_at(batch_id).items()
         }
 
+    def egress_at(self, batch_id: int) -> dict[str, tuple[int, int]]:
+        """The stamped per-table egress ``(v_from, v_to)`` ranges of
+        batch ``batch_id`` — which publications belong together."""
+        meta = self._meta()
+        stamp = meta.get("egress", {}).get(str(batch_id))
+        if stamp is None:
+            raise ValueError(
+                f"no egress stamp for batch {batch_id} at {self.path} "
+                "(not recorded, expired, or no route has egress enabled)"
+            )
+        return {name: (r[0], r[1]) for name, r in stamp.items()}
+
+    def read_egress_at(self, spark, batch_id: int) -> dict[str, DataFrame | None]:
+        """The WIRE-side consistent read: for every egressing table, all
+        published messages up to exactly the batch boundary's stamped
+        high-water mark — the set a downstream consumer must replay to
+        rebuild a transactionally consistent multi-table state (e.g.
+        orders⋈lineitem) from the feed alone.  Raises when compaction
+        has merged a publication across the boundary (the coordinate is
+        no longer wire-reconstructible — retention, stated loudly)."""
+        from qin_cdc_spark.streaming.cdc_stream import read_store_egress_until
+
+        return {
+            name: read_store_egress_until(spark, self.egress_dirs[name], v_to)
+            for name, (_v_from, v_to) in self.egress_at(batch_id).items()
+        }
+
     # -- retention ---------------------------------------------------------
 
     def expire(self, *, keep_last: int) -> list[int]:
@@ -168,6 +234,7 @@ class SnapshotCoordinator:
         drop = bs[:-keep_last] if keep_last > 0 else bs
         for b in drop:
             del meta["batches"][str(b)]
+            meta.get("egress", {}).pop(str(b), None)
         if drop:
             self._publish(meta)
         return drop

@@ -274,3 +274,122 @@ def test_auto_retention_inside_the_stream(spark, tmp_path):
             tbl._meta()["versions"][str(v)]["buckets"].values()
         )
     assert live_dirs == manifest_dirs
+
+
+def test_egress_stamp_and_consistent_wire_replay(spark, tmp_path):
+    """Cross-table-consistent EGRESS: with egress enabled on both
+    routes, every recorded coordinate also stamps the emitted
+    (v_from, v_to) per route; a wire consumer selecting the batch-0
+    publication set and LWW-folding each feed rebuilds exactly the
+    coordinator's own batch-0 snapshot.  Compacting publications ACROSS
+    the stamped boundary makes that coordinate non-reconstructible and
+    the read must say so; the final boundary survives compaction."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from qin_cdc_spark.cdc.apply import decode_envelope
+    from qin_cdc_spark.streaming.cdc_stream import (
+        compact_egress,
+        replay_egress_state,
+    )
+
+    o_env = envelope_from_typed(
+        orders_change_stream(spark, SF), db="src", table="orders"
+    )
+    l_env = envelope_from_typed(
+        lineitem_change_stream(spark, SF), db="src", table="lineitem"
+    )
+    env_dir = str(tmp_path / "envelope")
+    o_env.filter(F.col("seq") <= O_SPLIT).unionByName(
+        l_env.filter(F.col("seq") <= L_SPLIT)
+    ).coalesce(1).write.mode("append").parquet(env_dir)
+    o_env.filter(F.col("seq") > O_SPLIT).unionByName(
+        l_env.filter(F.col("seq") > L_SPLIT)
+    ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    routes = [
+        CdcStreamRoute(
+            spark, db="src", table="orders",
+            schema=load_table(spark, SF, "orders").schema,
+            keys=["o_orderkey"], target_path=str(tmp_path / "o_tbl"),
+            versioned=True, egress_format="default",
+        ),
+        CdcStreamRoute(
+            spark, db="src", table="lineitem",
+            schema=load_table(spark, SF, "lineitem").schema,
+            keys=["l_orderkey", "l_linenumber"],
+            target_path=str(tmp_path / "l_tbl"),
+            versioned=True, egress_format="default",
+        ),
+    ]
+    coord = SnapshotCoordinator.for_routes(str(tmp_path / "coord"), routes)
+    assert set(coord.egress_dirs) == {"src.orders", "src.lineitem"}
+    q = start_cdc_stream(
+        spark,
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        routes,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_batch=coord.post_batch_hook(),
+    )
+    q.awaitTermination(300)
+
+    # the stamped ranges tile [0, hwm] batch to batch, per route
+    e0, e1 = coord.egress_at(0), coord.egress_at(1)
+    for name in coord.egress_dirs:
+        assert e0[name][0] == 0 and e0[name][1] == e1[name][0] < e1[name][1]
+        # the stamp equals the coordinate version (emission runs in the
+        # same micro-batch, before the hook)
+        assert e0[name][1] == coord.versions_at(0)[name]
+
+    # wire replay at batch 0 == the coordinator's own snapshot read
+    wire = coord.read_egress_at(spark, 0)
+    o_state = replay_egress_state(
+        wire["src.orders"],
+        StructType([StructField("o_orderkey", LongType()),
+                    StructField("o_orderstatus", StringType())]),
+        ["o_orderkey"],
+    )
+    snap = coord.read_at(0)
+    got = {(r.o_orderkey, r.o_orderstatus) for r in o_state.collect()}
+    want = {
+        (r.o_orderkey, r.o_orderstatus)
+        for r in snap["src.orders"].select("o_orderkey", "o_orderstatus").collect()
+    }
+    assert got == want
+    l_state = replay_egress_state(
+        wire["src.lineitem"],
+        StructType([StructField("l_orderkey", LongType()),
+                    StructField("l_linenumber", LongType())]),
+        ["l_orderkey", "l_linenumber"],
+    )
+    assert l_state.count() == snap["src.lineitem"].count()
+
+    # oracle leg: the wire state equals the LWW of the batch-0 prefix
+    o_dec = decode_envelope(
+        o_env, load_table(spark, SF, "orders").schema, db="src", table="orders"
+    )
+    assert got == {
+        (r.o_orderkey, r.o_orderstatus)
+        for r in _lww(o_dec.filter(F.col("seq") <= O_SPLIT), ["o_orderkey"])
+        .select("o_orderkey", "o_orderstatus").collect()
+    }
+
+    # compaction subsumes the batch-0 boundary → the coordinate is no
+    # longer wire-reconstructible and the read says so…
+    compact_egress(spark, coord.egress_dirs["src.orders"])
+    with pytest.raises(ValueError, match="not reconstructible"):
+        coord.read_egress_at(spark, 0)
+    # …but the FINAL boundary still replays (v0-hwm covers it exactly),
+    # and the _v_to feed-order column keeps the fold correct across the
+    # combined publication (keys updated in both batches still resolve)
+    wire1 = coord.read_egress_at(spark, 1)
+    o_state1 = replay_egress_state(
+        wire1["src.orders"],
+        StructType([StructField("o_orderkey", LongType()),
+                    StructField("o_orderstatus", StringType())]),
+        ["o_orderkey"],
+    )
+    assert {(r.o_orderkey, r.o_orderstatus) for r in o_state1.collect()} == {
+        (r.o_orderkey, r.o_orderstatus)
+        for r in _lww(o_dec, ["o_orderkey"])
+        .select("o_orderkey", "o_orderstatus").collect()
+    }
