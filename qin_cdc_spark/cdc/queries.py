@@ -1747,6 +1747,76 @@ QUERIES["cdc_partitioned_mv_chain"] = cdc_partitioned_mv_chain
 ORACLES["cdc_partitioned_mv_chain"] = CDC_PARTITIONED_MV_CHAIN_ORACLE
 
 
+def cdc_partitioned_drop_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A partition-retention DROP crossing the WIRE: the year-partitioned
+    fact applies two stream batches (each emitting its CDF publication),
+    then drops every pre-1998 partition — a manifest edit with zero data
+    movement — and the next emission must carry the drop downstream as
+    the reference-format DELETE messages a wire consumer needs
+    (outputs/kafka/kafka_utils.go:73-94: delete messages name the
+    removed row).  `cdc_partitioned_mv_chain` proves drops retract
+    through local MVs; this proves the same retraction REACHES THE WIRE:
+    the returned publication is exactly the drop's messages, and the
+    oracle renders the expected bytes itself — one delete per LIVE
+    pre-1998 row of the full-stream LWW state, byte-identical
+    (the `cdc_cdf_kafka_egress` hash discipline)."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.cdc_stream import emit_store_egress
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn("o_year", F.year("o_orderdate")),
+        land_key="orders_year",
+    )
+    base = tempfile.mkdtemp(prefix="pdrop_egress_gate_")
+    tbl = PartitionedVersionedTable(
+        spark, base + "/t", ["o_orderkey"], partition_col="o_year", n_buckets=4,
+    )
+    eg = base + "/egress"
+    for bid, part in (
+        (0, decoded.filter(F.col("seq") <= s)),
+        (1, decoded.filter(F.col("seq") > s)),
+    ):
+        tbl.merge(part, batch_id=bid)
+        emit_store_egress(tbl, eg, database="src", table_name="orders")
+    tbl.drop_partitions([int(p) for p in tbl.partitions() if int(p) < 1998])
+    rng = emit_store_egress(tbl, eg, database="src", table_name="orders")
+    return spark.read.parquet(f"{eg}/v{rng[0]}-{rng[1]}").select("key", "value")
+
+
+CDC_PARTITIONED_DROP_EGRESS_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+live AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+    FROM ev)
+  WHERE rn = 1 AND op <> 'delete' AND year(o_orderdate) < 1998
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       to_json(struct_pack(
+         database := 'src',
+         "table" := 'orders',
+         type := 'delete',
+         ts := CAST(0 AS BIGINT),
+         data := struct_pack(
+           o_orderkey := o_orderkey,
+           o_custkey := o_custkey,
+           o_orderstatus := o_orderstatus,
+           o_totalprice := o_totalprice,
+           o_orderdate := strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000Z',
+           o_orderpriority := o_orderpriority,
+           o_year := year(o_orderdate)),
+         old := CAST(NULL AS VARCHAR)))::VARCHAR AS value
+FROM live
+"""
+
+QUERIES["cdc_partitioned_drop_egress"] = cdc_partitioned_drop_egress
+ORACLES["cdc_partitioned_drop_egress"] = CDC_PARTITIONED_DROP_EGRESS_ORACLE
+
+
 def cdc_cdf_kafka_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF EGRESS in the reference's Kafka wire format — the CDC-relay
     loop closed: a maintained versioned table re-emits its own change
