@@ -225,29 +225,23 @@ class IncrementalClusterStore:
                 if len(rows) > self.probe_limit:
                     # LOGGED SLOW PATH, not a failure: a batch touching
                     # more components than the driver-side label list
-                    # allows (or one giant boilerplate component whose
-                    # member set dwarfs the probe budget's intent) keeps
-                    # the SAME touched-component bound, computed
-                    # DISTRIBUTED — full members-index scan semi-joined
-                    # to the affected labels instead of a bucket-pruned
-                    # lookup.  Correctness identical (the solve still
-                    # sees exactly the affected subgraph); cost = one
-                    # index scan instead of a pruned read.
+                    # allows keeps the SAME touched-component bound,
+                    # computed DISTRIBUTED — the GSI's lookup_df probes
+                    # with the affected-label DataFrame itself, so the
+                    # driver sees only distinct BUCKET ids (≤ n_buckets)
+                    # and the read opens ONLY the affected labels'
+                    # buckets, never the whole members index.
+                    # Correctness identical (the solve still sees
+                    # exactly the affected subgraph); cost is bounded by
+                    # the affected components' STORAGE, not the corpus.
                     import logging
 
                     logging.getLogger(__name__).warning(
                         "cc_store: %d+ touched components exceed probe_limit "
-                        "(%d); degrading to distributed scoping",
+                        "(%d); degrading to bucket-scoped distributed probe",
                         len(rows), self.probe_limit,
                     )
-                    mem_all = self.members.read()
-                    mem = (
-                        mem_all.join(
-                            lab0.select("label").distinct(), "label", "left_semi"
-                        )
-                        if mem_all is not None
-                        else None
-                    )
+                    mem = self.members.lookup_df(lab0.select("label").distinct())
                 else:
                     affected_labels = [r[0] for r in rows]
                     # members of the affected components: bucket-pruned

@@ -164,3 +164,36 @@ class GlobalSecondaryIndex:
         if rows is None:
             return None
         return rows.filter(F.col(self.index_col).isin(values))
+
+    def lookup_df(self, values: DataFrame) -> DataFrame | None:
+        """Distributed-probe lookup: like ``lookup`` but the probed
+        values stay a DataFrame — the driver collects only their
+        distinct BUCKET ids (bounded by n_buckets at ANY probe
+        cardinality), so a probe set too large for a driver-side list
+        (e.g. every affected component label of a giant relabel batch)
+        still gets a manifest-pruned read: only the probed values'
+        buckets open, membership resolves as a left-semi join inside
+        the scan.  ``values``' first column is the probe; it is cast to
+        the stored index type before hashing (the read_key
+        type-alignment guard)."""
+        man = self.store._meta()["versions"].get(
+            str(self.store.current_version()), {"buckets": {}}
+        )
+        nb = self.store._manifest_n_buckets(man)
+        st = self.store.read_internal()
+        if st is None:
+            return None
+        stored_t = st.schema[self.index_col].dataType
+        probes = values.select(
+            F.col(values.columns[0]).cast(stored_t).alias(self.index_col)
+        ).distinct()
+        buckets = [
+            str(r[0])
+            for r in probes.select(self.store._bucket_expr(nb).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        rows = self.store.read_buckets(buckets) if buckets else None
+        if rows is None:
+            return None
+        return rows.join(probes, self.index_col, "left_semi")

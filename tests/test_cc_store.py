@@ -246,3 +246,49 @@ def test_random_rounds_match_union_find(spark, tmp_path, seed):
             batch_id=rnd,
         )
         assert _labels(st) == _cc_py(edges, removed=removed), f"round {rnd}"
+
+
+def test_degrade_path_opens_only_affected_label_buckets(spark, tmp_path):
+    """The probe_limit degrade is BOUNDED by the affected components'
+    storage, not the members index: the distributed scoping probe
+    (GSI.lookup_df) must open ONLY the buckets the affected labels hash
+    into — spied on read_buckets — while components the batch never
+    touches stay unread.  Result still equals the union-find oracle."""
+    st = IncrementalClusterStore(
+        spark, str(tmp_path / "cc"), n_buckets=8, probe_limit=2
+    )
+    # 12 two-node components spread across the members index's buckets
+    e1 = [(i, i + 1000) for i in range(1, 13)]
+    st.apply_batch(_pairs(spark, e1), batch_id=0)
+
+    # batch 1 touches components 1, 2, 3 only — 3 > probe_limit=2
+    affected = [1, 2, 3]
+    exp_df = spark.createDataFrame([(v,) for v in affected], "label long")
+    expected = {
+        str(r[0])
+        for r in exp_df.select(
+            st.members.store._bucket_expr(8).alias("_b")
+        ).distinct().collect()
+    }
+    man = st.members.store._meta()["versions"][
+        str(st.members.store.current_version())
+    ]
+    assert len(man["buckets"]) > len(expected)  # pruning has room to prune
+
+    calls = []
+    orig = st.members.store.read_buckets
+
+    def spy(bucket_ids, *a, **kw):
+        calls.append({str(b) for b in bucket_ids})
+        return orig(bucket_ids, *a, **kw)
+
+    st.members.store.read_buckets = spy
+    try:
+        st.apply_batch(_pairs(spark, [(1, 2), (2, 3)]), batch_id=1)
+    finally:
+        del st.members.store.read_buckets  # restore the bound method
+    # the FIRST members read is the degrade's scoping probe: exactly the
+    # affected labels' buckets, nothing else
+    assert calls, "degrade path never probed the members index"
+    assert calls[0] == expected
+    assert _labels(st) == _cc_py(e1 + [(1, 2), (2, 3)])
