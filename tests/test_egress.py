@@ -264,3 +264,92 @@ def test_pipeline_declared_egress(spark, tmp_path):
     msgs = [json.loads(r.value) for r in route.read_egress().collect()]
     assert {m["type"] for m in msgs} == {"insert"}
     assert all(m["database"] == "dw" and m["table"] == "ods_t" for m in msgs)
+
+
+class _PlantedCrash(Exception):
+    pass
+
+
+def test_egress_crash_point_fuzz(spark, tmp_path):
+    """Exhaustive crash-point sweep over the publication/compaction
+    protocol: the coverage rule (widest range wins, stage residue
+    ignored) is load-bearing for exactly-once publication, and
+    compaction deletes subsumed dirs only after its rename.  A crash is
+    planted at EVERY os.rename / shutil.rmtree boundary inside
+    emit/compact across a merge→emit→compact script (the op is then
+    re-run, as the stream's at-least-once replay would); after each
+    sweep the coverage read must yield byte-identical messages to the
+    never-crashed baseline — no range lost, none double-read."""
+    import qin_cdc_spark.streaming.cdc_stream as cs
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    B = [
+        [("insert", 1, 1, "a"), ("insert", 2, 2, "b")],
+        [("update", 3, 1, "a2"), ("delete", 4, 2, "b")],
+        [("insert", 5, 2, "b2"), ("update", 6, 1, "a3")],
+    ]
+
+    def run(base, crash_at):
+        """Returns (messages, armed-call-count).  crash_at=None never
+        crashes (the baseline)."""
+        tbl = VersionedBucketedTable(spark, base + "/t", ["k"], n_buckets=4)
+        eg = base + "/eg"
+        armed = {"on": False, "n": 0, "fired": False}
+        real_rename, real_rmtree = cs.os.rename, cs.shutil.rmtree
+
+        def fallible(fn):
+            def w(*a, **kw):
+                if armed["on"]:
+                    if crash_at is not None and armed["n"] == crash_at:
+                        armed["n"] += 1
+                        armed["fired"] = True
+                        raise _PlantedCrash()
+                    armed["n"] += 1
+                return fn(*a, **kw)
+            return w
+
+        def emit():
+            armed["on"] = True
+            try:
+                cs.emit_store_egress(tbl, eg, database="src", table_name="t")
+            finally:
+                armed["on"] = False
+
+        def compact():
+            armed["on"] = True
+            try:
+                cs.compact_egress(spark, eg)
+            finally:
+                armed["on"] = False
+
+        ops = []
+        for i, rows in enumerate(B):
+            def mk(i=i, rows=rows):
+                def op():
+                    tbl.merge(_ev(spark, rows), batch_id=i)
+                    emit()
+                return op
+            ops.append(mk())
+            if i >= 1:
+                ops.append(compact)
+
+        cs.os.rename = fallible(real_rename)
+        cs.shutil.rmtree = fallible(real_rmtree)
+        try:
+            for op in ops:
+                try:
+                    op()
+                except _PlantedCrash:
+                    op()  # the stream replays the op after a crash
+        finally:
+            cs.os.rename, cs.shutil.rmtree = real_rename, real_rmtree
+        msgs = cs.read_store_egress(spark, eg)
+        got = sorted((r.key, r.value, r._v_to) for r in msgs.collect())
+        return got, armed["n"], armed["fired"]
+
+    baseline, n_calls, _ = run(str(tmp_path / "base"), None)
+    assert n_calls >= 6, f"too few crash points to be a real sweep ({n_calls})"
+    for k in range(n_calls):
+        got, _, fired = run(str(tmp_path / f"crash{k}"), k)
+        assert fired, f"crash point {k} never armed"
+        assert got == baseline, f"crash at boundary {k} corrupted the feed"
