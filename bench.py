@@ -108,6 +108,13 @@ HEADLINE = [
     # round 6 second wave: distributed moments + driver solve +
     # row-local transform + verification pass, end to end
     "emb_whitening",
+    # round 7 (appended, never reordered): cross-table-consistent wire
+    # egress — two tables merge+emit twice, coordinator stamps, then a
+    # consumer-side JSON parse + LWW fold + join rebuilds the boundary;
+    # and a partition retention drop rendered as wire delete messages
+    # (manifest-edit drop + one CDF emission + publication read)
+    "cdc_consistent_egress_replay",
+    "cdc_partitioned_drop_egress",
 ]
 
 
