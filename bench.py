@@ -115,6 +115,9 @@ HEADLINE = [
     # (manifest-edit drop + one CDF emission + publication read)
     "cdc_consistent_egress_replay",
     "cdc_partitioned_drop_egress",
+    # store → wire → store round trip (emit + JSON re-envelope + second
+    # LWW apply) — the full relay chain as one measured path
+    "cdc_relay_chain",
 ]
 
 
@@ -311,18 +314,24 @@ def registry_join_audit(spark, sf_dir: str, queries) -> dict[str, list[str]]:
     return offenders
 
 
-def _calibration_sec(spark, n_runs: int) -> float:
-    """Fixed constant-size calibration workload, run before the headline
-    loop: 20M rows generated in-memory (zero I/O variance) → hash
-    project → 32-way shuffle agg.  The work is identical every round on
-    every host, so BENCH_r{N}-to-BENCH_r{N+1} comparisons can separate
-    HOST drift (calibration moved too) from PLAN regressions (one query
-    moved against a stable calibration).  Median of the same n_runs the
-    headline queries use."""
+def _calibration_samples(spark, n: int) -> list[float]:
+    """Fixed constant-size calibration workload: 20M rows generated
+    in-memory (zero I/O variance) → hash project → 32-way shuffle agg.
+    The work is identical every round on every host, so
+    BENCH_r{N}-to-BENCH_r{N+1} comparisons can separate HOST drift
+    (calibration moved too) from PLAN regressions (one query moved
+    against a stable calibration).
+
+    Round-7 finding: a constant sampled only BEFORE the headline loop
+    is noisier than the drift it exists to explain (0.534 → 0.727 on
+    the SAME host across rounds while raw query times moved less), so
+    the caller now INTERLEAVES samples through the run and medians all
+    of them; the samples ship in the output so the constant's own
+    variance is visible to the next round's comparison."""
     import pyspark.sql.functions as F
 
     samples = []
-    for _ in range(n_runs):
+    for _ in range(n):
         t0 = time.time()
         (
             spark.range(0, 20_000_000, 1, 32)
@@ -333,8 +342,8 @@ def _calibration_sec(spark, n_runs: int) -> float:
             .mode("overwrite")
             .save()
         )
-        samples.append(time.time() - t0)
-    return round(statistics.median(samples), 3)
+        samples.append(round(time.time() - t0, 3))
+    return samples
 
 
 def main() -> None:
@@ -413,10 +422,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    calibration = _calibration_sec(spark, n_runs)
+    cal_samples = _calibration_samples(spark, n_runs)
+
+    # interleave further calibration samples through the run (~thirds +
+    # end): the host's speed during minute 1 is not its speed during
+    # minute 10, and the constant must represent the whole window the
+    # query timings were taken in
+    checkpoints = {len(HEADLINE) // 3, (2 * len(HEADLINE)) // 3}
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         samples = []
         for _ in range(n_runs):
             # Spark's CacheManager substitutes plan-equal subtrees with any
@@ -429,8 +444,12 @@ def main() -> None:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        if i in checkpoints:
+            cal_samples.extend(_calibration_samples(spark, 1))
 
     timings["stream_cdc_orders"] = round(_bench_stream_cdc(spark, sf_dir), 3)
+    cal_samples.extend(_calibration_samples(spark, 1))
+    calibration = round(statistics.median(cal_samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -440,10 +459,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # fixed constant-size workload (see _calibration_sec):
+                # fixed constant-size workload (see _calibration_samples),
+                # sampled INTERLEAVED through the run and medianed:
                 # compare rounds via queries[name]/calibration_sec to
-                # cancel host drift; "calibrated" precomputes it
+                # cancel host drift; "calibrated" precomputes it and
+                # "calibration_samples" exposes the constant's variance
                 "calibration_sec": calibration,
+                "calibration_samples": cal_samples,
                 "calibrated": {
                     k: round(v / calibration, 2) for k, v in timings.items()
                 },

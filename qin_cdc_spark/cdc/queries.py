@@ -1817,6 +1817,57 @@ QUERIES["cdc_partitioned_drop_egress"] = cdc_partitioned_drop_egress
 ORACLES["cdc_partitioned_drop_egress"] = CDC_PARTITIONED_DROP_EGRESS_ORACLE
 
 
+def cdc_relay_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL relay chain closed engine-side: source store → wire →
+    second store.  Route A (versioned target + egress) applies the
+    orders change stream in two batches, each emitting its CDF
+    publication; ``envelope_from_egress`` turns the published wire
+    messages back into CDC envelope rows (op = message type, seq = feed
+    order, data = the message's own row JSON — delete messages name the
+    removed row, exactly what decode expects); route B applies that
+    envelope through the normal decode → LWW merge path into a fresh
+    bucketed target.  B's live rows must hash-equal the full-stream LWW
+    snapshot — the reference's MySQL → Kafka → warehouse chain
+    (inputs/mysql → outputs/kafka → a downstream qin-cdc consuming it)
+    as one engine round trip, deletes and multi-batch updates included."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        envelope_from_egress,
+    )
+
+    base = tempfile.mkdtemp(prefix="relay_chain_gate_")
+    schema = load_table(spark, sf_dir, "orders").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="orders", schema=schema, keys=["o_orderkey"],
+        target_path=f"{base}/a", n_buckets=8, versioned=True,
+        egress_format="default",
+    )
+    env = _orders_envelope(spark, sf_dir)
+    s = env.agg(F.max("seq")).collect()[0][0] // 2
+    route_a.apply_batch(env.filter(F.col("seq") <= s), batch_id=0)
+    route_a.apply_batch(env.filter(F.col("seq") > s), batch_id=1)
+
+    wire_env = envelope_from_egress(route_a.read_egress())
+    route_b = CdcStreamRoute(
+        spark, db="src", table="orders", schema=schema, keys=["o_orderkey"],
+        target_path=f"{base}/b", n_buckets=8,
+    )
+    route_b.apply_batch(wire_env, batch_id=0)
+    return route_b.bind_target().read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+
+
+# the chain must reproduce the plain apply's final snapshot exactly
+CDC_RELAY_CHAIN_ORACLE = CDC_APPLY_ORDERS_ORACLE
+
+QUERIES["cdc_relay_chain"] = cdc_relay_chain
+ORACLES["cdc_relay_chain"] = CDC_RELAY_CHAIN_ORACLE
+
+
 def cdc_cdf_kafka_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF EGRESS in the reference's Kafka wire format — the CDC-relay
     loop closed: a maintained versioned table re-emits its own change

@@ -219,6 +219,36 @@ def replay_egress_state(
     )
 
 
+def envelope_from_egress(
+    msgs: DataFrame, *, db: str | None = None, table: str | None = None
+) -> DataFrame:
+    """Default-format wire messages → CDC envelope rows: the CONSUMER
+    half of the relay loop, so a second ``CdcStreamRoute`` (or any
+    engine pipeline) can apply another store's egress feed through the
+    normal decode → transform → merge path — store → wire → store, the
+    reference's MySQL → Kafka → warehouse chain closed entirely
+    engine-side.  All JVM-side ``get_json_object`` (``data`` must stay
+    a raw JSON string for the envelope; delete messages already name
+    the removed row, exactly what ``decode_envelope`` expects).
+
+    ``seq`` = the message's ``_v_to`` (feed order — each publication
+    carries at most one diff per key, so per-key LWW over ``_v_to`` is
+    exact; ties across keys are irrelevant to LWW).  ``db``/``table``
+    override the wire values to re-route the feed (the reference's
+    target-table mapping)."""
+    v = F.col("value")
+    return msgs.select(
+        (F.lit(db) if db else F.get_json_object(v, "$.database")).alias("db"),
+        (F.lit(table) if table else F.get_json_object(v, "$.table")).alias("table"),
+        F.get_json_object(v, "$.type").alias("op"),
+        F.col("_v_to").cast("long").alias("seq"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("int").alias("schema_version"),
+        F.get_json_object(v, "$.data").alias("data"),
+        F.get_json_object(v, "$.old").alias("old"),
+    )
+
+
 def compact_egress(spark: SparkSession, egress_dir: str) -> tuple[int, int] | None:
     """Collapse the accumulated per-batch publications into ONE
     ``v0-{hwm}`` publication — the small-files maintenance a

@@ -353,3 +353,34 @@ def test_egress_crash_point_fuzz(spark, tmp_path):
         got, _, fired = run(str(tmp_path / f"crash{k}"), k)
         assert fired, f"crash point {k} never armed"
         assert got == baseline, f"crash at boundary {k} corrupted the feed"
+
+
+def test_relay_chain_store_to_wire_to_store(spark, tmp_path):
+    """envelope_from_egress closes the consumer half of the relay: a
+    second route applies the first route's published wire messages
+    through the normal decode→merge path and converges to the same
+    live rows — deletes don't resurrect, multi-publication updates
+    resolve in feed order, and a re-apply of the same feed is a no-op
+    (LWW idempotence)."""
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_egress
+
+    route, env = _route(spark, tmp_path)
+    route.apply_batch(env.filter(F.col("seq") <= 2), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+
+    wire_env = envelope_from_egress(route.read_egress())
+    schema = _ev(spark, B1).drop("op", "seq").schema
+    consumer = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    consumer.apply_batch(wire_env, batch_id=0)
+    want = {(r.k, r.v) for r in route.bind_target().read().collect()}
+    got = {(r.k, r.v) for r in consumer.target.read().collect()}
+    assert got == want == {(1, "a2"), (3, "c")}  # k=2 deleted, not resurrected
+    # re-applying the same feed is a fixed point
+    consumer.apply_batch(wire_env)
+    assert {(r.k, r.v) for r in consumer.target.read().collect()} == want
+    # db/table re-routing override (the reference's target-table mapping)
+    renamed = envelope_from_egress(route.read_egress(), db="dst", table="t2")
+    assert renamed.select("db", "table").distinct().collect()[0][:] == ("dst", "t2")
