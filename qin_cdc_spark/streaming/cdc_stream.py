@@ -249,39 +249,86 @@ def envelope_from_egress(
     )
 
 
-def compact_egress(spark: SparkSession, egress_dir: str) -> tuple[int, int] | None:
-    """Collapse the accumulated per-batch publications into ONE
-    ``v0-{hwm}`` publication — the small-files maintenance a
-    long-running relay needs (one dir per micro-batch otherwise grows
-    forever).  Crash-safe in the same model as emission: the combined
-    dir publishes by rename FIRST, subsumed dirs delete after — a crash
-    in between leaves residue that reads ignore (coverage rule) and the
-    next compaction removes.  Returns the combined range, or None when
-    there is nothing to combine."""
-    cover = _egress_coverage(egress_dir)
-    if len(cover) <= 1:
-        # nothing to combine — but clean any residue a crashed
-        # compaction left behind (subsumed dirs under the single cover)
-        for _a, _b, d in _egress_ranges(egress_dir):
-            if cover and d != cover[0]:
-                shutil.rmtree(os.path.join(egress_dir, d), ignore_errors=True)
-        return None
-    ranges = {d: next((a, b) for a, b, n in _egress_ranges(egress_dir) if n == d) for d in cover}
-    lo = min(a for a, _ in ranges.values())
-    hi = max(b for _, b in ranges.values())
+def _combine_publications(
+    spark: SparkSession, egress_dir: str, seg: list[tuple[int, int, str]]
+) -> tuple[int, int]:
+    """Combine one contiguous run of publications into a single
+    ``v{lo}-{hi}`` dir.  Crash-safe in the same model as emission: the
+    combined dir publishes by rename FIRST, subsumed dirs delete after
+    — a crash in between leaves residue that reads ignore (coverage
+    rule) and the next compaction removes."""
+    lo, hi = seg[0][0], seg[-1][1]
     combined = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(egress_dir, d) for d in cover]
+        *[os.path.join(egress_dir, d) for _a, _b, d in seg]
     )
     final = os.path.join(egress_dir, f"v{lo}-{hi}")
     stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
     combined.write.parquet(stage)
     os.rename(stage, final)
-    # delete everything the combined publication subsumes — the cover
+    # delete everything the combined publication subsumes — the source
     # dirs AND any crash residue inside the range
     for a, b, d in _egress_ranges(egress_dir):
         if d != f"v{lo}-{hi}" and a >= lo and b <= hi:
             shutil.rmtree(os.path.join(egress_dir, d), ignore_errors=True)
     return (lo, hi)
+
+
+def compact_egress_segments(
+    spark: SparkSession, egress_dir: str, boundaries: list[int]
+) -> list[tuple[int, int]]:
+    """Small-files compaction that PRESERVES named replay boundaries:
+    publications combine only WITHIN segments delimited by
+    ``boundaries`` (ascending v coordinates — e.g. the coordinator's
+    retained stamped v_to's), so ``read_store_egress_until`` keeps
+    working for every named boundary after maintenance.  A publication
+    already straddling a boundary (from an earlier unrestricted
+    compaction) is left alone — there is nothing left to preserve
+    inside it.  Returns the combined ranges (segments of one
+    publication combine nothing)."""
+    bset = {int(x) for x in boundaries}
+    cover = set(_egress_coverage(egress_dir))
+    ranges = sorted(
+        (a, b, d) for a, b, d in _egress_ranges(egress_dir) if d in cover
+    )
+    segments: list[list[tuple[int, int, str]]] = []
+    cur: list[tuple[int, int, str]] = []
+
+    def flush():
+        if len(cur) >= 2:
+            segments.append(list(cur))
+        cur.clear()
+
+    for a, b, d in ranges:
+        if a in bset:
+            flush()
+        if any(a < x < b for x in bset):
+            # straddles a boundary (pre-existing) — its own island
+            flush()
+            continue
+        cur.append((a, b, d))
+    flush()
+    return [_combine_publications(spark, egress_dir, seg) for seg in segments]
+
+
+def compact_egress(spark: SparkSession, egress_dir: str) -> tuple[int, int] | None:
+    """Collapse the accumulated per-batch publications into ONE
+    ``v0-{hwm}`` publication — the small-files maintenance a
+    long-running relay needs (one dir per micro-batch otherwise grows
+    forever).  Unrestricted: replay boundaries inside the combined
+    range stop being reconstructible (``read_store_egress_until``
+    raises) — use :func:`compact_egress_segments` (or
+    ``SnapshotCoordinator.compact_egress``) to preserve them.  Returns
+    the combined range, or None when there is nothing to combine."""
+    done = compact_egress_segments(spark, egress_dir, [])
+    if done:
+        return done[0]
+    # nothing to combine — but clean any residue a crashed compaction
+    # left behind (subsumed dirs under the single cover)
+    cover = _egress_coverage(egress_dir)
+    for _a, _b, d in _egress_ranges(egress_dir):
+        if cover and d != cover[0]:
+            shutil.rmtree(os.path.join(egress_dir, d), ignore_errors=True)
+    return None
 
 
 class ParquetUpsertTable:

@@ -207,6 +207,31 @@ class SnapshotCoordinator:
             )
         return {name: (r[0], r[1]) for name, r in stamp.items()}
 
+    def compact_egress(self, spark) -> dict[str, list[tuple[int, int]]]:
+        """Small-files egress maintenance that PRESERVES consistent
+        replay: each route's publications compact only within segments
+        delimited by the RETAINED coordinates' stamped v_to's, so
+        ``read_egress_at`` keeps working for every retained batch after
+        maintenance (plain ``compact_egress`` would merge across the
+        stamps and make them non-reconstructible).  Expired coordinates
+        stop protecting their boundaries — retention and compaction
+        compose: ``expire`` first, then this, and storage converges to
+        one publication per retained boundary interval."""
+        from qin_cdc_spark.streaming.cdc_stream import compact_egress_segments
+
+        meta = self._meta()
+        out = {}
+        for name, d in self.egress_dirs.items():
+            stamps = sorted(
+                {
+                    r[name][1]
+                    for r in meta.get("egress", {}).values()
+                    if name in r
+                }
+            )
+            out[name] = compact_egress_segments(spark, d, stamps)
+        return out
+
     def read_egress_at(self, spark, batch_id: int) -> dict[str, DataFrame | None]:
         """The WIRE-side consistent read: for every egressing table, all
         published messages up to exactly the batch boundary's stamped

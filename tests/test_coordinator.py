@@ -393,3 +393,74 @@ def test_egress_stamp_and_consistent_wire_replay(spark, tmp_path):
         for r in _lww(o_dec, ["o_orderkey"])
         .select("o_orderkey", "o_orderstatus").collect()
     }
+
+
+def test_boundary_preserving_egress_compaction(spark, tmp_path):
+    """SnapshotCoordinator.compact_egress combines publications only
+    within segments delimited by RETAINED stamped boundaries — every
+    retained coordinate stays wire-reconstructible after maintenance,
+    and expiring coordinates releases their boundaries so compaction
+    converges toward one publication per retained interval."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import replay_egress_state
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+    batches = [
+        [("insert", 1, 1, "a"), ("insert", 2, 2, "b")],
+        [("update", 3, 1, "a2")],
+        [("delete", 4, 2, None), ("insert", 5, 3, "c")],
+        [("update", 6, 3, "c2")],
+    ]
+    schema = ev(batches[0]).drop("op", "seq").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    coord = SnapshotCoordinator.for_routes(str(tmp_path / "coord"), [route])
+    for i, b in enumerate(batches):
+        route.apply_batch(envelope_from_typed(ev(b), db="src", table="t"), batch_id=i)
+        coord.record(i)
+
+    # every batch stamped → every edge is a boundary → nothing combines
+    assert coord.compact_egress(spark) == {"src.t": []}
+    assert len(os.listdir(route.egress_dir)) == 4
+
+    # drop the two oldest coordinates: batches 0 and 1 (stamps v1, v2)
+    # stop protecting their boundaries, so v0-1 + v1-2 + v2-3 combine
+    # into v0-3 — while the retained batch-2 (v3) and batch-3 (v4)
+    # boundaries stay publication edges
+    coord.expire(keep_last=2)
+    done = coord.compact_egress(spark)
+    assert done == {"src.t": [(0, 3)]}
+    fold_schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    for b in (2, 3):
+        state = replay_egress_state(
+            coord.read_egress_at(spark, b)["src.t"], fold_schema, ["k"]
+        )
+        want = {
+            (r.k, r.v)
+            for r in coord.tables["src.t"]
+            .read_at(coord.versions_at(b)["src.t"])
+            .select("k", "v")
+            .collect()
+        }
+        assert {(r.k, r.v) for r in state.collect()} == want
+    # idempotent: nothing further to combine
+    assert coord.compact_egress(spark) == {"src.t": []}
+
+    # UNRESTRICTED compaction is the documented destructive opposite:
+    # it merges across batch-2's stamp and read_egress_at says so
+    from qin_cdc_spark.streaming.cdc_stream import compact_egress
+
+    compact_egress(spark, route.egress_dir)
+    with pytest.raises(ValueError, match="not reconstructible"):
+        coord.read_egress_at(spark, 2)
