@@ -36,6 +36,45 @@ from pyspark.sql.types import StructType
 from qin_cdc_spark.cdc.envelope import OP_DELETE
 
 
+def parse_row(col, schema: StructType):
+    """Schema-tolerant JSON row parse: the typed ``from_json`` first,
+    with a per-field fallback that CASTS the string rendering.
+
+    Why: canal-format JSON — including the reference's own canal output
+    (outputs/kafka/kafka_utils.go:98-114) and Aliyun DTS feeds —
+    stringifies EVERY value (``"id": "1"``, ``"price": "4.50"``), and a
+    bare typed ``from_json`` silently NULLS those fields (Spark does
+    not coerce JSON strings to numerics).  Without the fallback, any
+    numeric-PK table fed from a canal source decodes to null keys and
+    the whole feed lands in the DLQ.  The fallback parses the same
+    value as an all-string struct and casts per field — numerics,
+    decimals, booleans, and timestamps all cast from their canonical
+    string renderings; sources that emit proper JSON types (Debezium,
+    this engine's own default egress) hit only the first parse.
+    Both parses are JVM-side; cost is one extra columnar parse."""
+    from pyspark.sql.types import ArrayType, MapType, StringType, StructField
+
+    typed = F.from_json(col, schema)
+    str_schema = StructType(
+        [StructField(f.name, StringType(), True) for f in schema.fields]
+    )
+    strs = F.from_json(col, str_schema)
+
+    def field(f):
+        # string→complex casts don't exist (analysis error), and canal
+        # only stringifies SCALARS anyway — complex-typed fields keep
+        # the typed parse alone
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            return typed.getField(f.name).alias(f.name)
+        return F.coalesce(
+            typed.getField(f.name), strs.getField(f.name).cast(f.dataType)
+        ).alias(f.name)
+
+    return F.when(col.isNull(), F.lit(None).cast(schema)).otherwise(
+        F.struct(*[field(f) for f in schema.fields])
+    )
+
+
 def decode_envelope(
     env: DataFrame,
     schema: StructType,
@@ -58,11 +97,11 @@ def decode_envelope(
     of the old key (same seq) plus the update at the new key.
     """
     routed = env.filter((F.col("db") == db) & (F.col("table") == table))
-    decoded = routed.withColumn("_row", F.from_json(F.col("data"), schema))
+    decoded = routed.withColumn("_row", parse_row(F.col("data"), schema))
     if not keys:
         return decoded.select("op", "seq", "_row.*")
 
-    with_old = decoded.withColumn("_old", F.from_json(F.col("old"), schema))
+    with_old = decoded.withColumn("_old", parse_row(F.col("old"), schema))
     pk_moved = F.col("_old").isNotNull() & _any_of(
         [F.col(f"_old.{k}") != F.col(f"_row.{k}") for k in keys]
     )

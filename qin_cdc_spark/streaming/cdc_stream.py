@@ -249,6 +249,31 @@ def envelope_from_egress(
     )
 
 
+def envelope_from_canal_egress(
+    msgs: DataFrame, *, db: str | None = None, table: str | None = None
+) -> DataFrame:
+    """Canal-format sibling of :func:`envelope_from_egress`: canal wraps
+    the row in a 1-element ``data`` array, uppercases ``type``, and
+    STRINGIFIES every value — the stringified numerics decode correctly
+    because ``decode_envelope`` parses schema-tolerantly
+    (cdc/apply.py::parse_row).  ``seq`` = ``_v_to`` feed order, NOT the
+    canal ``id`` the live-source decoder uses
+    (sources/kafka_source.py::decode_canal_envelope) — egress stamps
+    ``id: 0`` on every message, so feed order is the only total order
+    on the wire."""
+    v = F.col("value")
+    return msgs.select(
+        (F.lit(db) if db else F.get_json_object(v, "$.database")).alias("db"),
+        (F.lit(table) if table else F.get_json_object(v, "$.table")).alias("table"),
+        F.lower(F.get_json_object(v, "$.type")).alias("op"),
+        F.col("_v_to").cast("long").alias("seq"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("int").alias("schema_version"),
+        F.get_json_object(v, "$.data[0]").alias("data"),
+        F.get_json_object(v, "$.old[0]").alias("old"),
+    )
+
+
 def _combine_publications(
     spark: SparkSession, egress_dir: str, seg: list[tuple[int, int, str]]
 ) -> tuple[int, int]:
@@ -692,8 +717,13 @@ class CdcStreamRoute:
         route's CURRENT schema.  PERMISSIVE parsing turns
         partially-broken JSON into an all-null struct (not a null
         struct) — a null primary key is equally malformed for a CDC
-        row."""
-        parsed = F.from_json(F.col("data"), self.schema)
+        row.  Uses the same schema-tolerant parse as decode_envelope
+        (cdc/apply.py::parse_row): a canal-stringified numeric PK
+        ("id": "1") is NOT malformed — quarantining it here while
+        decode recovers it would DLQ every row of a canal feed."""
+        from qin_cdc_spark.cdc.apply import parse_row
+
+        parsed = parse_row(F.col("data"), self.schema)
         null_key = parsed.isNull()
         for k in self.keys:
             null_key = null_key | parsed.getField(k).isNull()

@@ -384,3 +384,26 @@ def test_relay_chain_store_to_wire_to_store(spark, tmp_path):
     # db/table re-routing override (the reference's target-table mapping)
     renamed = envelope_from_egress(route.read_egress(), db="dst", table="t2")
     assert renamed.select("db", "table").distinct().collect()[0][:] == ("dst", "t2")
+
+
+def test_relay_chain_canal_format(spark, tmp_path):
+    """The canal sibling of the relay chain: a canal-egress route's
+    published messages re-enter through envelope_from_canal_egress —
+    stringified numerics decode typed (parse_row), DELETE resolves, and
+    the consumer converges to the producer's live rows."""
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_canal_egress
+
+    route, env = _route(spark, tmp_path, egress_format="canal")
+    route.apply_batch(env.filter(F.col("seq") <= 2), batch_id=0)
+    route.apply_batch(env.filter(F.col("seq") > 2), batch_id=1)
+
+    wire_env = envelope_from_canal_egress(route.read_egress())
+    schema = _ev(spark, B1).drop("op", "seq").schema  # k is LONG
+    consumer = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    consumer.apply_batch(wire_env, batch_id=0)
+    want = {(r.k, r.v) for r in route.bind_target().read().collect()}
+    assert {(r.k, r.v) for r in consumer.target.read().collect()} == want
+    assert want == {(1, "a2"), (3, "c")}

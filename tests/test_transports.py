@@ -563,3 +563,30 @@ def test_streamload_datasource_requires_options(spark):
 
     with _pytest.raises(ValueError, match="missing options"):
         StreamLoadStreamWriter({"host": "h"})
+
+
+def test_canal_stringified_values_decode_typed(spark):
+    """Regression: canal stringifies EVERY value ("id": "1") — the
+    reference's own canal output and real Aliyun DTS feeds do — and a
+    bare typed from_json NULLS those fields, which would null the PK
+    and quarantine the whole feed.  decode_envelope's schema-tolerant
+    parse (parse_row) must recover the typed values."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from qin_cdc_spark.cdc.apply import decode_envelope
+
+    canal = json.dumps({
+        "database": "shop", "table": "orders", "type": "INSERT",
+        "es": 0, "ts": 0,
+        "data": [{"id": "7", "name": "x", "price": "4.50"}],
+        "old": None, "sqlType": {"id": 8}, "mysqlType": {"id": "bigint"},
+        "serverId": "", "sql": "", "pkNames": ["id"], "isDdl": False,
+        "id": 3, "gtid": None,
+    })
+    env = decode_canal_envelope(_values_df(spark, [canal]))
+    schema = StructType([
+        StructField("id", LongType()), StructField("name", StringType()),
+        StructField("price", DoubleType()),
+    ])
+    rows = decode_envelope(env, schema, db="shop", table="orders", keys=["id"]).collect()
+    assert [(r.id, r.name, r.price) for r in rows] == [(7, "x", 4.5)]
