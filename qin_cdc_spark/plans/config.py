@@ -96,6 +96,15 @@ class PipelineConfig:
     transforms: TransformChain
     routers: list[Router] = field(default_factory=list)
     mviews: list[MviewSpec] = field(default_factory=list)
+    # [coordinator] (engine extension): cross-table consistent snapshots
+    # over every route — the reference tracks ONE global position for
+    # all sinks (inputs/mysql/mysql_position.go:37-54) but its targets
+    # are only mutually consistent at quiescence; declaring the section
+    # makes every route versioned and records batch → {table: version}
+    # coordinates in-stream.  Keys: path (default
+    # <target_root>/_coordinator), retain-batches (0 = keep all),
+    # gc-every (default 1).
+    coordinator: dict | None = None
 
     def router_for(self, db: str, table: str) -> Router | None:
         for r in self.routers:
@@ -168,6 +177,7 @@ def parse_config(text: str) -> PipelineConfig:
         transforms=chain,
         routers=routers,
         mviews=mviews,
+        coordinator=raw.get("coordinator"),
     )
 
 

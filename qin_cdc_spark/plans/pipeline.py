@@ -95,11 +95,17 @@ class Pipeline:
                 )
                 sink = loader.load_batch
             # a declared materialized view OR egress refreshes from the
-            # target's change data feed — its route must retain versions
-            has_mv = any(
-                (m.source_schema, m.source_table) == (db, table)
-                for m in config.mviews
-            ) or router.egress_format is not None
+            # target's change data feed — its route must retain versions;
+            # a declared [coordinator] needs versions on EVERY route
+            # (coordinates name per-table snapshot versions)
+            has_mv = (
+                any(
+                    (m.source_schema, m.source_table) == (db, table)
+                    for m in config.mviews
+                )
+                or router.egress_format is not None
+                or config.coordinator is not None
+            )
             self.routes.append(
                 CdcStreamRoute(
                     spark,
@@ -160,6 +166,19 @@ class Pipeline:
             )
             self.mviews[m.name] = (route, mv)
 
+        # [coordinator] (engine extension): cross-table consistent
+        # snapshots stamped per micro-batch across every route — plus
+        # per-route egress publication ranges when egress is declared,
+        # so wire consumers get the same boundary (coordinator.py)
+        self.coordinator = None
+        if config.coordinator is not None:
+            from qin_cdc_spark.streaming.coordinator import SnapshotCoordinator
+
+            cpath = config.coordinator.get("path") or os.path.join(
+                target_root, "_coordinator"
+            )
+            self.coordinator = SnapshotCoordinator.for_routes(cpath, self.routes)
+
     def trigger_config(self) -> dict | None:
         """Map the reference's micro-batch knobs (A20: ``batch-size`` /
         ``batch-interval-ms`` under [output.config.target.options],
@@ -190,6 +209,24 @@ class Pipeline:
         (availableNow fallback when the config sets none)."""
         if trigger is None:
             trigger = self.trigger_config()
+        hooks = []
+        if self.mviews:
+            hooks.append(self._refresh_mviews)
+        if self.coordinator is not None:
+            # record AFTER derived views refresh: the coordinate marks
+            # "this batch fully landed everywhere"
+            c = self.config.coordinator
+            hooks.append(
+                self.coordinator.post_batch_hook(
+                    retain_batches=int(c.get("retain-batches", 0)),
+                    gc_every=int(c.get("gc-every", 1)),
+                )
+            )
+
+        def post_batch(batch_id: int) -> None:
+            for h in hooks:
+                h(batch_id)
+
         return start_cdc_stream(
             self.spark,
             envelope_stream,
@@ -199,7 +236,7 @@ class Pipeline:
             # in-stream DDL: op='ddl' envelope rows evolve the registry and
             # every route's decode schema mid-stream (A11+A12 end to end)
             registry=self.registry,
-            post_batch=self._refresh_mviews if self.mviews else None,
+            post_batch=post_batch if hooks else None,
         )
 
     def _refresh_mviews(self, batch_id: int) -> None:

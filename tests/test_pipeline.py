@@ -321,3 +321,80 @@ def test_pipeline_declared_materialized_views(spark, tmp_path):
         (r.grp, r.bin): r.cnt for r in pipe.read_mview("t_val_hist").collect()
     }
     assert got_bins == exp_bins
+
+
+def test_pipeline_declared_coordinator(spark, tmp_path):
+    """[coordinator] in TOML: every route becomes versioned, each
+    micro-batch stamps a cross-table coordinate (and per-route egress
+    ranges where egress is declared), coordinated reads join both
+    targets at the SAME boundary, and retain-batches bounds snapshot
+    history in-stream."""
+    cfg = """
+name = "coordinated-sync"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[coordinator]
+retain-batches = 2
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "orders"
+egress-format = "default"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "customer"
+"""
+    orders = orders_change_stream(spark, SF_SMOKE)
+    cust_tbl = load_table(spark, SF_SMOKE, "customer")
+    cust = cust_tbl.withColumn("op", F.lit("insert")).withColumn(
+        "seq", F.col("c_custkey").cast("long")
+    ).select("op", "seq", *cust_tbl.columns)
+    o_env = envelope_from_typed(orders, db="src", table="orders")
+    c_env = envelope_from_typed(cust, db="src", table="customer")
+    env_dir = str(tmp_path / "env")
+    split = 3000
+    o_env.filter(F.col("seq") <= split).unionByName(
+        c_env.filter(F.col("seq") <= split)
+    ).coalesce(1).write.mode("append").parquet(env_dir)
+    o_env.filter(F.col("seq") > split).unionByName(
+        c_env.filter(F.col("seq") > split)
+    ).coalesce(1).write.mode("append").parquet(env_dir)
+
+    pipe = compile_pipeline(
+        spark,
+        cfg,
+        schemas={
+            ("src", "orders"): orders.drop("op", "seq").schema,
+            ("src", "customer"): cust_tbl.schema,
+        },
+        primary_keys={
+            ("src", "orders"): ["o_orderkey"],
+            ("src", "customer"): ["c_custkey"],
+        },
+        target_root=str(tmp_path / "dw"),
+        n_buckets=4,
+    )
+    assert pipe.coordinator is not None
+    q = pipe.run_stream(
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    coord = pipe.coordinator
+    assert coord.batches() == [0, 1]
+    # coordinate 0 pins BOTH tables at the batch-0 boundary
+    snap = coord.read_at(0)
+    assert snap["src.customer"].count() == cust.filter(F.col("seq") <= split).count()
+    # egress stamped only for the route that declares it
+    assert set(coord.egress_at(0)) == {"src.orders"}
+    assert coord.egress_at(0)["src.orders"][1] == coord.versions_at(0)["src.orders"]
+    # retain-batches=2 kept both coordinates here (only 2 batches ran);
+    # the retention path itself is exercised: expire+gc ran in-stream
+    assert coord.versions_at(1)["src.orders"] == 2
