@@ -44,31 +44,48 @@ def parse_row(col, schema: StructType):
     (outputs/kafka/kafka_utils.go:98-114) and Aliyun DTS feeds —
     stringifies EVERY value (``"id": "1"``, ``"price": "4.50"``), and a
     bare typed ``from_json`` silently NULLS those fields (Spark does
-    not coerce JSON strings to numerics).  Without the fallback, any
+    not coerce JSON strings to numerics).  Without tolerance, any
     numeric-PK table fed from a canal source decodes to null keys and
-    the whole feed lands in the DLQ.  The fallback parses the same
-    value as an all-string struct and casts per field — numerics,
-    decimals, booleans, and timestamps all cast from their canonical
-    string renderings; sources that emit proper JSON types (Debezium,
-    this engine's own default egress) hit only the first parse.
-    Both parses are JVM-side; cost is one extra columnar parse."""
-    from pyspark.sql.types import ArrayType, MapType, StringType, StructField
+    the whole feed lands in the DLQ.  Atomic fields therefore parse as
+    strings and CAST to their declared types — one JVM-side columnar
+    parse covers typed JSON (from_json coerces proper scalars into
+    string fields) and stringified JSON alike; only complex/binary
+    fields add a typed parse (see inline rationale)."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StringType, StructField
 
-    typed = F.from_json(col, schema)
-    str_schema = StructType(
-        [StructField(f.name, StringType(), True) for f in schema.fields]
+    # ONE parse for the common case: every atomic field reads as a
+    # string and casts to its declared type — the cast accepts both the
+    # quoted canal rendering AND the string form of a proper JSON
+    # scalar (from_json coerces numbers/booleans into StringType
+    # fields), so typed and stringified feeds share one code path with
+    # no second parse.  Complex fields (string→array/map/struct casts
+    # don't exist — canal only stringifies scalars anyway) and binary
+    # (typed from_json base64-decodes; a string cast would keep the
+    # utf8 bytes of the base64 TEXT) stay on the typed parse, paid only
+    # when the schema declares such fields.
+    def _string_routed(dt) -> bool:
+        return not isinstance(dt, (ArrayType, MapType, StructType, BinaryType))
+
+    strs = F.from_json(
+        col,
+        StructType(
+            [
+                StructField(f.name, StringType(), True)
+                for f in schema.fields
+                if _string_routed(f.dataType)
+            ]
+        ),
     )
-    strs = F.from_json(col, str_schema)
+    typed = (
+        F.from_json(col, schema)
+        if any(not _string_routed(f.dataType) for f in schema.fields)
+        else None
+    )
 
     def field(f):
-        # string→complex casts don't exist (analysis error), and canal
-        # only stringifies SCALARS anyway — complex-typed fields keep
-        # the typed parse alone
-        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-            return typed.getField(f.name).alias(f.name)
-        return F.coalesce(
-            typed.getField(f.name), strs.getField(f.name).cast(f.dataType)
-        ).alias(f.name)
+        if _string_routed(f.dataType):
+            return strs.getField(f.name).cast(f.dataType).alias(f.name)
+        return typed.getField(f.name).alias(f.name)
 
     return F.when(col.isNull(), F.lit(None).cast(schema)).otherwise(
         F.struct(*[field(f) for f in schema.fields])
