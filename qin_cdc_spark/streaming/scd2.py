@@ -287,9 +287,15 @@ class ScdType2Table:
         * events at-or-below the key's stored high-water mark
           ``max(coalesce(valid_to, valid_from))`` are redeliveries and
           are dropped (replay idempotence),
-        * a delete with no stored rows and no prior batch event is a
-          no-op (there is no version to close — mirrors the LWW
-          target's tombstone-for-nothing case)."""
+        * a delete that closes NOTHING (no stored open interval and no
+          preceding live event in the batch, or preceded by another
+          delete) records a ZERO-WIDTH tombstone row ``[d, d)`` —
+          invisible to ``as_of``/``current``/``temporal_join`` by the
+          half-open interval predicate, but it pins the key's
+          high-water mark at ``d`` so (a) redelivered deletes are
+          dropped and (b) a LATE insert before ``d`` routed through
+          ``insert_versions`` closes at ``d`` instead of resurrecting
+          the deleted key as an open version."""
         if batch_id is not None and batch_id <= self.store.last_batch_id():
             return self.store.current_version()
         value_cols = [
@@ -330,14 +336,43 @@ class ScdType2Table:
                 old_k, live = None, ev
 
             w = Window.partitionBy(*self.keys).orderBy("_seq_ev")
-            seqd = live.withColumn("_vt", F.lead("_seq_ev").over(w))
+            seqd = live.withColumn("_vt", F.lead("_seq_ev").over(w)).withColumn(
+                "_prev_op", F.lag("_op").over(w)
+            )
             new_rows = seqd.filter(F.col("_op") != "delete").select(
                 *self.keys,
                 F.col("_seq_ev").alias("valid_from"),
                 F.col("_vt").cast("long").alias("valid_to"),
                 *value_cols,
             )
-            merge_rows = new_rows
+            # no-op deletes: a delete preceded in-batch by another
+            # delete closes nothing; a batch-FIRST delete closes
+            # nothing iff its key has no stored open interval.  Record
+            # each as a zero-width tombstone [d, d) (null values) so
+            # the delete coordinate survives for hwm and late-insert
+            # closure (see docstring).
+            typed = {f.name: f.dataType for f in ev.schema.fields}
+            noop = seqd.filter(
+                (F.col("_op") == "delete") & (F.col("_prev_op") == F.lit("delete"))
+            )
+            first_del = seqd.filter(
+                (F.col("_op") == "delete") & F.col("_prev_op").isNull()
+            )
+            if old_k is not None:
+                open_keys = (
+                    old_k.filter(F.col("valid_to").isNull())
+                    .select(*self.keys)
+                    .distinct()
+                )
+                first_del = first_del.join(open_keys, self.keys, "left_anti")
+            noop = noop.unionByName(first_del)
+            tombstones = noop.select(
+                *self.keys,
+                F.col("_seq_ev").alias("valid_from"),
+                F.col("_seq_ev").cast("long").alias("valid_to"),
+                *[F.lit(None).cast(typed[c]).alias(c) for c in value_cols],
+            )
+            merge_rows = new_rows.unionByName(tombstones)
             if old_k is not None:
                 s0 = seqd.groupBy(*self.keys).agg(F.min("_seq_ev").alias("_s0"))
                 closed = (
@@ -351,7 +386,7 @@ class ScdType2Table:
                         *value_cols,
                     )
                 )
-                merge_rows = new_rows.unionByName(closed)
+                merge_rows = merge_rows.unionByName(closed)
             # LWW seq: a row's latest fact is its close coordinate —
             # coalesce(valid_to, valid_from) is monotone per identity
             # (open first, closed later), so redelivered opens never
@@ -390,7 +425,10 @@ class ScdType2Table:
         ``[s, next-event-seq)`` with the late values.  Implemented as a
         per-key event-list recompute: stored rows reconstruct the
         original events (each row is an upsert at ``valid_from``; a
-        close with no successor row at that coordinate was a delete),
+        close with no successor row at that coordinate was a delete; a
+        zero-width row was a no-op-delete tombstone and reconstructs as
+        the delete alone — so late inserts before a delete that closed
+        NOTHING at stream time still close at the delete's coordinate),
         the late events union in, one delta-sized window re-derives the
         intervals, and ONLY rows whose interval changed (plus brand-new
         rows) merge back — stamped with an LWW seq strictly above every
@@ -452,7 +490,13 @@ class ScdType2Table:
                 late.select(*self.keys).distinct(), self.keys, "left_semi"
             )
             typed = {f.name: f.dataType for f in rows.schema.fields}
-            ups = rows.select(
+            # a zero-width row [d, d) is a no-op-delete tombstone
+            # (apply_batch): it reconstructs as a DELETE event at d,
+            # never as an upsert
+            zero = F.col("valid_to").isNotNull() & (
+                F.col("valid_to") == F.col("valid_from")
+            )
+            ups = rows.filter(~zero).select(
                 F.lit("upsert").alias("_op"),
                 F.col("valid_from").alias("_seq_ev"),
                 *self.keys,
@@ -461,7 +505,9 @@ class ScdType2Table:
             dels = (
                 rows.filter(F.col("valid_to").isNotNull())
                 .join(
-                    rows.select(*self.keys, F.col("valid_from").alias("valid_to")),
+                    rows.filter(~zero).select(
+                        *self.keys, F.col("valid_from").alias("valid_to")
+                    ),
                     [*self.keys, "valid_to"],
                     "left_anti",
                 )
@@ -472,16 +518,42 @@ class ScdType2Table:
                     *[F.lit(None).cast(typed[c]).alias(c) for c in value_cols],
                 )
             )
-            all_ev = ups.unionByName(dels).unionByName(late)
+            # a stored tombstone and a stored close can share a
+            # coordinate (both deletes at d) — one event per (key, seq)
+            all_ev = (
+                ups.unionByName(dels)
+                .unionByName(late)
+                .dropDuplicates([*self.keys, "_seq_ev"])
+            )
             w = Window.partitionBy(*self.keys).orderBy("_seq_ev")
+            rec = all_ev.withColumn("_vt", F.lead("_seq_ev").over(w)).withColumn(
+                "_prev_op", F.lag("_op").over(w)
+            )
             recomputed = (
-                all_ev.withColumn("_vt", F.lead("_seq_ev").over(w))
-                .filter(F.col("_op") != "delete")
+                rec.filter(F.col("_op") != "delete")
                 .select(
                     *self.keys,
                     F.col("_seq_ev").alias("valid_from"),
                     F.col("_vt").cast("long").alias("valid_to"),
                     *value_cols,
+                )
+                .unionByName(
+                    # re-derive no-op-delete tombstones the same way
+                    # apply_batch records them, so an unchanged stored
+                    # tombstone compares equal (not re-merged) and a
+                    # late no-op delete gains one
+                    rec.filter(
+                        (F.col("_op") == "delete")
+                        & (
+                            F.col("_prev_op").isNull()
+                            | (F.col("_prev_op") == F.lit("delete"))
+                        )
+                    ).select(
+                        *self.keys,
+                        F.col("_seq_ev").alias("valid_from"),
+                        F.col("_seq_ev").cast("long").alias("valid_to"),
+                        *[F.lit(None).cast(typed[c]).alias(c) for c in value_cols],
+                    )
                 )
             )
             prior = rows.select(

@@ -21,10 +21,16 @@ def _ev(spark, rows):
     return spark.createDataFrame(rows, "op string, seq long, k long, v string")
 
 
-def _hist_rows(scd):
+def _hist_rows(scd, include_tombstones=False):
+    """Visible history rows; zero-width [d, d) rows are no-op-delete
+    tombstones (invisible to every point-in-time read) and are
+    excluded unless asked for."""
     return {
         (r.k, r.valid_from): (r.valid_to, r.v)
         for r in scd.read_history().collect()
+        if include_tombstones
+        or r.valid_to is None
+        or r.valid_to != r.valid_from
     }
 
 
@@ -100,13 +106,35 @@ def test_replay_idempotent_both_guards(spark, tmp_path):
     assert _hist_rows(scd) == before
 
 
-def test_initial_delete_is_noop_and_late_event_dropped(spark, tmp_path):
+def test_initial_delete_records_tombstone_and_late_event_dropped(spark, tmp_path):
     scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
     scd.apply_batch(_ev(spark, [("delete", 5, 9, "x"), ("insert", 10, 1, "a")]))
     assert _hist_rows(scd) == {(1, 10): (None, "a")}
-    # event at-or-below k=1's high-water mark (10) is a redelivery: dropped
-    scd.apply_batch(_ev(spark, [("update", 10, 1, "ghost"), ("update", 9, 1, "g2")]))
-    assert _hist_rows(scd) == {(1, 10): (None, "a")}
+    # the no-op delete recorded a ZERO-WIDTH tombstone [5, 5): raw
+    # history carries it (null values), every point read ignores it
+    assert _hist_rows(scd, include_tombstones=True) == {
+        (1, 10): (None, "a"),
+        (9, 5): (5, None),
+    }
+    assert {r.k for r in scd.current().collect()} == {1}
+    assert scd.as_of(5).filter(F.col("k") == 9).count() == 0
+    # at-or-below a key's high-water mark is a redelivery: dropped —
+    # including at/below the tombstone's own coordinate for k=9
+    scd.apply_batch(
+        _ev(
+            spark,
+            [
+                ("update", 10, 1, "ghost"),
+                ("update", 9, 1, "g2"),
+                ("delete", 5, 9, "again"),
+                ("update", 4, 9, "below"),
+            ],
+        )
+    )
+    assert _hist_rows(scd, include_tombstones=True) == {
+        (1, 10): (None, "a"),
+        (9, 5): (5, None),
+    }
 
 
 def test_one_bucket_history_read(spark, tmp_path):
@@ -371,14 +399,16 @@ def test_insert_versions_mixed_batch_replay_order(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_insert_versions_random_withheld_suffixless(spark, tmp_path, seed):
-    """Randomized quarantine: withhold a random subset of a random event
-    stream, apply the rest in seq order, retro-insert the withheld set —
-    history equals the full clean run.  Withheld DELETES are only valid
-    when some later evidence keeps them reconstructible (a delete that
-    no-oped at stream time leaves no stored trace — the documented
-    limit, pinned by test_insert_versions_noop_delete_limit), so the
-    generator withholds upserts only."""
+def test_insert_versions_random_withheld_strict(spark, tmp_path, seed):
+    """Randomized quarantine: withhold a random subset — upserts AND
+    deletes — of a random event stream, apply the rest in seq order,
+    then replay the withheld set through the replay_dlq discipline
+    (apply_batch for above-hwm events, insert_versions for the rest).
+    Visible history equals the full clean run STRICTLY: the zero-width
+    tombstones that no-op deletes record at stream time give late
+    inserts their true closing coordinate, so no key needs excluding
+    (the pre-tombstone version of this test had to carve out keys that
+    hit the no-op-delete reconstruction limit)."""
     import random
 
     rng = random.Random(seed)
@@ -388,7 +418,7 @@ def test_insert_versions_random_withheld_suffixless(spark, tmp_path, seed):
         k = rng.randint(1, 6)
         op = rng.choice(["insert", "update", "update", "delete"])
         events.append((op, seq, k, None if op == "delete" else f"v{seq}"))
-    withheld = [e for e in events if e[0] != "delete" and rng.random() < 0.3]
+    withheld = [e for e in events if rng.random() < 0.3]
     kept = [e for e in events if e not in withheld]
     scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
     half = kept[len(kept) // 2][1]
@@ -398,53 +428,75 @@ def test_insert_versions_random_withheld_suffixless(spark, tmp_path, seed):
     # the normal path, the rest retro-insert
     scd.apply_batch(_ev(spark, withheld))
     scd.insert_versions(_ev(spark, withheld))
-    expect = _intervals_py(events)
-    # keys whose stream-time fold hit the no-op-delete limit: a withheld
-    # upsert immediately before a delete that no-oped at stream time
-    # reconstructs through it (documented); exclude such keys from the
-    # strict compare and assert the rest exactly.
-    got = _hist_rows(scd)
-    noop_del_keys = set()
-    seen_live = {}
-    for op, s, k, v in sorted(kept, key=lambda e: (e[1],)):
-        if op == "delete" and not seen_live.get(k):
-            if any(w[2] == k and w[1] < s for w in withheld):
-                noop_del_keys.add(k)
-        seen_live[k] = op != "delete"
-    assert {kk: vv for kk, vv in got.items() if kk[0] not in noop_del_keys} == {
-        kk: vv for kk, vv in expect.items() if kk[0] not in noop_del_keys
-    }
+    assert _hist_rows(scd) == _intervals_py(events)
+    # and the retro-insert is idempotent under full redelivery
+    scd.insert_versions(_ev(spark, withheld))
+    assert _hist_rows(scd) == _intervals_py(events)
 
 
-def test_insert_versions_noop_delete_limit(spark, tmp_path):
-    """Documented reconstruction limit: a delete that no-oped at stream
-    time (its key had no stored version to close) leaves no stored
-    evidence, so a late insert placed BEFORE it runs to the key's next
-    recorded boundary instead of closing at the vanished delete.  The
-    fix is operational, not structural: replay the delete itself in the
-    same batch and the interval closes correctly."""
+def test_insert_versions_closes_at_noop_delete_tombstone(spark, tmp_path):
+    """The former no-op-delete reconstruction limit is CLOSED: a delete
+    with nothing to close records a zero-width tombstone [d, d), so a
+    late insert placed BEFORE it closes at d instead of running through
+    to the key's next boundary (which would resurrect the deleted key
+    over the gap)."""
     scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
-    # k=9's insert@10 is quarantined; delete@20 no-ops; insert@30 opens
+    # k=9's insert@10 is quarantined; delete@20 tombstones; insert@30 opens
     scd.apply_batch(
         _ev(spark, [("delete", 20, 9, None), ("insert", 30, 9, "late_open")]),
         batch_id=0,
     )
     scd.insert_versions(_ev(spark, [("insert", 10, 9, "early")]))
-    # reconstructs [10, 30) — through the vanished delete (the limit)
-    assert _hist_rows(scd)[(9, 10)] == (30, "early")
-    # replaying the DELETE alongside the insert re-derives correctly
-    scd2b = ScdType2Table(spark, str(tmp_path / "h2"), keys=["k"], n_buckets=4)
-    scd2b.apply_batch(
-        _ev(spark, [("delete", 20, 9, None), ("insert", 30, 9, "late_open")]),
-        batch_id=0,
+    assert _hist_rows(scd) == {
+        (9, 10): (20, "early"),
+        (9, 30): (None, "late_open"),
+    }
+    # the tombstone survives the retro-insert (still the delete marker)
+    assert _hist_rows(scd, include_tombstones=True)[(9, 20)] == (20, None)
+    # idempotent: replaying the late insert merges nothing
+    v = scd.store.current_version()
+    assert scd.insert_versions(_ev(spark, [("insert", 10, 9, "early")])) == v
+    # point reads: alive at 15, gone over the delete gap, back at 30
+    assert [(r.k, r.v) for r in scd.as_of(15).collect()] == [(9, "early")]
+    assert scd.as_of(25).count() == 0
+    assert [(r.k, r.v) for r in scd.as_of(30).collect()] == [(9, "late_open")]
+
+
+def test_consecutive_noop_deletes_tombstone_chain(spark, tmp_path):
+    """delete,delete in one batch for a fresh key: BOTH record
+    tombstones (the second closes nothing either); a late insert
+    between them closes at the second delete's coordinate."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    scd.apply_batch(
+        _ev(spark, [("delete", 10, 9, None), ("delete", 20, 9, None)]), batch_id=0
     )
-    scd2b.insert_versions(
-        _ev(spark, [("insert", 10, 9, "early"), ("delete", 20, 9, None)])
+    assert _hist_rows(scd, include_tombstones=True) == {
+        (9, 10): (10, None),
+        (9, 20): (20, None),
+    }
+    scd.insert_versions(_ev(spark, [("insert", 15, 9, "mid")]))
+    assert _hist_rows(scd) == {(9, 15): (20, "mid")}
+
+
+def test_redelete_after_close_records_tombstone(spark, tmp_path):
+    """A later delete for a key whose versions are all CLOSED (deleted
+    in an earlier batch) also closes nothing — it records a tombstone
+    too, so a late insert between the two deletes closes at the second
+    instead of adopting the pre-existing close."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    scd.apply_batch(
+        _ev(spark, [("insert", 10, 1, "a"), ("delete", 20, 1, None)]), batch_id=0
     )
-    assert _hist_rows(scd2b) == _intervals_py(
-        [("insert", 10, 9, "early"), ("delete", 20, 9, None),
-         ("insert", 30, 9, "late_open")]
-    )
+    scd.apply_batch(_ev(spark, [("delete", 40, 1, None)]), batch_id=1)
+    assert _hist_rows(scd, include_tombstones=True) == {
+        (1, 10): (20, "a"),
+        (1, 40): (40, None),
+    }
+    scd.insert_versions(_ev(spark, [("insert", 30, 1, "b")]))
+    assert _hist_rows(scd) == {(1, 10): (20, "a"), (1, 30): (40, "b")}
+    # a second retro-insert run over the same events merges nothing
+    v = scd.store.current_version()
+    assert scd.insert_versions(_ev(spark, [("insert", 30, 1, "b")])) == v
 
 
 def test_dlq_replay_after_later_events_completes_history(spark, tmp_path):
@@ -480,18 +532,14 @@ def test_dlq_replay_after_later_events_completes_history(spark, tmp_path):
     )
     applied, still_bad = route.replay_dlq()
     assert (applied, still_bad) == (len(BATCH1), 0)
-    # history equals the in-order clean run of both batches for every
-    # key except k=2: its delete@31 no-oped at stream time (insert@11
-    # was quarantined, so there was nothing to close) and left no
-    # stored trace, so the replayed insert@11 reconstructs [11, 40)
-    # where the clean run has [11, 31) — the documented no-op-delete
-    # limit (test_insert_versions_noop_delete_limit).
-    expect = _intervals_py(BATCH1 + BATCH2)
+    # history equals the in-order clean run of both batches for EVERY
+    # key — including k=2, whose delete@31 no-oped at stream time
+    # (insert@11 was quarantined): the delete recorded a zero-width
+    # tombstone, so the replayed insert@11 closes at 31 exactly as the
+    # clean run does.
     got = _hist_rows(route.history)
-    assert {kk: vv for kk, vv in got.items() if kk[0] != 2} == {
-        kk: vv for kk, vv in expect.items() if kk[0] != 2
-    }
-    assert got[(2, 11)] == (40, "b")  # the documented reconstruction
+    assert got == _intervals_py(BATCH1 + BATCH2)
+    assert got[(2, 11)] == (31, "b")
     assert got[(2, 40)] == (None, "b2")
     # target is untouched by the replay of older rows (LWW keeps newer)
     live = {(r.k, r.v) for r in route.target.read().collect()}
