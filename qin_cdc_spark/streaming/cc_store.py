@@ -25,9 +25,11 @@ bound with three composed engine stores:
   case the GSI handles).
 
 Per batch: affected labels = labels of the batch's endpoints and
-removed nodes (bucket-pruned read + driver-side collect, bounded by
-the number of TOUCHED COMPONENTS, not their size); members and their
-edges load via the index and adjacency buckets; min-label propagation
+removed nodes (bucket-pruned read; the label set stays a DATAFRAME —
+the members probe is ``GlobalSecondaryIndex.lookup_df``, so the driver
+collects only distinct BUCKET ids, ≤ n_buckets at ANY touched-component
+count); members and their edges load via the index and adjacency
+buckets; min-label propagation
 re-solves ONLY that subgraph (iterations = its diameter, localCheckpoint
 per round); the three stores merge with the shared batch guard.  Nodes
 left edgeless (their last edge or neighbour removed) drop their label
@@ -57,7 +59,6 @@ class IncrementalClusterStore:
         path: str,
         *,
         n_buckets: int = 32,
-        probe_limit: int = 100_000,
     ):
         self.spark = spark
         self.adj = VersionedBucketedTable(
@@ -71,10 +72,6 @@ class IncrementalClusterStore:
             spark, f"{path}/members", index_col="label", pk_cols=["node"],
             n_buckets=n_buckets,
         )
-        # affected-label lists ship driver-side (bounded by touched
-        # COMPONENTS per batch); the cap is a loud failure, not a
-        # silent degradation
-        self.probe_limit = probe_limit
 
     def applied_batch(self) -> int:
         return self.labels.last_batch_id()
@@ -214,43 +211,20 @@ class IncrementalClusterStore:
         rm = rm.persist()
         try:
             touched0 = add_sym.select("node").unionByName(rm).distinct()
-            # labels of the touched nodes → affected component set
+            # labels of the touched nodes → affected component set; the
+            # label set stays a DataFrame and probes the members index
+            # with lookup_df: the driver collects distinct BUCKET ids
+            # only (≤ n_buckets at ANY touched-component count), the
+            # read opens ONLY the affected labels' buckets, and
+            # membership resolves as a left-semi join inside the scan —
+            # one path, bounded by the affected components' storage,
+            # with no driver-side label-list cap to overflow
             lab0 = self._rows_of_nodes(touched0, self.labels)
-            if lab0 is None:
-                mem = None
-            else:
-                rows = lab0.select("label").distinct().limit(
-                    self.probe_limit + 1
-                ).collect()
-                if len(rows) > self.probe_limit:
-                    # LOGGED SLOW PATH, not a failure: a batch touching
-                    # more components than the driver-side label list
-                    # allows keeps the SAME touched-component bound,
-                    # computed DISTRIBUTED — the GSI's lookup_df probes
-                    # with the affected-label DataFrame itself, so the
-                    # driver sees only distinct BUCKET ids (≤ n_buckets)
-                    # and the read opens ONLY the affected labels'
-                    # buckets, never the whole members index.
-                    # Correctness identical (the solve still sees
-                    # exactly the affected subgraph); cost is bounded by
-                    # the affected components' STORAGE, not the corpus.
-                    import logging
-
-                    logging.getLogger(__name__).warning(
-                        "cc_store: %d+ touched components exceed probe_limit "
-                        "(%d); degrading to bucket-scoped distributed probe",
-                        len(rows), self.probe_limit,
-                    )
-                    mem = self.members.lookup_df(lab0.select("label").distinct())
-                else:
-                    affected_labels = [r[0] for r in rows]
-                    # members of the affected components: bucket-pruned
-                    # GSI lookup
-                    mem = (
-                        self.members.lookup(affected_labels)
-                        if affected_labels
-                        else None
-                    )
+            mem = (
+                self.members.lookup_df(lab0.select("label").distinct())
+                if lab0 is not None
+                else None
+            )
             scope = touched0 if mem is None else touched0.unionByName(
                 mem.select("node")
             ).distinct()

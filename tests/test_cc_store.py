@@ -162,15 +162,14 @@ def test_scope_is_bounded_to_touched_components(spark, tmp_path):
     assert _labels(st) == _cc_py(E1 + [(30, 31)])
 
 
-def test_probe_limit_overflow_degrades_not_raises(spark, tmp_path):
-    """More touched components than probe_limit → the LOGGED slow path
-    (distributed members-index scoping), not a raise; the result still
-    converges to the union-find oracle.  Also covers the giant-component
-    shape: the second batch merges everything into one component whose
-    member set exceeds the probe budget's intent."""
-    st = IncrementalClusterStore(spark, str(tmp_path / "cc"), n_buckets=4,
-                                 probe_limit=2)
-    # 5 separate 2-node components > probe_limit=2 when all touched
+def test_many_touched_components_and_giant_merge(spark, tmp_path):
+    """A batch touching MANY components at once (the old probe_limit
+    overflow shape — the members probe is now always the distributed
+    lookup_df, no driver-side cap exists) converges to the union-find
+    oracle, as does the giant-component shape: the second batch merges
+    everything into one component."""
+    st = IncrementalClusterStore(spark, str(tmp_path / "cc"), n_buckets=4)
+    # 5 separate 2-node components, all touched by the second batch
     e1 = [(i, i + 100) for i in range(1, 6)]
     st.apply_batch(_pairs(spark, e1), batch_id=0)
     # chain them all together: touches all 5 components at once
@@ -248,20 +247,19 @@ def test_random_rounds_match_union_find(spark, tmp_path, seed):
         assert _labels(st) == _cc_py(edges, removed=removed), f"round {rnd}"
 
 
-def test_degrade_path_opens_only_affected_label_buckets(spark, tmp_path):
-    """The probe_limit degrade is BOUNDED by the affected components'
+def test_members_probe_opens_only_affected_label_buckets(spark, tmp_path):
+    """The members probe is BOUNDED by the affected components'
     storage, not the members index: the distributed scoping probe
-    (GSI.lookup_df) must open ONLY the buckets the affected labels hash
-    into — spied on read_buckets — while components the batch never
-    touches stay unread.  Result still equals the union-find oracle."""
-    st = IncrementalClusterStore(
-        spark, str(tmp_path / "cc"), n_buckets=8, probe_limit=2
-    )
+    (GSI.lookup_df — the ONLY path since the probe_limit fold) must
+    open ONLY the buckets the affected labels hash into — spied on
+    read_buckets — while components the batch never touches stay
+    unread.  Result still equals the union-find oracle."""
+    st = IncrementalClusterStore(spark, str(tmp_path / "cc"), n_buckets=8)
     # 12 two-node components spread across the members index's buckets
     e1 = [(i, i + 1000) for i in range(1, 13)]
     st.apply_batch(_pairs(spark, e1), batch_id=0)
 
-    # batch 1 touches components 1, 2, 3 only — 3 > probe_limit=2
+    # batch 1 touches components 1, 2, 3 only
     affected = [1, 2, 3]
     exp_df = spark.createDataFrame([(v,) for v in affected], "label long")
     expected = {
@@ -287,7 +285,7 @@ def test_degrade_path_opens_only_affected_label_buckets(spark, tmp_path):
         st.apply_batch(_pairs(spark, [(1, 2), (2, 3)]), batch_id=1)
     finally:
         del st.members.store.read_buckets  # restore the bound method
-    # the FIRST members read is the degrade's scoping probe: exactly the
+    # the FIRST members read is the scoping probe: exactly the
     # affected labels' buckets, nothing else
     assert calls, "degrade path never probed the members index"
     assert calls[0] == expected
