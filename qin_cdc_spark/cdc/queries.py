@@ -679,12 +679,22 @@ def cdc_consistent_egress_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def emit():
-        emit_store_egress(
-            o_tbl, dirs["src.orders"], database="src", table_name="orders"
-        )
-        emit_store_egress(
-            l_tbl, dirs["src.lineitem"], database="src", table_name="lineitem"
-        )
+        # the two routes' publications are independent Spark jobs over
+        # disjoint stores/dirs — emit them concurrently from driver
+        # threads (the partitioned-merge precedent, partitioned.py:220)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fo = ex.submit(
+                emit_store_egress,
+                o_tbl, dirs["src.orders"], database="src", table_name="orders",
+            )
+            fl = ex.submit(
+                emit_store_egress,
+                l_tbl, dirs["src.lineitem"], database="src", table_name="lineitem",
+            )
+            fo.result()
+            fl.result()
 
     o_tbl.merge(o_dec.filter(F.col("seq") <= so), batch_id=0)
     l_tbl.merge(l_dec.filter(F.col("seq") <= sl), batch_id=0)
