@@ -118,6 +118,10 @@ HEADLINE = [
     # store → wire → store round trip (emit + JSON re-envelope + second
     # LWW apply) — the full relay chain as one measured path
     "cdc_relay_chain",
+    # round 7 session 2: out-of-order SCD2 replay (upper half first,
+    # then apply_batch + insert_versions over the late lower half) —
+    # measures the retroactive-recompute path end to end
+    "cdc_scd2_late_replay",
 ]
 
 

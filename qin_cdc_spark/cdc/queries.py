@@ -1508,6 +1508,57 @@ QUERIES["cdc_scd2_history"] = cdc_scd2_history
 ORACLES["cdc_scd2_history"] = CDC_SCD2_HISTORY_ORACLE
 
 
+def cdc_scd2_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history convergence under ARBITRARY arrival order — the
+    DLQ-replay story proven at stream scale: the UPPER half of the
+    orders change stream applies first (so every split key's early
+    events are genuinely LATE when they arrive), then the lower half
+    replays through the replay_dlq discipline — ``apply_batch`` folds
+    whatever is still above each key's high-water mark,
+    ``insert_versions`` retro-inserts the rest at their true stream
+    coordinates.  Keys whose delete landed in the upper half while
+    their insert waited in the lower half exercise the zero-width
+    no-op-delete tombstone: the tombstone pins the delete coordinate so
+    the late insert closes AT the delete instead of resurrecting the
+    key (streaming/scd2.py).  The visible history (tombstones are
+    markers, not versions) must hash-equal the IN-ORDER one-shot
+    derivation — the oracle is byte-identical to cdc_scd2_history's,
+    so a green row proves arrival order is immaterial to the history.
+    The reference replays its binlog strictly in order and loses
+    quarantined rows' positions (no retro path); this closes that gap
+    engine-side."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    decoded = decoded.persist()
+    scd = ScdType2Table(
+        spark, tempfile.mkdtemp(prefix="scd2_late_gate_") + "/h",
+        keys=["o_orderkey"], n_buckets=8,
+    )
+    scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=0)
+    late = decoded.filter(F.col("seq") <= s)
+    scd.apply_batch(late)  # keys/events still above their stored hwm
+    scd.insert_versions(late)  # the genuinely late rest, in place
+    decoded.unpersist()
+    h = scd.read_history()
+    return h.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    ).select(
+        "o_orderkey", "valid_from", "valid_to", "is_current",
+        "o_custkey", "o_orderstatus", "o_totalprice",
+    )
+
+
+# deliberately the SAME oracle text: out-of-order arrival + retro-insert
+# must reproduce the in-order derivation exactly
+CDC_SCD2_LATE_REPLAY_ORACLE = CDC_SCD2_HISTORY_ORACLE
+
+QUERIES["cdc_scd2_late_replay"] = cdc_scd2_late_replay
+ORACLES["cdc_scd2_late_replay"] = CDC_SCD2_LATE_REPLAY_ORACLE
+
+
 def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (point-in-time) join — the Flink temporal-table-join /
     feature-store point-in-time-correctness pattern: each lineitem fact
