@@ -407,3 +407,90 @@ def test_relay_chain_canal_format(spark, tmp_path):
     want = {(r.k, r.v) for r in route.bind_target().read().collect()}
     assert {(r.k, r.v) for r in consumer.target.read().collect()} == want
     assert want == {(1, "a2"), (3, "c")}
+
+
+def test_scd2_history_replicates_over_the_wire(spark, tmp_path):
+    """The dimension HISTORY is itself a versioned store (identity
+    (key, valid_from), bucketed by the business key), so wire egress
+    generalizes to it: emit the SCD2 store's CDF per batch, rebuild the
+    history DOWNSTREAM from the messages alone, and the rebuilt rows
+    equal read_history() — including (a) closes that rewrite a stored
+    row (update messages with the shortened interval) and (b) a
+    RETROACTIVE insert_versions rewrite, which crosses the wire as the
+    late version's insert plus the split row's update.  A consumer
+    holding only the feed can then serve point-in-time joins without
+    ever reading the store."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from qin_cdc_spark.streaming.cdc_stream import (
+        emit_store_egress,
+        read_store_egress,
+        replay_egress_state,
+    )
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table, temporal_join
+
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    eg = str(tmp_path / "eg")
+
+    def emit():
+        emit_store_egress(
+            scd.store, eg, database="src", table_name="dim_history"
+        )
+
+    scd.apply_batch(_ev(spark, B1), batch_id=0)      # opens (1,1) (2,2)
+    emit()
+    scd.apply_batch(_ev(spark, B2), batch_id=1)      # closes both, opens (1,3) (3,5)
+    emit()
+    # a genuinely LATE event (below k=1's hwm of 3): update@2 splits
+    # the CLOSED [1, 3) into [1, 2) + [2, 3) — the rewrite of the
+    # stored row and the new mid version both cross the wire
+    scd.insert_versions(_ev(spark, [("update", 2, 1, "a_mid")]))
+    emit()
+
+    msgs = read_store_egress(spark, eg)
+    hist = replay_egress_state(
+        msgs,
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("valid_from", LongType()),
+                StructField("valid_to", LongType()),
+                StructField("v", StringType()),
+            ]
+        ),
+        ["k", "valid_from"],
+    )
+    got = {
+        (r.k, r.valid_from): (r.valid_to, r.v)
+        for r in hist.collect()
+        if r.valid_to is None or r.valid_to != r.valid_from
+    }
+    # in-order fold of B1 + B2 + the late update
+    assert got == {
+        (1, 1): (2, "a"),
+        (1, 2): (3, "a_mid"),
+        (1, 3): (None, "a2"),
+        (2, 2): (4, "b"),
+        (3, 5): (None, "c"),
+    }
+    # and the store agrees with its own wire feed
+    store_side = {
+        (r.k, r.valid_from): (r.valid_to, r.v)
+        for r in scd.read_history().collect()
+        if r.valid_to is None or r.valid_to != r.valid_from
+    }
+    assert got == store_side
+    # downstream PIT enrichment over the REBUILT history
+    facts = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 9), (3, 4)], "k long, asof long"
+    )
+    out = {
+        (r.k, r.asof): r.v
+        for r in temporal_join(facts, hist, ["k"], "asof").collect()
+    }
+    assert out == {(1, 2): "a_mid", (1, 3): "a2", (2, 9): None, (3, 4): None}
