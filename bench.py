@@ -120,8 +120,10 @@ HEADLINE = [
     "cdc_relay_chain",
     # round 7 session 2: out-of-order SCD2 replay (upper half first,
     # then apply_batch + insert_versions over the late lower half) —
-    # measures the retroactive-recompute path end to end
+    # measures the retroactive-recompute path end to end; and history
+    # retention (two merges + expiry delete-merge + tombstone GC)
     "cdc_scd2_late_replay",
+    "cdc_scd2_retention",
 ]
 
 

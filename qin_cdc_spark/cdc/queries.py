@@ -1559,6 +1559,60 @@ QUERIES["cdc_scd2_late_replay"] = cdc_scd2_late_replay
 ORACLES["cdc_scd2_late_replay"] = CDC_SCD2_LATE_REPLAY_ORACLE
 
 
+def cdc_scd2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History retention for the SCD2 store itself — the missing piece
+    of the 100 TB dimension-history story (the history otherwise grows
+    without bound): after two incremental apply batches,
+    ``expire_history(before = half-stream watermark)`` physically drops
+    every version that closed at-or-before the floor (LWW delete merge
+    at floor+1 + tombstone GC, the engine's standard two-step), keeps
+    intervals crossing the floor, and records the floor as a manifest
+    prop that gates every sub-floor read (as_of/temporal_join raise),
+    sub-floor redelivery (apply_batch drops), and sub-floor late insert
+    (insert_versions refuses — the closing evidence is gone).  The
+    oracle derives the full in-order history and keeps exactly the rows
+    with ``valid_to IS NULL OR valid_to > floor`` — the hash check
+    proves expiry dropped precisely the closed-before-floor versions
+    and nothing else, values and open flags intact."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    scd = ScdType2Table(
+        spark, tempfile.mkdtemp(prefix="scd2_ret_gate_") + "/h",
+        keys=["o_orderkey"], n_buckets=8,
+    )
+    scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
+    scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=1)
+    scd.expire_history(before=s)
+    h = scd.read_history()
+    return h.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    ).select(
+        "o_orderkey", "valid_from", "valid_to", "is_current",
+        "o_custkey", "o_orderstatus", "o_totalprice",
+    )
+
+
+CDC_SCD2_RETENTION_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+fl AS (SELECT max(seq) // 2 AS floor_seq FROM ev),
+h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+  FROM ev
+)
+SELECT o_orderkey, seq AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current,
+       o_custkey, o_orderstatus, o_totalprice
+FROM h, fl
+WHERE op <> 'delete' AND (valid_to IS NULL OR valid_to > floor_seq)
+"""
+
+QUERIES["cdc_scd2_retention"] = cdc_scd2_retention
+ORACLES["cdc_scd2_retention"] = CDC_SCD2_RETENTION_ORACLE
+
+
 def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (point-in-time) join — the Flink temporal-table-join /
     feature-store point-in-time-correctness pattern: each lineitem fact

@@ -24,20 +24,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # query has ≥1 green driver row" stays intact by construction); evictions
 # are noted inline at the slot they vacated.
 #
-# Round-7 layout: four spare-slot rotations — the round-7 gate queries
+# Round-7 layout: five spare-slot rotations — the round-7 gate queries
 # cdc_consistent_egress_replay (coordinator-stamped cross-table wire
 # replay), cdc_partitioned_drop_egress (retention drop as wire delete
 # messages), cdc_relay_chain (store → wire → store round trip), and
 # cdc_scd2_late_replay (out-of-order arrival + retro-insert == in-order
-# history; session 2) replace cdc_bootstrap_overlap (driver-green
+# history; session 2), and cdc_scd2_retention (history expiry below a
+# durable floor; session 2) replace cdc_bootstrap_overlap (driver-green
 # r2-r4, r6), cdc_snapshot_history (driver-green r4, r6),
-# cdc_derived_quantile (driver-green r4-r6), and cdc_derived_extrema
-# (driver-green r5-r6).  Everything else unchanged from round 6 (which
-# closed the ledger: every registry name has a green driver row across
-# r1-r6; judge-verified in VERDICT round 6).
+# cdc_derived_quantile (driver-green r4-r6), cdc_derived_extrema
+# (driver-green r5-r6), and cdc_derived_distinct (driver-green r5-r6).
+# Everything else unchanged from round 6 (which closed the ledger:
+# every registry name has a green driver row across r1-r6;
+# judge-verified in VERDICT round 6).
 #
 # Never-driver-checked ledger for the NEXT rotation (round 8): none —
-# every pre-round-7 query has a prior driver row, and all four round-7
+# every pre-round-7 query has a prior driver row, and all five round-7
 # additions are in this prefix.
 _HEAD = [
     # -- family representatives (1-8) --
@@ -76,7 +78,9 @@ _HEAD = [
     # retro-insert == in-order history (spare slot — replaces
     # cdc_derived_extrema, driver-green r5-r6)
     "cdc_derived_join_mv",
-    "cdc_derived_distinct",
+    "cdc_scd2_retention",  # round 7 session 2: history expiry below a
+    # durable floor == the in-order derivation filtered at the floor
+    # (spare slot — replaces cdc_derived_distinct, driver-green r5-r6)
     "cdc_relay_chain",  # round 7 (spare slot — replaces
     # cdc_derived_quantile, driver-green r4-r6)
     "cdc_rtbf_purge",

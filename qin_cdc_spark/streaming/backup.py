@@ -85,6 +85,10 @@ def clone_versioned(
             "current": v,
             "last_batch_id": meta["last_batch_id"] if preserve_batch_id else -1,
             "versions": {str(v): man},
+            # store-level props (e.g. an SCD2 history retention floor)
+            # are semantics, not bookkeeping — a clone without them
+            # would silently serve below-floor reads as if complete
+            "props": meta.get("props", {}),
         },
     )
     return VersionedBucketedTable(

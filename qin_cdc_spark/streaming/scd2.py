@@ -146,12 +146,29 @@ class ScdType2Table:
             return None
         return st.filter(F.col("valid_to").isNull()).drop("valid_to")
 
+    def history_floor(self) -> int:
+        """Retention floor set by ``expire_history`` (0 = full
+        history).  Persisted as a store prop, so it rides the same
+        manifest flip as the data and survives clone/backup."""
+        return int(self.store.get_prop("history_floor", 0))
+
+    def _check_floor(self, seq, what: str) -> None:
+        fl = self.history_floor()
+        if fl and seq is not None and seq < fl:
+            raise ValueError(
+                f"{what}({seq}) below the history retention floor {fl}: "
+                "versions closing before the floor were expired "
+                "(the read_at-on-gc-expired discipline — partial answers "
+                "are worse than a loud one)"
+            )
+
     def as_of(self, seq: int) -> DataFrame | None:
         """Point-in-time snapshot: the version of each key that was
         current at stream coordinate ``seq`` — pure interval filter
         over the history, no time-travel manifest needed (and unlike
         ``VersionedBucketedTable.read_at`` it resolves ARBITRARY seqs,
         not just batch boundaries)."""
+        self._check_floor(seq, "as_of")
         st = self.store.read()
         if st is None:
             return None
@@ -182,6 +199,7 @@ class ScdType2Table:
         EVERY key); even a very hot key (thousands of versions) costs
         exactly its bucket's rows: versions co-locate by construction
         (``bucket_cols=keys``)."""
+        self._check_floor(seq, "read_key_asof")
         h = self.history_of(key_values)
         if h is None:
             return None
@@ -228,6 +246,12 @@ class ScdType2Table:
         full history read.  The join itself is the module-level
         ``temporal_join`` — equi-join on the keys with the interval
         predicate residual, never a range join."""
+        if self.history_floor():
+            # one bounded agg over the FACTS (only when a floor exists):
+            # a fact below the floor would silently enrich with nulls
+            # where the true version was expired
+            lo = facts.agg(F.min(asof_col)).first()[0]
+            self._check_floor(lo, "temporal_join(min asof)")
         hist = self.store.read_buckets(self._buckets_of_facts(facts))
         if hist is None:
             # A None read collapses two cases: (a) the store was never
@@ -306,7 +330,16 @@ class ScdType2Table:
             F.col(seq_col).cast("long").alias("_seq_ev"),
             *self.keys,
             *value_cols,
-        ).persist()
+        )
+        fl = self.history_floor()
+        if fl:
+            # events strictly below the floor are ancient redeliveries
+            # by the expire_history contract (the floor sits at-or-below
+            # the source's redelivery low-water mark); dropping them
+            # here replaces the per-key hwm the expired rows no longer
+            # provide
+            ev = ev.filter(F.col("_seq_ev") >= F.lit(fl))
+        ev = ev.persist()
         try:
             # stored rows of the batch's keys: manifest-level pruning to
             # the buckets the batch's keys hash into (the batch already
@@ -450,6 +483,13 @@ class ScdType2Table:
             *self.keys,
             *value_cols,
         )
+        fl = self.history_floor()
+        if fl and ev.filter(F.col("_seq_ev") < F.lit(fl)).limit(1).count():
+            raise ValueError(
+                f"insert_versions: events below the history retention "
+                f"floor {fl} are not placeable — the intervals that "
+                "would close them were expired"
+            )
         touched = self._buckets_of_facts(ev)
         raw = self.store.read_buckets(touched, internal=True) if touched else None
         if raw is None:
@@ -590,3 +630,69 @@ class ScdType2Table:
             stored.unpersist()
             if late is not None:
                 late.unpersist()
+
+    def expire_history(self, before: int) -> int:
+        """Retention for the history ITSELF: physically drop every
+        version that closed at-or-before ``before`` (``valid_to <=
+        before``), keep the interval containing ``before`` and
+        everything after, and record ``before`` as the store's durable
+        retention floor (a manifest prop, so it survives clone/backup).
+        A dimension history grows without bound otherwise; after
+        expiry, ``as_of(t >= before)`` is bit-identical to the
+        unexpired store, and every read below the floor raises — the
+        ``read_at``-on-gc-expired discipline (partial answers are worse
+        than loud ones).
+
+        Contract: ``before`` must sit at-or-below the source's
+        redelivery low-water mark (the ``gc_tombstones`` contract):
+        expiring lowers per-key high-water marks, so afterwards the
+        FLOOR — enforced by ``apply_batch`` (drops sub-floor
+        redeliveries) and ``insert_versions`` (refuses sub-floor late
+        events: their closing evidence is gone) — carries the guarantee
+        the expired rows no longer can.
+
+        Mechanics: the floor prop flips FIRST (a crash after the flip
+        leaves sub-floor reads raising — conservative — and the doomed
+        rows droppable by a rerun); doomed rows then delete through the
+        normal LWW merge at seq ``before + 1`` (strictly above every
+        doomed row's own LWW seq, which is its ``valid_to <= before``;
+        no live identity can collide below the floor), and
+        ``store.gc_tombstones`` reclaims the tombstones physically —
+        the same two-step every other retention path in the engine
+        uses.  Zero-width no-op-delete tombstone rows below the floor
+        expire too.  Idempotent: a rerun finds the floor set and
+        nothing doomed.  Cost: O(doomed rows + their buckets) — the
+        one-time price of what is dropped, never a history rescan
+        beyond the filter.  Returns the store's version."""
+        fl = self.history_floor()
+        if before < fl:
+            return self.store.current_version()
+        if before > fl:
+            self.store.set_prop("history_floor", int(before))
+        st = self.store.read()
+        if st is None:
+            return self.store.current_version()
+        doomed = st.filter(
+            F.col("valid_to").isNotNull() & (F.col("valid_to") <= F.lit(before))
+        )
+        value_cols = [
+            c
+            for c in st.columns
+            if c not in {*self.keys, "valid_from", "valid_to"}
+        ]
+        typed = {f.name: f.dataType for f in st.schema.fields}
+        events = doomed.select(
+            F.lit("delete").alias("op"),
+            F.lit(int(before) + 1).cast("long").alias("seq"),
+            *self.keys,
+            "valid_from",
+            *[F.lit(None).cast(typed[c]).alias(c) for c in value_cols],
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+        if not events.limit(1).count():
+            return self.store.current_version()
+        self.store.merge(events)
+        # the SCD2 store's only delete tombstones are expiry ones (the
+        # history never deletes identities otherwise), so reclaiming
+        # below before + 2 is exact
+        return self.store.gc_tombstones(int(before) + 2)

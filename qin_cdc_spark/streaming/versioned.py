@@ -124,6 +124,18 @@ class VersionedBucketedTable:
     def exists(self) -> bool:
         return bool(self._meta()["versions"])
 
+    def get_prop(self, name: str, default=None):
+        """Store-level property from the manifest (crash-atomic with
+        it).  Layered stores persist their own durable scalars here —
+        e.g. the SCD2 history retention floor — so the value rides the
+        SAME manifest flip as the data and survives every merge."""
+        return self._meta().get("props", {}).get(name, default)
+
+    def set_prop(self, name: str, value) -> None:
+        meta = self._meta()
+        meta.setdefault("props", {})[name] = value
+        self._publish(meta)
+
     def current_version(self) -> int:
         return self._meta()["current"]
 

@@ -547,3 +547,100 @@ def test_dlq_replay_after_later_events_completes_history(spark, tmp_path):
     # replay idempotence still holds end-to-end
     route.replay_dlq()
     assert _hist_rows(route.history) == got
+
+
+def test_expire_history_retention_floor(spark, tmp_path):
+    """expire_history drops versions closing at-or-before the floor,
+    keeps reads at-or-above it bit-identical, raises below it, and the
+    floor (a manifest prop) gates redeliveries and late inserts whose
+    evidence was expired."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    scd.apply_batch(_ev(spark, BATCH1), batch_id=0)
+    scd.apply_batch(_ev(spark, BATCH2), batch_id=1)
+    # key 9 exists and is fully closed before the floor
+    scd.apply_batch(
+        _ev(spark, [("insert", 5, 9, "z"), ("delete", 15, 9, None)])
+    )
+    pre20 = {(r.k, r.v) for r in scd.as_of(20).collect()}
+    pre31 = {(r.k, r.v) for r in scd.as_of(31).collect()}
+
+    v = scd.expire_history(before=20)
+    assert scd.history_floor() == 20
+    expect = {
+        kk: vv
+        for kk, vv in _intervals_py(
+            BATCH1 + BATCH2 + [("insert", 5, 9, "z"), ("delete", 15, 9, None)]
+        ).items()
+        if vv[0] is None or vv[0] > 20
+    }
+    assert _hist_rows(scd, include_tombstones=True) == expect
+    # reads at-or-above the floor are bit-identical to pre-expiry
+    assert {(r.k, r.v) for r in scd.as_of(20).collect()} == pre20
+    assert {(r.k, r.v) for r in scd.as_of(31).collect()} == pre31
+    # reads below the floor raise loudly
+    with pytest.raises(ValueError, match="retention floor"):
+        scd.as_of(19)
+    with pytest.raises(ValueError, match="retention floor"):
+        scd.read_key_asof([1], 10)
+    facts_low = spark.createDataFrame([(1, 19)], "k long, asof long")
+    with pytest.raises(ValueError, match="retention floor"):
+        scd.temporal_join(facts_low, "asof")
+    facts_ok = spark.createDataFrame([(1, 25)], "k long, asof long")
+    assert scd.temporal_join(facts_ok, "asof").count() == 1
+    # idempotent
+    assert scd.expire_history(before=20) == v
+    assert _hist_rows(scd, include_tombstones=True) == expect
+    # physical reclamation: no delete tombstones remain in the store
+    raw = scd.store.read_internal()
+    assert raw.filter(F.col("_deleted")).count() == 0
+
+
+def test_expire_history_floor_gates_redelivery_and_late_inserts(
+    spark, tmp_path
+):
+    """A fully-expired key loses its high-water mark; the FLOOR takes
+    over: apply_batch drops sub-floor redeliveries (no resurrection),
+    insert_versions refuses sub-floor late events, and at-or-above the
+    floor both paths still work."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    scd.apply_batch(_ev(spark, BATCH1 + BATCH2), batch_id=0)
+    scd.apply_batch(_ev(spark, [("insert", 5, 9, "z"), ("delete", 15, 9, None)]))
+    scd.expire_history(before=20)
+    before = _hist_rows(scd, include_tombstones=True)
+    # ancient redelivery of the expired key's events: dropped by the
+    # floor (the expired rows can no longer supply the hwm)
+    scd.apply_batch(_ev(spark, [("insert", 5, 9, "ghost"), ("update", 8, 9, "g2")]))
+    assert _hist_rows(scd, include_tombstones=True) == before
+    # sub-floor late events are not placeable: their closing evidence
+    # was expired
+    with pytest.raises(ValueError, match="retention floor"):
+        scd.insert_versions(_ev(spark, [("insert", 12, 9, "late")]))
+    # at-or-above the floor, retro-insert still works: update@25 splits
+    # k=1's kept [20, 30) into [20, 25) + [25, 30)
+    scd.insert_versions(_ev(spark, [("update", 25, 1, "a25")]))
+    got = _hist_rows(scd)
+    assert got[(1, 20)] == (25, "a2") and got[(1, 25)] == (30, "a25")
+    # and new above-hwm traffic flows normally
+    scd.apply_batch(_ev(spark, [("insert", 50, 9, "reborn")]))
+    assert _hist_rows(scd)[(9, 50)] == (None, "reborn")
+
+
+def test_expire_history_floor_survives_clone(spark, tmp_path):
+    """The retention floor is a manifest prop, so a snapshot clone
+    carries it — a restored history refuses sub-floor reads instead of
+    silently serving partial answers."""
+    from qin_cdc_spark.streaming.backup import clone_versioned
+
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    scd.apply_batch(_ev(spark, BATCH1 + BATCH2), batch_id=0)
+    scd.expire_history(before=20)
+    clone_versioned(scd.store, str(tmp_path / "h2"))
+    restored = ScdType2Table(
+        spark, str(tmp_path / "h2"), keys=["k"], n_buckets=4
+    )
+    assert restored.history_floor() == 20
+    with pytest.raises(ValueError, match="retention floor"):
+        restored.as_of(10)
+    assert {(r.k, r.v) for r in restored.as_of(31).collect()} == {
+        (r.k, r.v) for r in scd.as_of(31).collect()
+    }
