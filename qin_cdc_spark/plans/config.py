@@ -57,6 +57,10 @@ class Router:
     # below max(applied seq) - N (the reference's position-lag GC
     # window in seq units; see CdcStreamRoute).
     tombstone_gc_lag: int | None = None
+    # history-expire-lag = N: after every batch, expire SCD2 history
+    # versions that closed below max(applied seq) - N (in-stream
+    # retention for the history store; requires history = true).
+    history_expire_lag: int | None = None
 
     @property
     def key(self) -> str:
@@ -151,6 +155,11 @@ def parse_config(text: str) -> PipelineConfig:
                 tombstone_gc_lag=(
                     int(r["tombstone-gc-lag"])
                     if "tombstone-gc-lag" in r
+                    else None
+                ),
+                history_expire_lag=(
+                    int(r["history-expire-lag"])
+                    if "history-expire-lag" in r
                     else None
                 ),
             )

@@ -133,6 +133,7 @@ class Pipeline:
                     egress_database=router.target_schema,
                     egress_table=router.target_table,
                     tombstone_gc_lag=router.tombstone_gc_lag,
+                    history_expire_lag=router.history_expire_lag,
                 )
             )
 

@@ -635,6 +635,7 @@ class CdcStreamRoute:
         egress_database: str | None = None,
         egress_table: str | None = None,
         tombstone_gc_lag: int | None = None,
+        history_expire_lag: int | None = None,
     ):
         self.spark = spark
         self.db = db
@@ -711,6 +712,16 @@ class CdcStreamRoute:
         # footer stats, so batches without droppable tombstones pay
         # one tiny agg job and nothing else.
         self.tombstone_gc_lag = tombstone_gc_lag
+        # history_expire_lag = N: after every batch, expire SCD2 history
+        # versions that closed below max(applied seq) - N
+        # (ScdType2Table.expire_history) — in-stream retention for the
+        # history store itself, same lag contract as tombstone_gc_lag
+        # (N must cover the source's redelivery horizon in seq units,
+        # because the retention floor replaces the per-key hwm the
+        # expired rows supplied).
+        if history_expire_lag is not None and history_path is None:
+            raise ValueError("history_expire_lag requires history_path")
+        self.history_expire_lag = history_expire_lag
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -777,10 +788,24 @@ class CdcStreamRoute:
             self.target.merge(reduced, batch_id=batch_id)
         else:
             self.target.merge(reduced)
-        if self.tombstone_gc_lag is not None and hasattr(self.target, "gc_tombstones"):
-            hw = reduced.agg(F.max(F.col("seq").cast("long"))).first()[0]
-            if hw is not None:
-                self.target.gc_tombstones(int(hw) - self.tombstone_gc_lag)
+        needs_hw = self.tombstone_gc_lag is not None or (
+            self.history_expire_lag is not None
+        )
+        hw = (
+            reduced.agg(F.max(F.col("seq").cast("long"))).first()[0]
+            if needs_hw
+            else None
+        )
+        if (
+            self.tombstone_gc_lag is not None
+            and hw is not None
+            and hasattr(self.target, "gc_tombstones")
+        ):
+            self.target.gc_tombstones(int(hw) - self.tombstone_gc_lag)
+        if self.history_expire_lag is not None and hw is not None:
+            self.bind_history().expire_history(
+                int(hw) - self.history_expire_lag
+            )
         if self.egress_format is not None:
             self.emit_egress()
 

@@ -398,3 +398,33 @@ source-table = "customer"
     # retain-batches=2 kept both coordinates here (only 2 batches ran);
     # the retention path itself is exercised: expire+gc ran in-stream
     assert coord.versions_at(1)["src.orders"] == 2
+
+
+def test_router_history_expire_lag_parses():
+    """history-expire-lag rides the router TOML schema like
+    tombstone-gc-lag: parsed to Router.history_expire_lag and handed to
+    the route (behavior proven in
+    test_scd2.py::test_stream_route_in_stream_history_expiry)."""
+    from qin_cdc_spark.plans.config import parse_config
+
+    cfg = """
+name = "s"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+history = true
+history-expire-lag = 40
+tombstone-gc-lag = 10
+"""
+    pc = parse_config(cfg)
+    r = pc.routers[0]
+    assert r.history is True
+    assert r.history_expire_lag == 40
+    assert r.tombstone_gc_lag == 10

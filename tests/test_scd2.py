@@ -644,3 +644,44 @@ def test_expire_history_floor_survives_clone(spark, tmp_path):
     assert {(r.k, r.v) for r in restored.as_of(31).collect()} == {
         (r.k, r.v) for r in scd.as_of(31).collect()
     }
+
+
+def test_stream_route_in_stream_history_expiry(spark, tmp_path):
+    """CdcStreamRoute(history_expire_lag=N): after every batch the
+    route expires history versions that closed below max(applied seq)
+    - N — in-stream, TOML-declarable retention for the history store
+    (the tombstone-gc-lag discipline applied to the SCD2 state)."""
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import CdcStreamRoute
+
+    changes = _ev(spark, BATCH1 + BATCH2)
+    env = envelope_from_typed(changes, db="src", table="dim")
+    schema = changes.drop("op", "seq").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="dim", schema=schema, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4, versioned=True,
+        history_path=str(tmp_path / "hist"), history_expire_lag=15,
+    )
+    route.apply_batch(env.filter(F.col("seq") <= 20), batch_id=0)
+    assert route.history.history_floor() == 5  # hw 20 - lag 15
+    route.apply_batch(env.filter(F.col("seq") > 20), batch_id=1)
+    assert route.history.history_floor() == 25  # hw 40 - lag 15
+    expect = {
+        kk: vv
+        for kk, vv in _intervals_py(BATCH1 + BATCH2).items()
+        if vv[0] is None or vv[0] > 25
+    }
+    assert _hist_rows(route.history, include_tombstones=True) == expect
+    with pytest.raises(ValueError, match="retention floor"):
+        route.history.as_of(20)
+    # above the floor the snapshot is intact
+    assert {(r.k, r.v) for r in route.history.as_of(35).collect()} == {
+        (1, "a3"), (3, "c2")
+    }
+    # the option requires a history table to expire
+    with pytest.raises(ValueError, match="history_path"):
+        CdcStreamRoute(
+            spark, db="src", table="dim", schema=schema, keys=["k"],
+            target_path=str(tmp_path / "t2"), versioned=True,
+            history_expire_lag=15,
+        )
