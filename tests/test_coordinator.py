@@ -464,3 +464,100 @@ def test_boundary_preserving_egress_compaction(spark, tmp_path):
     compact_egress(spark, route.egress_dir)
     with pytest.raises(ValueError, match="not reconstructible"):
         coord.read_egress_at(spark, 2)
+
+
+def test_coordinator_crash_point_sweep(spark, tmp_path):
+    """Exhaustive crash sweep over the per-batch commit sequence
+    (merge A → emit A → merge B → emit B → record): kill after EACH
+    step of the middle batch, recover by replaying the whole batch
+    (merges are batch-id idempotent, emissions skip-if-published,
+    record no-ops on a present coordinate), and at the end every
+    coordinate must read consistently — manifest side AND wire side —
+    bit-equal to the pure-Python LWW fold at that boundary."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from qin_cdc_spark.streaming.cdc_stream import (
+        emit_store_egress,
+        replay_egress_state,
+    )
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    batches = {
+        0: {"A": [("insert", 1, 1, "a1"), ("insert", 2, 2, "a2")],
+            "B": [("insert", 1, 1, "b1")]},
+        1: {"A": [("update", 3, 1, "a1x"), ("delete", 4, 2, None)],
+            "B": [("insert", 5, 2, "b2"), ("update", 6, 1, "b1x")]},
+        2: {"A": [("insert", 7, 3, "a3")],
+            "B": [("delete", 8, 1, None)]},
+    }
+
+    def fold(name, upto):
+        st = {}
+        for b in range(upto + 1):
+            for op, seq, k, v in batches[b][name]:
+                if op == "delete":
+                    st.pop(k, None)
+                else:
+                    st[k] = v
+        return st
+
+    data_schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+
+    for crash_after in range(5):  # 5 steps per batch
+        base = tmp_path / f"c{crash_after}"
+        tabs = {
+            n: VersionedBucketedTable(
+                spark, str(base / f"t_{n}"), ["k"], n_buckets=2
+            )
+            for n in ("A", "B")
+        }
+        eg = {n: str(base / f"eg_{n}") for n in ("A", "B")}
+        coord = SnapshotCoordinator(
+            str(base / "coord"),
+            {f"t.{n}": t for n, t in tabs.items()},
+            egress_dirs={f"t.{n}": d for n, d in eg.items()},
+        )
+
+        def run_batch(b, stop_after=None):
+            step = 0
+            for n in ("A", "B"):
+                ev = spark.createDataFrame(
+                    batches[b][n], "op string, seq long, k long, v string"
+                )
+                tabs[n].merge(ev, batch_id=b)
+                if stop_after is not None and step == stop_after:
+                    return
+                step += 1
+                emit_store_egress(
+                    tabs[n], eg[n], database="t", table_name=n
+                )
+                if stop_after is not None and step == stop_after:
+                    return
+                step += 1
+            coord.record(b)
+
+        run_batch(0)
+        run_batch(1, stop_after=crash_after)  # crash mid-batch
+        run_batch(1)                          # recovery: full replay
+        run_batch(2)
+
+        assert coord.batches() == [0, 1, 2]
+        for b in range(3):
+            # manifest-side coordinated read == the fold at the boundary
+            snap = coord.read_at(b)
+            for n in ("A", "B"):
+                got = {r.k: r.v for r in snap[f"t.{n}"].collect()}
+                assert got == fold(n, b), (crash_after, b, n)
+            # wire-side: the stamped publication set rebuilds the same
+            wire = coord.read_egress_at(spark, b)
+            for n in ("A", "B"):
+                msgs = wire[f"t.{n}"]
+                got = {
+                    r.k: r.v
+                    for r in replay_egress_state(
+                        msgs, data_schema, ["k"]
+                    ).collect()
+                }
+                assert got == fold(n, b), ("wire", crash_after, b, n)
