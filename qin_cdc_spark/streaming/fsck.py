@@ -35,6 +35,13 @@ Checks (V = versioned store, P = partitioned parent):
   version must not be AHEAD of its source's current version (a
   restored-from-backup source with a non-restored consumer — the
   operational mistake that silently freezes refreshes).
+* Egress dirs (``fsck_egress_dir``): publications tile [0, hwm] under
+  the coverage rule; gaps are errors (lost wire messages), stage
+  residue and compaction-subsumed dirs are warnings.
+* Coordinator manifests (``fsck_coordinator_path``): coordinates
+  parse, per-table versions are monotone across batches, and every
+  stamped egress boundary is still wire-reconstructible when the
+  publication dirs are supplied.
 """
 
 from __future__ import annotations
@@ -222,12 +229,175 @@ def fsck_partitioned_path(path: str, *, deep: bool = False) -> dict:
     return rep
 
 
+_PUB_NAME = re.compile(r"^v(\d+)-(\d+)$")
+
+
+def _egress_ranges_fs(path: str, rep: dict) -> list[tuple[int, int, str]]:
+    """Publication ranges under ``path``; malformed names reported."""
+    out = []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if ".stage-" in d:
+            rep["warnings"].append(
+                f"stage residue {d} (crashed emission; readers ignore it)"
+            )
+            continue
+        if not d.startswith("v") or not os.path.isdir(full):
+            continue
+        m = _PUB_NAME.match(d)
+        if not m:
+            rep["errors"].append(f"unparsable publication dir name {d!r}")
+            continue
+        a, b = int(m.group(1)), int(m.group(2))
+        if b <= a:
+            rep["errors"].append(f"empty/inverted publication range {d}")
+            continue
+        out.append((a, b, d))
+    return sorted(out, key=lambda t: (t[0], -t[1]))
+
+
+def fsck_egress_dir(path: str) -> dict:
+    """fsck a wire-egress publication dir: range-named publications
+    must tile ``[0, hwm]`` contiguously under the coverage rule (widest
+    range wins at each boundary).  Stage residue and compaction-
+    subsumed dirs are WARNINGS (crash residue the readers already
+    skip); a coverage GAP is an ERROR — wire messages are missing and
+    no read can reach the high-water mark."""
+    rep = _report(path, "egress")
+    if not os.path.isdir(path):
+        rep["errors"].append("egress dir missing")
+        return rep
+    end = 0
+    for a, b, d in _egress_ranges_fs(path, rep):
+        if a == end and b > end:
+            end = b
+        elif b <= end:
+            rep["warnings"].append(
+                f"subsumed publication {d} (compaction residue; the "
+                "coverage rule skips it)"
+            )
+        elif a > end:
+            rep["errors"].append(
+                f"coverage gap [{end}, {a}) before {d} — wire messages lost"
+            )
+            end = b
+        else:  # a < end < b: partial overlap, not plain subsumption
+            rep["errors"].append(
+                f"publication {d} partially overlaps coverage end {end}"
+            )
+            end = b
+    rep["hwm"] = end
+    return rep
+
+
+def _boundary_reconstructible(
+    ranges: list[tuple[int, int, str]], v_to: int
+) -> bool:
+    """Mirror of ``read_store_egress_until``: a boundary is readable
+    iff publications with ``b <= v_to`` tile ``[0, v_to]`` exactly."""
+    end = 0
+    for a, b, _ in ranges:
+        if a == end and end < b <= v_to:
+            end = b
+        if end == v_to:
+            return True
+    return end == v_to
+
+
+def fsck_coordinator_path(
+    path: str, *, egress_dirs: dict[str, str] | None = None
+) -> dict:
+    """fsck a ``SnapshotCoordinator`` manifest: batches parse, every
+    coordinate maps table → int version, versions are MONOTONE per
+    table across batch ids (a decrease means a table was restored
+    under a non-restored coordinator), egress stamps are well-formed
+    ranges, and — given ``egress_dirs`` — every stamped boundary is
+    still WIRE-reconstructible (compaction did not merge across a
+    retained coordinate)."""
+    rep = _report(path, "coordinator")
+    p = os.path.join(path, "_coordinates.json")
+    if not os.path.exists(p):
+        rep["errors"].append("no _coordinates.json")
+        return rep
+    meta = _load_json(p, rep)
+    if meta is None:
+        return rep
+    batches = meta.get("batches")
+    if not isinstance(batches, dict):
+        rep["errors"].append("meta['batches'] is not a mapping")
+        return rep
+    bad = [b for b in batches if not str(b).lstrip("-").isdigit()]
+    if bad:
+        rep["errors"].append(f"non-integer batch keys: {bad[:5]}")
+        return rep
+    last: dict[str, int] = {}
+    for b in sorted(batches, key=int):
+        coord = batches[b]
+        if not isinstance(coord, dict):
+            rep["errors"].append(f"batch {b}: coordinate is not a mapping")
+            continue
+        for name, v in coord.items():
+            if not isinstance(v, int):
+                rep["errors"].append(
+                    f"batch {b}: {name} version {v!r} is not an int"
+                )
+                continue
+            if name in last and v < last[name]:
+                rep["errors"].append(
+                    f"batch {b}: {name} version {v} went BACKWARDS from "
+                    f"{last[name]} — table restored under a non-restored "
+                    "coordinator?"
+                )
+            last[name] = v
+    egress = meta.get("egress", {})
+    if not isinstance(egress, dict):
+        rep["errors"].append("meta['egress'] is not a mapping")
+        return rep
+    cached_ranges: dict[str, list] = {}
+    for b in sorted(egress, key=int):
+        stamps = egress[b]
+        for name, rng in stamps.items():
+            if (
+                not isinstance(rng, (list, tuple))
+                or len(rng) != 2
+                or not all(isinstance(x, int) for x in rng)
+                or rng[0] > rng[1]
+            ):
+                rep["errors"].append(
+                    f"batch {b}: malformed egress stamp {name}={rng!r}"
+                )
+                continue
+            if egress_dirs and name in egress_dirs:
+                if name not in cached_ranges:
+                    d = egress_dirs[name]
+                    cached_ranges[name] = (
+                        _egress_ranges_fs(d, _report(d, "egress"))
+                        if os.path.isdir(d)
+                        else []
+                    )
+                if not _boundary_reconstructible(
+                    cached_ranges[name], rng[1]
+                ):
+                    rep["errors"].append(
+                        f"batch {b}: {name} stamped boundary {rng[1]} is "
+                        "not wire-reconstructible (publications compacted "
+                        "across a retained coordinate?)"
+                    )
+    return rep
+
+
 def fsck_path(path: str, *, deep: bool = False) -> dict:
     """Auto-detect the store layout at ``path`` and fsck it."""
     if os.path.exists(os.path.join(path, PART_META_NAME)):
         return fsck_partitioned_path(path, deep=deep)
     if os.path.exists(os.path.join(path, META_NAME)):
         return fsck_versioned_path(path, deep=deep)
+    if os.path.exists(os.path.join(path, "_coordinates.json")):
+        return fsck_coordinator_path(path)
+    if os.path.isdir(path) and any(
+        _PUB_NAME.match(d) for d in os.listdir(path)
+    ):
+        return fsck_egress_dir(path)
     rep = _report(path, "unknown")
     rep["errors"].append("no engine manifest found (neither layout)")
     return rep

@@ -161,3 +161,134 @@ def test_hand_edited_partition_manifest_reports_not_raises(spark, tmp_path):
     assert any("entry is not a mapping" in e for e in rep["errors"])
     assert any("has no generation" in e for e in rep["errors"])
     assert any("has no sub-version" in e for e in rep["errors"])
+
+
+def _mkpub(base, name):
+    import os
+
+    os.makedirs(os.path.join(base, name), exist_ok=True)
+
+
+def test_fsck_egress_dir(tmp_path):
+    """Egress publication fsck: contiguous coverage is clean, stage
+    residue and subsumed dirs warn, a coverage gap or malformed name
+    errors — and fsck_path auto-detects the layout."""
+    from qin_cdc_spark.streaming.fsck import fsck_egress_dir, fsck_path, ok
+
+    eg = str(tmp_path / "eg")
+    for d in ("v0-2", "v2-5"):
+        _mkpub(eg, d)
+    rep = fsck_egress_dir(eg)
+    assert ok(rep) and rep["hwm"] == 5 and not rep["warnings"]
+    assert fsck_path(eg)["kind"] == "egress"
+    # compaction residue: a wider range subsumes v0-2 (warning), and a
+    # crashed emission left a stage dir (warning)
+    _mkpub(eg, "v0-5")
+    _mkpub(eg, "v5-7.stage-deadbeef")
+    rep = fsck_egress_dir(eg)
+    assert ok(rep) and rep["hwm"] == 5
+    assert any("subsumed" in w for w in rep["warnings"])
+    assert any("stage residue" in w for w in rep["warnings"])
+    # a GAP is an error: v7-9 without [5, 7)
+    _mkpub(eg, "v7-9")
+    rep = fsck_egress_dir(eg)
+    assert not ok(rep) and any("coverage gap" in e for e in rep["errors"])
+    # malformed names error; empty ranges error
+    _mkpub(str(tmp_path / "bad"), "vX-3")
+    _mkpub(str(tmp_path / "bad"), "v4-4")
+    rep = fsck_egress_dir(str(tmp_path / "bad"))
+    assert any("unparsable" in e for e in rep["errors"])
+    assert any("inverted" in e for e in rep["errors"])
+
+
+def test_fsck_coordinator(tmp_path):
+    """Coordinator fsck: monotone per-table versions, well-formed
+    egress stamps, and stamped boundaries must stay
+    wire-reconstructible against the real publication dirs."""
+    import json
+    import os
+
+    from qin_cdc_spark.streaming.fsck import fsck_coordinator_path, fsck_path, ok
+
+    cpath = str(tmp_path / "coord")
+    os.makedirs(cpath)
+    eg = str(tmp_path / "eg")
+    for d in ("v0-1", "v1-2"):
+        _mkpub(eg, d)
+    meta = {
+        "batches": {"0": {"t.A": 1}, "1": {"t.A": 2}},
+        "egress": {"0": {"t.A": [0, 1]}, "1": {"t.A": [1, 2]}},
+    }
+    with open(os.path.join(cpath, "_coordinates.json"), "w") as f:
+        json.dump(meta, f)
+    rep = fsck_coordinator_path(cpath, egress_dirs={"t.A": eg})
+    assert ok(rep), rep["errors"]
+    assert fsck_path(cpath)["kind"] == "coordinator"
+    # version regression: batch 2 sees t.A at an OLDER version
+    meta["batches"]["2"] = {"t.A": 1}
+    with open(os.path.join(cpath, "_coordinates.json"), "w") as f:
+        json.dump(meta, f)
+    rep = fsck_coordinator_path(cpath)
+    assert any("BACKWARDS" in e for e in rep["errors"])
+    # compaction across a retained boundary: replace the two
+    # publications with one v0-2 — the batch-0 stamp (to=1) is no
+    # longer reconstructible, the batch-1 stamp (to=2) still is
+    del meta["batches"]["2"]
+    with open(os.path.join(cpath, "_coordinates.json"), "w") as f:
+        json.dump(meta, f)
+    for d in ("v0-1", "v1-2"):
+        os.rmdir(os.path.join(eg, d))
+    _mkpub(eg, "v0-2")
+    rep = fsck_coordinator_path(cpath, egress_dirs={"t.A": eg})
+    errs = [e for e in rep["errors"] if "not wire-reconstructible" in e]
+    assert len(errs) == 1 and "batch 0" in errs[0]
+    # malformed stamp shape
+    meta["egress"]["1"]["t.A"] = [2, 1]
+    with open(os.path.join(cpath, "_coordinates.json"), "w") as f:
+        json.dump(meta, f)
+    rep = fsck_coordinator_path(cpath)
+    assert any("malformed egress stamp" in e for e in rep["errors"])
+
+
+def test_fsck_live_coordinator_and_egress_are_clean(spark, tmp_path):
+    """A REAL coordinated two-route run (the crash-sweep scaffolding)
+    fscks clean end to end: both egress dirs, the coordinator manifest
+    (with boundary reconstruction against the live dirs), and after a
+    boundary-preserving coordinator compaction it STAYS clean."""
+    from qin_cdc_spark.streaming.cdc_stream import emit_store_egress
+    from qin_cdc_spark.streaming.coordinator import SnapshotCoordinator
+    from qin_cdc_spark.streaming.fsck import (
+        fsck_coordinator_path,
+        fsck_egress_dir,
+        ok,
+    )
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    tab = VersionedBucketedTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    eg = str(tmp_path / "eg")
+    coord = SnapshotCoordinator(
+        str(tmp_path / "coord"), {"t.A": tab}, egress_dirs={"t.A": eg}
+    )
+    for b, rows in enumerate(
+        [
+            [("insert", 1, 1, "a"), ("insert", 2, 2, "b")],
+            [("update", 3, 1, "a2")],
+            [("delete", 4, 2, None)],
+        ]
+    ):
+        tab.merge(
+            spark.createDataFrame(rows, "op string, seq long, k long, v string"),
+            batch_id=b,
+        )
+        emit_store_egress(tab, eg, database="t", table_name="A")
+        coord.record(b)
+    assert ok(fsck_egress_dir(eg))
+    rep = fsck_coordinator_path(str(tmp_path / "coord"), egress_dirs={"t.A": eg})
+    assert ok(rep), rep["errors"]
+    # expire the oldest coordinate, compact publications within the
+    # retained segments — every retained boundary must stay readable
+    coord.expire(keep_last=2)
+    coord.compact_egress(spark)
+    assert ok(fsck_egress_dir(eg))
+    rep = fsck_coordinator_path(str(tmp_path / "coord"), egress_dirs={"t.A": eg})
+    assert ok(rep), rep["errors"]
