@@ -494,3 +494,57 @@ def test_scd2_history_replicates_over_the_wire(spark, tmp_path):
         for r in temporal_join(facts, hist, ["k"], "asof").collect()
     }
     assert out == {(1, 2): "a_mid", (1, 3): "a2", (2, 9): None, (3, 4): None}
+
+
+def test_history_expiry_propagates_over_the_wire(spark, tmp_path):
+    """expire_history composes with wire egress: the expiry's LWW
+    deletes cross the wire as delete messages (CDF detects them from
+    row absence even after the tombstone GC), so a downstream replica
+    folding the feed drops the expired versions and converges to the
+    retained history — replicas follow retention with no side
+    channel."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from qin_cdc_spark.streaming.cdc_stream import (
+        emit_store_egress,
+        read_store_egress,
+        replay_egress_state,
+    )
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    eg = str(tmp_path / "eg")
+
+    def emit():
+        emit_store_egress(scd.store, eg, database="src", table_name="dim_history")
+
+    scd.apply_batch(_ev(spark, B1), batch_id=0)
+    scd.apply_batch(_ev(spark, B2), batch_id=1)
+    emit()
+    scd.expire_history(before=4)  # drops (1, [1,3)) and (2, [2,4))
+    emit()
+
+    hist = replay_egress_state(
+        read_store_egress(spark, eg),
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("valid_from", LongType()),
+                StructField("valid_to", LongType()),
+                StructField("v", StringType()),
+            ]
+        ),
+        ["k", "valid_from"],
+    )
+    got = {(r.k, r.valid_from): (r.valid_to, r.v) for r in hist.collect()}
+    assert got == {(1, 3): (None, "a2"), (3, 5): (None, "c")}
+    # identical to the store's own retained history
+    assert got == {
+        (r.k, r.valid_from): (r.valid_to, r.v)
+        for r in scd.read_history().collect()
+    }
