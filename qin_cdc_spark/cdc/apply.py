@@ -37,8 +37,8 @@ from qin_cdc_spark.cdc.envelope import OP_DELETE
 
 
 def parse_row(col, schema: StructType):
-    """Schema-tolerant JSON row parse: the typed ``from_json`` first,
-    with a per-field fallback that CASTS the string rendering.
+    """Schema-tolerant JSON row parse: one ``from_json`` with atomic
+    fields read as strings, then one struct cast to the declared types.
 
     Why: canal-format JSON — including the reference's own canal output
     (outputs/kafka/kafka_utils.go:98-114) and Aliyun DTS feeds —
