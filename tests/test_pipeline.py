@@ -428,3 +428,181 @@ tombstone-gc-lag = 10
     assert r.history is True
     assert r.history_expire_lag == 40
     assert r.tombstone_gc_lag == 10
+
+
+def test_pipeline_kitchen_sink_all_options_compose(spark, tmp_path):
+    """Every router-level feature at once, one TOML: versioned target
+    + SCD2 history + history-expire-lag + tombstone-gc-lag +
+    egress-format + a declared MV + [coordinator].  Streamed with
+    max_files_per_trigger=1 and checked feature by feature against
+    pure folds — the cross-feature interaction test (each option is
+    proven alone elsewhere; this proves they compose):
+
+    * target == LWW fold of the full stream,
+    * history visible rows == interval fold with versions closing
+      below the floor expired, floor == max(seq) - lag,
+    * the declared agg MV == recompute over the live rows,
+    * wire replay at the LAST stamped boundary == target,
+    * fsck clean on the target store, the history store, the egress
+      dir, and the coordinator manifest (with boundary checks)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.plans.pipeline import compile_pipeline
+    from qin_cdc_spark.streaming.cdc_stream import (
+        file_envelope_stream,
+        replay_egress_state,
+    )
+    from qin_cdc_spark.streaming.fsck import (
+        fsck_coordinator_path,
+        fsck_egress_dir,
+        fsck_path,
+        ok,
+    )
+
+    cfg = """
+name = "kitchen-sink"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[coordinator]
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+history = true
+history-expire-lag = 10
+tombstone-gc-lag = 6
+egress-format = "default"
+
+[[materialized-views]]
+name = "t_by_grp"
+type = "agg"
+source-schema = "src"
+source-table = "t"
+[materialized-views.config]
+group-cols = ["grp"]
+sum-cols = ["val"]
+"""
+    events = [
+        # batch 0
+        [("insert", 1, 1, "g1", 10), ("insert", 2, 2, "g1", 20),
+         ("insert", 3, 3, "g2", 30)],
+        # batch 1: update moves k=2's group; k=3 deleted
+        [("update", 8, 2, "g2", 25), ("delete", 9, 3, None, None),
+         ("insert", 10, 4, "g2", 40)],
+        # batch 2: k=1 updated twice (two history versions in one
+        # batch), k=2 deleted -> tombstone GC'able at the end
+        [("update", 15, 1, "g1", 11), ("update", 17, 1, "g1", 12),
+         ("delete", 18, 2, None, None), ("insert", 20, 5, "g1", 50)],
+    ]
+
+    def _ev(rows):
+        return spark.createDataFrame(
+            rows, "op string, seq long, k long, grp string, val long"
+        )
+
+    schema = _parse_datatype_string("k long, grp string, val long")
+    pipe = compile_pipeline(
+        spark, cfg,
+        schemas={("src", "t"): schema},
+        primary_keys={("src", "t"): ["k"]},
+        target_root=str(tmp_path / "dw"),
+        n_buckets=4,
+    )
+    env_dir = str(tmp_path / "env")
+    for batch in events:
+        envelope_from_typed(
+            _ev(batch).select("k", "grp", "val", "op", "seq"),
+            db="src", table="t",
+        ).coalesce(1).write.mode("append").parquet(env_dir)
+    q = pipe.run_stream(
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    flat = [e for b in events for e in b]
+    # pure LWW fold
+    st = {}
+    for op, seq, k, grp, val in flat:
+        if op == "delete":
+            st.pop(k, None)
+        else:
+            st[k] = (grp, val)
+    live = {r.k: (r.grp, r.val) for r in pipe.read_target("dw", "ods_t").collect()}
+    assert live == st
+
+    # history: interval fold, versions closing at-or-before the floor
+    # expired; floor = max(seq) - lag = 20 - 10 = 10
+    route = pipe.routes[0]
+    assert route.history.history_floor() == 10
+    by_key: dict = {}
+    for op, seq, k, grp, val in sorted(flat, key=lambda e: (e[2], e[1])):
+        by_key.setdefault(k, []).append((op, seq, grp, val))
+    expect_hist = {}
+    for k, evs in by_key.items():
+        for i, (op, seq, grp, val) in enumerate(evs):
+            nxt = evs[i + 1][1] if i + 1 < len(evs) else None
+            if op != "delete" and (nxt is None or nxt > 10):
+                expect_hist[(k, seq)] = (nxt, grp, val)
+    got_hist = {
+        (r.k, r.valid_from): (r.valid_to, r.grp, r.val)
+        for r in route.history.read_history().collect()
+        if r.valid_to is None or r.valid_to != r.valid_from
+    }
+    assert got_hist == expect_hist
+
+    # declared MV == recompute over the live rows
+    mv = {
+        (r.grp,): r.sum_val
+        for r in pipe.read_mview("t_by_grp").select("grp", "sum_val").collect()
+    }
+    expect_mv: dict = {}
+    for k, (grp, val) in st.items():
+        expect_mv[(grp,)] = expect_mv.get((grp,), 0) + val
+    assert mv == expect_mv
+
+    # wire replay at the LAST stamped boundary == target live rows
+    coord = pipe.coordinator
+    last = coord.batches()[-1]
+    wire = coord.read_egress_at(spark, last)["src.t"]
+    rebuilt = replay_egress_state(
+        wire,
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("grp", StringType()),
+                StructField("val", LongType()),
+            ]
+        ),
+        ["k"],
+    )
+    assert {r.k: (r.grp, r.val) for r in rebuilt.collect()} == st
+
+    # tombstone GC ran in-stream: no tombstones below max(seq) - 6
+    internal = route.target.read_internal()
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    assert internal.filter(F.col("_deleted") & (F.col("_seq") < 20 - 6)).count() == 0
+
+    # fsck: every state kind clean
+    assert ok(fsck_path(route.target.path))
+    assert ok(fsck_path(route.history.store.path))
+    assert ok(fsck_egress_dir(route.egress_dir))
+    rep = fsck_coordinator_path(
+        str(coord.path), egress_dirs={"src.t": route.egress_dir}
+    )
+    assert ok(rep), rep["errors"]
