@@ -124,6 +124,9 @@ HEADLINE = [
     # retention (two merges + expiry delete-merge + tombstone GC)
     "cdc_scd2_late_replay",
     "cdc_scd2_retention",
+    # cross-corpus MinHash decontamination: broadcast benchmark side,
+    # zero train-side join shuffle
+    "decontaminate_neardup",
 ]
 
 

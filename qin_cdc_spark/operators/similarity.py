@@ -808,3 +808,137 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= {PREFIX_JACCARD_T}
 
 QUERIES["dedup_jaccard_prefix_exact"] = dedup_jaccard_prefix_exact
 ORACLES["dedup_jaccard_prefix_exact"] = _PREFIX_EXACT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus NEAR-DUP decontamination: the missing level between the
+# exact n-gram overlap check (curation.decontaminate_ngram — any shared
+# 3-gram flags) and the embedding check (semantic drift): flag training
+# documents that are near-duplicates (Jaccard >= 0.5) of any held-out
+# benchmark document, caught by the SAME 16x4 MinHash banding the
+# in-corpus dedup uses.  This is the train-vs-benchmark discipline of
+# the published LLM-corpus pipelines; the reference (a CDC relay) has
+# no analog — engine extension, SURVEY §2.C.
+#
+# Scale shape: the benchmark side is small BY DEFINITION, so its band
+# keys AND its shingle arrays broadcast — the 100 TB train side streams
+# through two broadcast-hash joins with ZERO train-side shuffle (unlike
+# the in-corpus self-join, which must shuffle on band keys).  The
+# oracle mirrors the banding exactly, so near-threshold pairs the bands
+# miss are missed on both sides (the dedup_minhash_lsh discipline).
+
+def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(train_id, eval_id, jaccard_r) for every train doc near-dup to a
+    benchmark doc (doc_id % 10 == 7 is the held-out set)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hashed = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    ).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        "shingles",
+        shingle_hashes(F.col("shingles")).alias("hashed"),
+    ).persist()
+    sig = hashed.select(
+        "doc_id",
+        "n_sh",
+        "shingles",
+        minhash_from_hashes(F.col("hashed"), N_MINHASH).alias("sig"),
+    ).persist()
+    is_eval = F.col("doc_id") % 10 == 7
+    banded = sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias("band"),
+    )
+    cand = (
+        banded.filter(~is_eval)
+        .select(F.col("doc_id").alias("train_id"), "band")
+        .join(
+            broadcast(
+                banded.filter(is_eval).select(
+                    F.col("doc_id").alias("eval_id"), "band"
+                )
+            ),
+            "band",
+        )
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    st = sig.filter(~is_eval).select(
+        F.col("doc_id").alias("train_id"),
+        F.col("n_sh").alias("na"),
+        F.col("shingles").alias("sh_a"),
+    )
+    se = sig.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("n_sh").alias("nb"),
+        F.col("shingles").alias("sh_b"),
+    )
+    verified = (
+        cand.join(st, "train_id")
+        .join(broadcast(se), "eval_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    out = verified.select(
+        "train_id", "eval_id", F.round("jaccard", 6).alias("jaccard_r")
+    ).persist()
+    try:
+        out.count()
+    finally:
+        sig.unpersist()
+        hashed.unpersist()
+    return out
+
+
+def _neardup_decon_oracle() -> str:
+    params = "[" + ", ".join(f"[{a}, {b}]" for a, b in perm_params_sql(N_MINHASH)) + "]"
+    band_elems = "array_to_string([CAST(b AS VARCHAR)" + "".join(
+        f", CAST(sig[b*{ROWS_PER_BAND}+{r+1}] AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    ) + "], ',')"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL.format(w=WORDS_SQL)} AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id, len(shingles) AS n_sh, shingles,
+         list_transform({params}, p ->
+           list_min(list_transform(shingles, s ->
+             (p[1] * ({HASH60_SQL.format(x='s')} % {MERSENNE31}) + p[2]) % {MERSENNE31}))
+         ) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, unnest(list_transform(range(0, {N_BANDS}), b -> {band_elems})) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS train_id, y.doc_id AS eval_id
+  FROM banded x JOIN banded y ON x.band = y.band
+  WHERE x.doc_id % 10 <> 7 AND y.doc_id % 10 = 7
+),
+verified AS (
+  SELECT c.train_id, c.eval_id,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+         sa.n_sh AS na, sb.n_sh AS nb
+  FROM cand c
+  JOIN sig sa ON c.train_id = sa.doc_id
+  JOIN sig sb ON c.eval_id = sb.doc_id
+)
+SELECT train_id, eval_id,
+       round(CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard_r
+FROM verified
+WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+QUERIES["decontaminate_neardup"] = decontaminate_neardup
+ORACLES["decontaminate_neardup"] = _neardup_decon_oracle()

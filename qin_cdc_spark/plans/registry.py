@@ -24,22 +24,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # query has ≥1 green driver row" stays intact by construction); evictions
 # are noted inline at the slot they vacated.
 #
-# Round-7 layout: five spare-slot rotations — the round-7 gate queries
+# Round-7 layout: six spare-slot rotations — the round-7 gate queries
 # cdc_consistent_egress_replay (coordinator-stamped cross-table wire
 # replay), cdc_partitioned_drop_egress (retention drop as wire delete
 # messages), cdc_relay_chain (store → wire → store round trip), and
 # cdc_scd2_late_replay (out-of-order arrival + retro-insert == in-order
-# history; session 2), and cdc_scd2_retention (history expiry below a
-# durable floor; session 2) replace cdc_bootstrap_overlap (driver-green
-# r2-r4, r6), cdc_snapshot_history (driver-green r4, r6),
+# history; session 2), cdc_scd2_retention (history expiry below a
+# durable floor; session 2), and decontaminate_neardup (cross-corpus
+# MinHash decontamination; session 2) replace cdc_bootstrap_overlap
+# (driver-green r2-r4, r6), cdc_snapshot_history (driver-green r4, r6),
 # cdc_derived_quantile (driver-green r4-r6), cdc_derived_extrema
-# (driver-green r5-r6), and cdc_derived_distinct (driver-green r5-r6).
-# Everything else unchanged from round 6 (which closed the ledger:
-# every registry name has a green driver row across r1-r6;
-# judge-verified in VERDICT round 6).
+# (driver-green r5-r6), cdc_derived_distinct (driver-green r5-r6), and
+# corpus_term_drift (driver-green r5-r6).  Everything else unchanged
+# from round 6 (which closed the ledger: every registry name has a
+# green driver row across r1-r6; judge-verified in VERDICT round 6).
 #
 # Never-driver-checked ledger for the NEXT rotation (round 8): none —
-# every pre-round-7 query has a prior driver row, and all five round-7
+# every pre-round-7 query has a prior driver row, and all six round-7
 # additions are in this prefix.
 _HEAD = [
     # -- family representatives (1-8) --
@@ -89,7 +90,9 @@ _HEAD = [
     "cdc_versioned_bloom_lookup",
     "emb_whitening",  # round 6: ZCA whitening contract (spare slot —
     # replaces chunk_content_defined, driver-green in r5)
-    "corpus_term_drift",
+    "decontaminate_neardup",  # round 7 session 2: cross-corpus MinHash
+    # near-dup decontamination, broadcast eval side (spare slot —
+    # replaces corpus_term_drift, driver-green r5-r6)
     "curation_dsir_topk",
     "dedup_decision_incremental",  # round 6: incremental clusters -> keep-best
     # (spare slot — replaces decontaminate_bloom, driver-green in r2)
