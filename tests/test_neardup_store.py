@@ -241,3 +241,31 @@ def test_compacted_candidate_scan_prunes_buckets(spark, tmp_path):
         sigs.unpersist()
     # and the store's own data read never lists the _bands tree
     assert store.read().count() > 0
+
+
+def test_streaming_decontamination_composition(spark, tmp_path):
+    """Streaming decontamination falls out of the store's admission
+    contract: preload the BENCHMARK docs as batch 0, stream the train
+    corpus through admit_batch — train docs near-dup to any benchmark
+    doc are rejected (contaminated), novel train docs land.  The batch
+    analog is decontaminate_neardup (operators/similarity.py); this is
+    the same discipline running incrementally, O(batch) per batch, and
+    the benchmark's signatures are stored ONCE, not rebroadcast per
+    batch."""
+    other = (
+        "grain silos and harvest schedules across the northern plains "
+        "with crop rotation irrigation canals and seasonal labor markets"
+    )
+    store = NearDupStore(spark, str(tmp_path / "store"))
+    # benchmark set: ids < 100
+    store.admit_batch(_docs(spark, [(1, BASE), (2, NOVEL)]), batch_id=0)
+    bench_ids = {r.doc_id for r in store.read().collect()}
+    assert bench_ids == {1, 2}
+    # train stream, two batches
+    store.admit_batch(_docs(spark, [(101, NEAR), (102, other)]), batch_id=1)
+    store.admit_batch(_docs(spark, [(103, NOVEL + " extra tail words")]),
+                      batch_id=2)
+    kept = {r.doc_id for r in store.read().collect()} - bench_ids
+    # 101 near-dups benchmark 1 → contaminated; 102 is novel; 103
+    # near-dups benchmark 2 → contaminated
+    assert kept == {102}
