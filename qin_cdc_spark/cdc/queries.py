@@ -1542,10 +1542,8 @@ def cdc_scd2_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd.apply_batch(late)  # keys/events still above their stored hwm
     scd.insert_versions(late)  # the genuinely late rest, in place
     decoded.unpersist()
-    h = scd.read_history()
-    return h.filter(
-        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
-    ).select(
+    # read_history excludes zero-width no-op-delete markers by default
+    return scd.read_history().select(
         "o_orderkey", "valid_from", "valid_to", "is_current",
         "o_custkey", "o_orderstatus", "o_totalprice",
     )
@@ -1586,10 +1584,8 @@ def cdc_scd2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
     scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=1)
     scd.expire_history(before=s)
-    h = scd.read_history()
-    return h.filter(
-        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
-    ).select(
+    # read_history excludes zero-width no-op-delete markers by default
+    return scd.read_history().select(
         "o_orderkey", "valid_from", "valid_to", "is_current",
         "o_custkey", "o_orderstatus", "o_totalprice",
     )

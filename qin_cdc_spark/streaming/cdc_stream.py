@@ -156,6 +156,36 @@ def read_store_egress(spark: SparkSession, egress_dir: str) -> DataFrame | None:
     return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
+def egress_coverage_until(
+    ranges: list[tuple[int, int, str]], v_to: int
+) -> tuple[list[str] | None, str | None]:
+    """THE boundary-reconstruction rule — the single source of truth
+    shared by the reader (``read_store_egress_until``) and the checker
+    (``fsck._boundary_reconstructible``), so the two can never diverge
+    on crash residue again: ``ranges`` sorted by ``(v_from, -v_to)``,
+    widest publication wins at each coverage boundary, and if the
+    widest candidate at a boundary CROSSES ``v_to`` the boundary is
+    unreadable (a narrower subsumed dir underneath it is compaction
+    residue the reader never falls back to — the next compaction
+    deletes it).  Returns ``(picked_dirs, None)`` when publications
+    with the rule tile ``[0, v_to]`` exactly, else ``(None, reason)``."""
+    picked, end = [], 0
+    for a, b, d in ranges:
+        if a == end and b > end:
+            if b > v_to:
+                return None, (
+                    f"publication {d} crosses it (compacted past the "
+                    "coordinate?)"
+                )
+            picked.append(d)
+            end = b
+        if end == v_to:
+            return picked, None
+    if end != v_to:
+        return None, f"publications cover [0, {end}]"
+    return picked, None
+
+
 def read_store_egress_until(
     spark: SparkSession, egress_dir: str, v_to: int
 ) -> DataFrame | None:
@@ -168,23 +198,11 @@ def read_store_egress_until(
     ``read_at`` on a gc-expired version."""
     if v_to <= 0:
         return None
-    picked, end = [], 0
-    for a, b, d in _egress_ranges(egress_dir):
-        if a == end and b > end:
-            if b > v_to:
-                raise ValueError(
-                    f"egress boundary {v_to} not reconstructible at "
-                    f"{egress_dir}: publication {d} crosses it "
-                    "(compacted past the coordinate?)"
-                )
-            picked.append(d)
-            end = b
-        if end == v_to:
-            break
-    if end != v_to:
+    picked, reason = egress_coverage_until(_egress_ranges(egress_dir), v_to)
+    if picked is None:
         raise ValueError(
-            f"egress boundary {v_to} not reconstructible at {egress_dir}: "
-            f"publications cover [0, {end}]"
+            f"egress boundary {v_to} not reconstructible at "
+            f"{egress_dir}: {reason}"
         )
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(egress_dir, d) for d in picked]

@@ -293,15 +293,17 @@ def fsck_egress_dir(path: str) -> dict:
 def _boundary_reconstructible(
     ranges: list[tuple[int, int, str]], v_to: int
 ) -> bool:
-    """Mirror of ``read_store_egress_until``: a boundary is readable
-    iff publications with ``b <= v_to`` tile ``[0, v_to]`` exactly."""
-    end = 0
-    for a, b, _ in ranges:
-        if a == end and end < b <= v_to:
-            end = b
-        if end == v_to:
-            return True
-    return end == v_to
+    """A boundary is readable iff the READER can read it — delegates
+    to the reader's own coverage rule (``egress_coverage_until``, one
+    shared function) instead of re-deriving it: with compaction-crash
+    residue (v0-4, v4-6, v6-10 PLUS combined v4-10) the widest-first
+    rule hits v4-10 at boundary 6 and the reader raises; a re-derived
+    check that tiled via the subsumed narrower dirs would report clean
+    exactly while the boundary is unreadable and the next compaction
+    makes it permanently so."""
+    from qin_cdc_spark.streaming.cdc_stream import egress_coverage_until
+
+    return egress_coverage_until(ranges, v_to)[0] is not None
 
 
 def fsck_coordinator_path(
@@ -353,9 +355,22 @@ def fsck_coordinator_path(
     if not isinstance(egress, dict):
         rep["errors"].append("meta['egress'] is not a mapping")
         return rep
+    # the egress section gets the SAME shape guards as batches: a
+    # corrupt manifest is exactly what this checker exists to report,
+    # so a non-integer key or non-mapping stamps value must become an
+    # error entry, never a ValueError/AttributeError out of the walk
+    bad = [b for b in egress if not str(b).lstrip("-").isdigit()]
+    if bad:
+        rep["errors"].append(f"non-integer egress batch keys: {bad[:5]}")
     cached_ranges: dict[str, list] = {}
-    for b in sorted(egress, key=int):
+    for b in sorted((b for b in egress if b not in bad), key=int):
         stamps = egress[b]
+        if not isinstance(stamps, dict):
+            rep["errors"].append(
+                f"egress batch {b}: stamps value is not a mapping "
+                f"({type(stamps).__name__})"
+            )
+            continue
         for name, rng in stamps.items():
             if (
                 not isinstance(rng, (list, tuple))

@@ -131,11 +131,24 @@ class ScdType2Table:
 
     # -- reads ---------------------------------------------------------------
 
-    def read_history(self) -> DataFrame | None:
-        """All versions: (key…, valid_from, valid_to, is_current, values…)."""
+    def read_history(self, *, include_markers: bool = False) -> DataFrame | None:
+        """All VERSIONS: (key…, valid_from, valid_to, is_current,
+        values…).  Zero-width ``[d, d)`` rows are no-op-delete MARKERS
+        (null values, never current), not versions — ``apply_batch``
+        records them only to pin a delete coordinate for redelivery
+        drop and late-insert closure; they are invisible to every
+        point-in-time read and EXCLUDED here by default so external
+        consumers never meet surprise null-value rows (a
+        delete-first/double-delete stream produces them).  Pass
+        ``include_markers=True`` for hwm forensics."""
         st = self.store.read()
         if st is None:
             return None
+        if not include_markers:
+            st = st.filter(
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") != F.col("valid_from"))
+            )
         return st.withColumn("is_current", F.col("valid_to").isNull())
 
     def current(self) -> DataFrame | None:
@@ -177,10 +190,15 @@ class ScdType2Table:
             & (F.col("valid_to").isNull() | (F.lit(seq) < F.col("valid_to")))
         ).drop("valid_to")
 
-    def history_of(self, key_values: list) -> DataFrame | None:
-        """All versions of one key — a one-bucket read (placement hashes
+    def history_of(
+        self, key_values: list, *, include_markers: bool = False
+    ) -> DataFrame | None:
+        """All VERSIONS of one key — a one-bucket read (placement hashes
         the key columns alone, so the store's manifest names the single
-        bucket every version of this key lives in)."""
+        bucket every version of this key lives in).  Zero-width
+        no-op-delete marker rows are excluded by default
+        (``read_history``'s contract); ``include_markers=True``
+        surfaces them."""
         st = self.store.read_buckets(self._buckets_of_values([key_values]))
         if st is None:
             return None
@@ -188,6 +206,11 @@ class ScdType2Table:
         for k, v in zip(self.keys, key_values):
             c = F.col(k) == F.lit(v)
             cond = c if cond is None else (cond & c)
+        if not include_markers:
+            cond = cond & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") != F.col("valid_from"))
+            )
         return st.filter(cond).withColumn("is_current", F.col("valid_to").isNull())
 
     def read_key_asof(self, key_values: list, seq: int) -> DataFrame | None:
@@ -654,9 +677,13 @@ class ScdType2Table:
         Mechanics: the floor prop flips FIRST (a crash after the flip
         leaves sub-floor reads raising — conservative — and the doomed
         rows droppable by a rerun); doomed rows then delete through the
-        normal LWW merge at seq ``before + 1`` (strictly above every
-        doomed row's own LWW seq, which is its ``valid_to <= before``;
-        no live identity can collide below the floor), and
+        normal LWW merge at a seq STRICTLY ABOVE the max stored
+        ``_seq`` over the doomed rows' own buckets (not ``before + 1``:
+        ``insert_versions`` re-stamps changed rows at ``smax + 1``,
+        which can exceed ``before + 1`` — a retro-shortened interval
+        whose close lands at-or-below a future floor would then WIN the
+        LWW against the expiry delete and leak into ``read_history``
+        forever, each rerun minting a no-op version), and
         ``store.gc_tombstones`` reclaims the tombstones physically —
         the same two-step every other retention path in the engine
         uses.  Zero-width no-op-delete tombstone rows below the floor
@@ -675,24 +702,32 @@ class ScdType2Table:
         doomed = st.filter(
             F.col("valid_to").isNotNull() & (F.col("valid_to") <= F.lit(before))
         )
+        if not doomed.limit(1).count():
+            return self.store.current_version()
         value_cols = [
             c
             for c in st.columns
             if c not in {*self.keys, "valid_from", "valid_to"}
         ]
         typed = {f.name: f.dataType for f in st.schema.fields}
+        # bounded driver scalar (the insert_versions discipline): one
+        # max over the doomed keys' buckets; the delete must out-seq
+        # every stored row it targets, whatever stamped them
+        raw = self.store.read_buckets(
+            self._buckets_of_facts(doomed.select(*self.keys)), internal=True
+        )
+        smax = (raw.agg(F.max("_seq")).first()[0] or 0) if raw is not None else 0
+        del_seq = max(int(before), int(smax)) + 1
         events = doomed.select(
             F.lit("delete").alias("op"),
-            F.lit(int(before) + 1).cast("long").alias("seq"),
+            F.lit(del_seq).cast("long").alias("seq"),
             *self.keys,
             "valid_from",
             *[F.lit(None).cast(typed[c]).alias(c) for c in value_cols],
             F.lit(None).cast("long").alias("valid_to"),
         )
-        if not events.limit(1).count():
-            return self.store.current_version()
         self.store.merge(events)
         # the SCD2 store's only delete tombstones are expiry ones (the
         # history never deletes identities otherwise), so reclaiming
-        # below before + 2 is exact
-        return self.store.gc_tombstones(int(before) + 2)
+        # below del_seq + 1 is exact
+        return self.store.gc_tombstones(del_seq + 1)

@@ -292,3 +292,71 @@ def test_fsck_live_coordinator_and_egress_are_clean(spark, tmp_path):
     assert ok(fsck_egress_dir(eg))
     rep = fsck_coordinator_path(str(tmp_path / "coord"), egress_dirs={"t.A": eg})
     assert ok(rep), rep["errors"]
+
+def test_fsck_boundary_follows_reader_rule(spark, tmp_path):
+    """ADVICE r7 (medium): with compaction-crash residue — v0-4, v4-6,
+    v6-10 PLUS the combined v4-10 — the reader picks widest-first at
+    boundary 4, hits v4-10 crossing boundary 6, and raises; the fsck
+    check must agree (it previously tiled via the subsumed dirs and
+    reported clean exactly while the boundary was unreadable).  Both
+    now share ONE rule function (egress_coverage_until)."""
+    import json
+    import os
+
+    import pytest
+
+    from qin_cdc_spark.streaming.cdc_stream import read_store_egress_until
+    from qin_cdc_spark.streaming.fsck import (
+        _boundary_reconstructible,
+        _egress_ranges_fs,
+        _report,
+        fsck_coordinator_path,
+        ok,
+    )
+
+    eg = str(tmp_path / "eg")
+    for d in ("v0-4", "v4-6", "v6-10", "v4-10"):
+        _mkpub(eg, d)
+    ranges = _egress_ranges_fs(eg, _report(eg, "egress"))
+    # the reader: boundary 6 raises (v4-10 crosses it), 4 and 10 are
+    # readable (the raise happens before any parquet read, so empty
+    # dirs suffice to exercise the rule)
+    with pytest.raises(ValueError, match="crosses it"):
+        read_store_egress_until(spark, eg, 6)
+    # fsck mirrors the reader exactly
+    assert _boundary_reconstructible(ranges, 6) is False
+    assert _boundary_reconstructible(ranges, 4) is True
+    assert _boundary_reconstructible(ranges, 10) is True
+    # end to end: a coordinator stamping boundary 6 reports the error
+    cpath = str(tmp_path / "coord")
+    os.makedirs(cpath)
+    meta = {"batches": {"0": {"t.A": 1}}, "egress": {"0": {"t.A": [0, 6]}}}
+    with open(os.path.join(cpath, "_coordinates.json"), "w") as f:
+        json.dump(meta, f)
+    rep = fsck_coordinator_path(cpath, egress_dirs={"t.A": eg})
+    assert not ok(rep)
+    assert any("not wire-reconstructible" in e for e in rep["errors"])
+
+
+def test_fsck_coordinator_corrupt_egress_section_reports_not_raises(tmp_path):
+    """ADVICE r7 (low): a non-integer egress batch key or a
+    non-mapping stamps value must become an error REPORT — the
+    integrity checker crashing on exactly the corrupt manifests it
+    exists to report defeats its purpose."""
+    import json
+    import os
+
+    from qin_cdc_spark.streaming.fsck import fsck_coordinator_path, ok
+
+    cpath = str(tmp_path / "coord")
+    os.makedirs(cpath)
+    meta = {
+        "batches": {"0": {"t.A": 1}, "1": {"t.A": 2}},
+        "egress": {"zero": {"t.A": [0, 1]}, "1": "oops"},
+    }
+    with open(os.path.join(cpath, "_coordinates.json"), "w") as f:
+        json.dump(meta, f)
+    rep = fsck_coordinator_path(cpath)  # must not raise
+    assert not ok(rep)
+    assert any("non-integer egress batch keys" in e for e in rep["errors"])
+    assert any("stamps value is not a mapping" in e for e in rep["errors"])

@@ -23,14 +23,11 @@ def _ev(spark, rows):
 
 def _hist_rows(scd, include_tombstones=False):
     """Visible history rows; zero-width [d, d) rows are no-op-delete
-    tombstones (invisible to every point-in-time read) and are
-    excluded unless asked for."""
+    tombstones (invisible to every point-in-time read) — read_history
+    excludes them by default and surfaces them via include_markers."""
     return {
         (r.k, r.valid_from): (r.valid_to, r.v)
-        for r in scd.read_history().collect()
-        if include_tombstones
-        or r.valid_to is None
-        or r.valid_to != r.valid_from
+        for r in scd.read_history(include_markers=include_tombstones).collect()
     }
 
 
@@ -685,3 +682,58 @@ def test_stream_route_in_stream_history_expiry(spark, tmp_path):
             target_path=str(tmp_path / "t2"), versioned=True,
             history_expire_lag=15,
         )
+
+def test_expire_history_beats_retro_stamped_rows(spark, tmp_path):
+    """ADVICE r7 (low): insert_versions re-stamps changed rows at
+    smax+1 (max stored _seq over the touched buckets), which can exceed
+    a later expire_history floor+1 — the expiry delete must out-seq
+    whatever stamped the doomed row, or a retro-shortened interval
+    closing at the floor leaks into read_history forever (each rerun
+    minting a no-op version).  expire_history now stamps deletes at
+    max(floor, max _seq over the doomed rows' buckets) + 1."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    # [10, 30) "a", [30, ·) "a2" — stored rows LWW-stamped at seq 30
+    scd.apply_batch(
+        _ev(spark, [("insert", 10, 1, "a"), ("update", 30, 1, "a2")]),
+        batch_id=0,
+    )
+    # late update@20 splits the closed interval: changed rows
+    # ([10, 20) and the new [20, 30)) merge stamped at _seq 31 > 21
+    scd.insert_versions(_ev(spark, [("update", 20, 1, "mid")]))
+    assert _hist_rows(scd) == {
+        (1, 10): (20, "a"), (1, 20): (30, "mid"), (1, 30): (None, "a2"),
+    }
+    smax = scd.store.read_internal().agg(F.max("_seq")).first()[0]
+    assert smax > 21  # the preconditions of the leak are real
+    # floor at 20: [10, 20) closes AT the floor and must be dropped
+    # even though its stored _seq (31) exceeds floor+1
+    v = scd.expire_history(before=20)
+    assert scd.history_floor() == 20
+    expect = {(1, 20): (30, "mid"), (1, 30): (None, "a2")}
+    assert _hist_rows(scd, include_tombstones=True) == expect
+    # idempotent: a rerun finds nothing doomed, mints nothing
+    assert scd.expire_history(before=20) == v
+    assert _hist_rows(scd, include_tombstones=True) == expect
+    # physical reclamation happened despite the elevated delete seq
+    raw = scd.store.read_internal()
+    assert raw.filter(F.col("_deleted")).count() == 0
+
+
+def test_read_history_hides_noop_delete_markers_by_default(spark, tmp_path):
+    """ADVICE r7 (low): zero-width [d, d) no-op-delete marker rows
+    (null values) must not surface to external history consumers —
+    read_history/history_of exclude them unless include_markers=True."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    # delete-first key 9 records a [5, 5) marker; key 1 is a real version
+    scd.apply_batch(
+        _ev(spark, [("delete", 5, 9, None), ("insert", 10, 1, "a")])
+    )
+    vis = scd.read_history().collect()
+    assert {(r.k, r.valid_from) for r in vis} == {(1, 10)}
+    assert all(r.v is not None or r.valid_to is None for r in vis)
+    full = scd.read_history(include_markers=True).collect()
+    assert {(r.k, r.valid_from) for r in full} == {(1, 10), (9, 5)}
+    # history_of: same contract, one-bucket read
+    assert scd.history_of([9]).count() == 0
+    marked = scd.history_of([9], include_markers=True).collect()
+    assert [(r.valid_from, r.valid_to, r.v) for r in marked] == [(5, 5, None)]
