@@ -122,7 +122,13 @@ def decode_envelope(
     ``old`` image carries a different primary key expands into a delete
     of the old key (same seq) plus the update at the new key.
     """
-    routed = env.filter((F.col("db") == db) & (F.col("table") == table))
+    # op='ddl' control rows carry raw SQL in `data`, not a row image —
+    # they are registry metadata (handle_ddl_rows applies them upstream);
+    # decoding one here would parse the SQL text as a malformed row and
+    # fold a null-key event into the merge
+    routed = env.filter(
+        (F.col("db") == db) & (F.col("table") == table) & (F.col("op") != "ddl")
+    )
     decoded = routed.withColumn("_row", parse_row(F.col("data"), schema))
     if not keys:
         return decoded.select("op", "seq", "_row.*")

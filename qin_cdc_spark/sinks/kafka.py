@@ -252,12 +252,21 @@ def cdf_json_messages(
         for c in cdf.columns
         if c not in {*keys, "_change"} and not c.startswith("_pre_")
     ]
+    typed = {f.name: f.dataType for f in cdf.schema.fields}
+
+    def _pre(c):
+        # a column ADDed between v_from and v_to has no preimage side —
+        # its pre-DDL value is a typed null (schema evolution over CDF)
+        if f"_pre_{c}" in cdf.columns:
+            return F.col(f"_pre_{c}")
+        return F.lit(None).cast(typed[c])
+
     is_del = F.col("_change") == "delete"
     is_upd = F.col("_change") == "update"
     data = F.struct(
         *[F.col(k).alias(k) for k in keys],
         *[
-            F.when(is_del, F.col(f"_pre_{c}")).otherwise(F.col(c)).alias(c)
+            F.when(is_del, _pre(c)).otherwise(F.col(c)).alias(c)
             for c in value_cols
         ],
     )
@@ -265,7 +274,7 @@ def cdf_json_messages(
         is_upd,
         F.struct(
             *[F.col(k).alias(k) for k in keys],
-            *[F.col(f"_pre_{c}").alias(c) for c in value_cols],
+            *[_pre(c).alias(c) for c in value_cols],
         ),
     )
     return cdf.select(
@@ -311,6 +320,14 @@ def cdf_canal_messages(
         for c in cdf.columns
         if c not in {*keys, "_change"} and not c.startswith("_pre_")
     ]
+    typed = {f.name: f.dataType for f in cdf.schema.fields}
+
+    def _pre(c):
+        # missing preimage column = ADDed since v_from (typed null)
+        if f"_pre_{c}" in cdf.columns:
+            return F.col(f"_pre_{c}")
+        return F.lit(None).cast(typed[c])
+
     is_del = F.col("_change") == "delete"
     changes = cdf.select(
         F.col("_change").alias("op"),
@@ -318,10 +335,10 @@ def cdf_canal_messages(
         F.timestamp_millis(F.lit(event_ts_ms)).alias("ts"),
         *[F.col(k) for k in keys],
         *[
-            F.when(is_del, F.col(f"_pre_{c}")).otherwise(F.col(c)).alias(c)
+            F.when(is_del, _pre(c)).otherwise(F.col(c)).alias(c)
             for c in value_cols
         ],
-        *[F.col(f"_pre_{c}") for c in value_cols],
+        *[_pre(c).alias(f"_pre_{c}") for c in value_cols],
     )
     old_cols = {k: k for k in keys}
     old_cols.update({c: f"_pre_{c}" for c in value_cols})
@@ -333,6 +350,135 @@ def cdf_canal_messages(
         raw_types=raw_types,
         old_cols=old_cols,
         emit_ts_ms=emit_ts_ms,
+    )
+
+
+# Spark simpleString dtype → the MySQL column type emitted into
+# synthesized DDL.  Inverse of cdc/ddl_parse.py::mysql_type_to_spark on
+# the types the engine round-trips (decimal(p,s) passes through
+# verbatim); boolean degrades to tinyint (MySQL has no boolean — the
+# same lossy edge every MySQL CDC pipeline carries).
+_SPARK_TO_MYSQL = {
+    "bigint": "bigint",
+    "long": "bigint",
+    "int": "int",
+    "integer": "int",
+    "smallint": "smallint",
+    "short": "smallint",
+    "tinyint": "tinyint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "datetime",
+    "binary": "blob",
+    "string": "varchar(255)",
+    "boolean": "tinyint",
+}
+
+
+def mysql_type_of(dtype_simple: str) -> str:
+    if dtype_simple.startswith("decimal"):
+        return dtype_simple
+    return _SPARK_TO_MYSQL.get(dtype_simple, "varchar(255)")
+
+
+def schema_change_ddl(
+    database: str,
+    table_name: str,
+    prev_cols: list,
+    cur_cols: list,
+) -> str | None:
+    """One ALTER TABLE statement describing the column diff between two
+    emitted schemas (``[[name, spark_simpleString], …]`` lists), or
+    None when they agree.  The statement is the engine's OWN DDL
+    dialect round-trip: ``cdc/ddl_parse.py`` parses it back to the
+    exact Spark types, so a relay consumer's registry evolves to the
+    producer's schema from the wire alone — the reference carries DDL
+    as first-class events for the same reason (core/msg.go:24-28);
+    its kafka output drops them (isDdl hard-false, kafka_utils.go:112)
+    and this closes that gap.  Name-based diff: ADD for new columns
+    (appended — consumers union by name, position is immaterial),
+    MODIFY for a changed type, DROP for removed ones; specs join into
+    ONE statement so the consumer applies the whole change atomically
+    in seq order."""
+    prev = dict(prev_cols)
+    cur = dict(cur_cols)
+    specs = []
+    for name, dt in cur_cols:
+        if name not in prev:
+            specs.append(f"ADD COLUMN `{name}` {mysql_type_of(dt)}")
+        elif prev[name] != dt:
+            specs.append(f"MODIFY COLUMN `{name}` {mysql_type_of(dt)}")
+    for name, _dt in prev_cols:
+        if name not in cur:
+            specs.append(f"DROP COLUMN `{name}`")
+    if not specs:
+        return None
+    return f"ALTER TABLE `{database}`.`{table_name}` " + ", ".join(specs)
+
+
+def ddl_json_message(
+    spark, *, database: str, table: str, sql: str, ts_epoch: int = 0
+) -> DataFrame:
+    """One default-format DDL control message: ``type='ddl'`` with the
+    statement under ``data.sql`` (the default format has no sql field —
+    an engine extension; the reference's default format never carries
+    DDL at all).  Key is empty: DDL is table-scoped control, not a row."""
+    return spark.range(1).select(
+        F.lit("").alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit(database).alias("database"),
+                F.lit(table).alias("table"),
+                F.lit("ddl").alias("type"),
+                F.lit(ts_epoch).cast("long").alias("ts"),
+                F.struct(F.lit(sql).alias("sql")).alias("data"),
+                F.lit(None).cast("string").alias("old"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value"),
+    )
+
+
+def ddl_canal_message(
+    spark,
+    *,
+    database: str,
+    table: str,
+    sql: str,
+    event_ts_ms: int = 0,
+    emit_ts_ms: int = 0,
+) -> DataFrame:
+    """One canal-format DDL control message: ``isDdl: true`` with the
+    raw statement in ``sql`` and null data/old — the canal-JSON DDL
+    convention (type = the statement's leading keyword, e.g. ALTER),
+    which the reference's canal formatter never produces (isDdl
+    hard-false, outputs/kafka/kafka_utils.go:112).  Field order matches
+    the reference's struct declaration exactly, so DML and DDL messages
+    diff cleanly on the wire."""
+    kind = (sql.split(None, 1)[0] if sql.strip() else "DDL").upper()
+    return spark.range(1).select(
+        F.lit("").alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit(database).alias("database"),
+                F.lit(table).alias("table"),
+                F.lit(kind).alias("type"),
+                F.lit(event_ts_ms).cast("long").alias("es"),
+                F.lit(emit_ts_ms).cast("long").alias("ts"),
+                F.lit(None).cast("array<map<string,string>>").alias("data"),
+                F.lit(None).cast("array<map<string,string>>").alias("old"),
+                F.lit(None).cast("map<string,int>").alias("sqlType"),
+                F.lit(None).cast("map<string,string>").alias("mysqlType"),
+                F.lit("").alias("serverId"),
+                F.lit(sql).alias("sql"),
+                F.lit(None).cast("array<string>").alias("pkNames"),
+                F.lit(True).alias("isDdl"),
+                F.lit(0).cast("long").alias("id"),
+                F.lit(None).cast("string").alias("gtid"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value"),
     )
 
 

@@ -73,6 +73,29 @@ def egress_hwm(egress_dir: str) -> int:
     return hwm
 
 
+# Per-publication schema sidecar: the payload schema the publication's
+# messages were produced under.  The leading underscore keeps Spark's
+# parquet listing from reading it as data.
+EGRESS_SCHEMA_NAME = "_egress_schema.json"
+
+
+def _read_egress_schema(pub_dir: str) -> list | None:
+    p = os.path.join(pub_dir, EGRESS_SCHEMA_NAME)
+    if not os.path.exists(p):
+        return None  # pre-feature publication: schema unknown
+    import json
+
+    with open(p) as f:
+        return json.load(f)["columns"]
+
+
+def _write_egress_schema(pub_dir: str, columns: list) -> None:
+    import json
+
+    with open(os.path.join(pub_dir, EGRESS_SCHEMA_NAME), "w") as f:
+        json.dump({"columns": columns}, f)
+
+
 def emit_store_egress(
     store,
     egress_dir: str,
@@ -86,12 +109,33 @@ def emit_store_egress(
     directory's high-water mark as reference-format messages into a
     range-named publication.  Crash-safe by construction — see
     CdcStreamRoute.emit_egress, which delegates here.  Streaming a
-    DERIVED view downstream is the same call over ``mv.store``."""
+    DERIVED view downstream is the same call over ``mv.store``.
+
+    DDL OVER THE WIRE: each publication records the payload schema it
+    was produced under (``_egress_schema.json``, written inside the
+    stage dir so it publishes atomically with the messages).  When the
+    store's schema has CHANGED since the previous publication — an
+    upstream ALTER flowed into the store mid-stream — the emission
+    prepends one DDL control message (``schema_change_ddl``: the exact
+    ALTER the consumer's registry needs) so a relay consumer evolves
+    its bound schema instead of silently nulling the new column.  The
+    reference carries DDL as first-class events and decodes in-flight
+    rows with their producing-time schema (core/msg.go:24-28,
+    outputs/kafka/kafka.go:135-141); its kafka formatter drops them
+    (isDdl hard-false) — this closes that relay-loop gap.  A previous
+    publication without a sidecar (pre-feature) emits no DDL message
+    and starts recording from this one."""
     v_cur = store.current_version()
     hwm = egress_hwm(egress_dir)
     if v_cur <= hwm:
         return None
-    from qin_cdc_spark.sinks.kafka import cdf_canal_messages, cdf_json_messages
+    from qin_cdc_spark.sinks.kafka import (
+        cdf_canal_messages,
+        cdf_json_messages,
+        ddl_canal_message,
+        ddl_json_message,
+        schema_change_ddl,
+    )
 
     if fmt == "canal":
         msgs = cdf_canal_messages(
@@ -101,6 +145,23 @@ def emit_store_egress(
         msgs = cdf_json_messages(
             store, hwm, v_cur, database=database, table_name=table_name
         )
+    cur_cols = [
+        [f.name, f.dataType.simpleString()] for f in store.read().schema.fields
+    ]
+    prev_cols = None
+    cover = _egress_coverage(egress_dir)
+    if cover:
+        prev_cols = _read_egress_schema(os.path.join(egress_dir, cover[-1]))
+    if prev_cols is not None:
+        ddl = schema_change_ddl(database, table_name, prev_cols, cur_cols)
+        if ddl is not None:
+            spark = msgs.sparkSession
+            ctl = (
+                ddl_canal_message(spark, database=database, table=table_name, sql=ddl)
+                if fmt == "canal"
+                else ddl_json_message(spark, database=database, table=table_name, sql=ddl)
+            )
+            msgs = ctl.unionByName(msgs)
     os.makedirs(egress_dir, exist_ok=True)
     final = os.path.join(egress_dir, f"v{hwm}-{v_cur}")
     if os.path.isdir(final):
@@ -111,6 +172,7 @@ def emit_store_egress(
     # in the feed, and the dir NAME stops carrying it the moment
     # compaction combines ranges — the column survives compaction.
     msgs.withColumn("_v_to", F.lit(int(v_cur)).cast("long")).write.parquet(stage)
+    _write_egress_schema(stage, cur_cols)  # atomic with the rename below
     os.rename(stage, final)
     return (hwm, v_cur)
 
@@ -229,6 +291,10 @@ def replay_egress_state(
     parsed = msgs.select(
         F.from_json(F.col("value"), parse_schema).alias("m"), "_v_to"
     ).select("m.type", "m.data.*", "_v_to")
+    # DDL control messages are keyless metadata, never state rows —
+    # without this filter a feed carrying one would fold a spurious
+    # null-key row into the state
+    parsed = parsed.filter(F.col("type") != "ddl")
     w = Window.partitionBy(*keys).orderBy(F.col("_v_to").desc())
     return (
         parsed.withColumn("_rn", F.row_number().over(w))
@@ -253,16 +319,25 @@ def envelope_from_egress(
     carries at most one diff per key, so per-key LWW over ``_v_to`` is
     exact; ties across keys are irrelevant to LWW).  ``db``/``table``
     override the wire values to re-route the feed (the reference's
-    target-table mapping)."""
+    target-table mapping).
+
+    DDL control messages (``type='ddl'``, statement under
+    ``data.sql``) become ``op='ddl'`` envelope rows with the raw SQL
+    in ``data`` — exactly what ``handle_ddl_rows`` applies to a
+    registry, so a relay consumer evolves its schema mid-chain from
+    the wire alone."""
     v = F.col("value")
+    op = F.get_json_object(v, "$.type")
     return msgs.select(
         (F.lit(db) if db else F.get_json_object(v, "$.database")).alias("db"),
         (F.lit(table) if table else F.get_json_object(v, "$.table")).alias("table"),
-        F.get_json_object(v, "$.type").alias("op"),
+        op.alias("op"),
         F.col("_v_to").cast("long").alias("seq"),
         F.lit(None).cast("timestamp").alias("ts"),
         F.lit(None).cast("int").alias("schema_version"),
-        F.get_json_object(v, "$.data").alias("data"),
+        F.when(op == "ddl", F.get_json_object(v, "$.data.sql"))
+        .otherwise(F.get_json_object(v, "$.data"))
+        .alias("data"),
         F.get_json_object(v, "$.old").alias("old"),
     )
 
@@ -278,16 +353,26 @@ def envelope_from_canal_egress(
     canal ``id`` the live-source decoder uses
     (sources/kafka_source.py::decode_canal_envelope) — egress stamps
     ``id: 0`` on every message, so feed order is the only total order
-    on the wire."""
+    on the wire.
+
+    ``isDdl: true`` messages become ``op='ddl'`` rows carrying the raw
+    statement from the wire's ``sql`` field (the canal DDL convention),
+    feeding the same ``handle_ddl_rows`` → registry path as a live
+    canal source."""
     v = F.col("value")
+    is_ddl = F.get_json_object(v, "$.isDdl") == F.lit("true")
     return msgs.select(
         (F.lit(db) if db else F.get_json_object(v, "$.database")).alias("db"),
         (F.lit(table) if table else F.get_json_object(v, "$.table")).alias("table"),
-        F.lower(F.get_json_object(v, "$.type")).alias("op"),
+        F.when(is_ddl, F.lit("ddl"))
+        .otherwise(F.lower(F.get_json_object(v, "$.type")))
+        .alias("op"),
         F.col("_v_to").cast("long").alias("seq"),
         F.lit(None).cast("timestamp").alias("ts"),
         F.lit(None).cast("int").alias("schema_version"),
-        F.get_json_object(v, "$.data[0]").alias("data"),
+        F.when(is_ddl, F.get_json_object(v, "$.sql"))
+        .otherwise(F.get_json_object(v, "$.data[0]"))
+        .alias("data"),
         F.get_json_object(v, "$.old[0]").alias("old"),
     )
 
@@ -307,6 +392,12 @@ def _combine_publications(
     final = os.path.join(egress_dir, f"v{lo}-{hi}")
     stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
     combined.write.parquet(stage)
+    # the combined publication ends where the newest input ended, so it
+    # carries that input's schema sidecar (DDL control messages inside
+    # the range survive as ordinary rows)
+    newest_schema = _read_egress_schema(os.path.join(egress_dir, seg[-1][2]))
+    if newest_schema is not None:
+        _write_egress_schema(stage, newest_schema)
     os.rename(stage, final)
     # delete everything the combined publication subsumes — the source
     # dirs AND any crash residue inside the range
@@ -756,7 +847,10 @@ class CdcStreamRoute:
         null_key = parsed.isNull()
         for k in self.keys:
             null_key = null_key | parsed.getField(k).isNull()
-        return F.col("data").isNotNull() & null_key
+        # op='ddl' control rows carry SQL in `data` by contract — never
+        # a malformed data row (decode_envelope drops them; with a
+        # registry, handle_ddl_rows consumes them first)
+        return F.col("data").isNotNull() & null_key & (F.col("op") != "ddl")
 
     def apply_batch(self, env_batch: DataFrame, batch_id: int | None = None) -> None:
         # Dead-letter quarantine: rows whose `data` fails to parse are

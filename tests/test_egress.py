@@ -548,3 +548,172 @@ def test_history_expiry_propagates_over_the_wire(spark, tmp_path):
         (r.k, r.valid_from): (r.valid_to, r.v)
         for r in scd.read_history().collect()
     }
+
+# ---------------------------------------------------------------------------
+# DDL over the wire: mid-chain schema evolution propagates store → wire →
+# store (VERDICT r7 #1).  The reference carries DDL as first-class events
+# (core/msg.go:24-28) but its kafka formatter drops them (isDdl hard-false,
+# outputs/kafka/kafka_utils.go:112); the engine emits a DDL control message
+# whenever the emitted schema changed, and the relay consumers turn it into
+# an op='ddl' envelope row for the registry.
+# ---------------------------------------------------------------------------
+
+
+def _evolved(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq long, k long, v string, v2 string"
+    )
+
+
+def _ddl_chain(spark, tmp_path, fmt):
+    """Route A applies a 2-col batch, evolves to 3 cols (the upstream
+    ALTER), applies a 3-col batch; each batch emits.  Returns (route_a,
+    evolved_schema)."""
+    changes1 = _ev(spark, B1)
+    schema1 = changes1.drop("op", "seq").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema1, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format=fmt,
+    )
+    route_a.apply_batch(
+        envelope_from_typed(changes1, db="src", table="t"), batch_id=0
+    )
+    changes2 = _evolved(
+        spark, [("update", 3, 1, "a2", "x"), ("insert", 5, 3, "c", "y")]
+    )
+    schema2 = changes2.drop("op", "seq").schema
+    route_a.schema = schema2  # upstream DDL: registry refreshed the route
+    route_a.apply_batch(
+        envelope_from_typed(changes2, db="src", table="t"), batch_id=1
+    )
+    return route_a, schema2
+
+
+def _consume_chain(spark, tmp_path, route_a, base_schema, env_fn):
+    """Relay-consume route A's feed with a registry seeded at the BASE
+    schema: handle_ddl_rows evolves it from the wire, route B applies."""
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+    from qin_cdc_spark.streaming.cdc_stream import handle_ddl_rows
+
+    reg = SchemaRegistry()
+    reg.add("src", "t", base_schema)
+    wire_env = env_fn(route_a.read_egress())
+    dml = handle_ddl_rows(wire_env, reg)
+    evolved = reg.get("src", "t")
+    route_b = CdcStreamRoute(
+        spark, db="src", table="t", schema=evolved, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    route_b.apply_batch(dml, batch_id=0)
+    return route_b, evolved
+
+
+def test_ddl_over_the_wire_default_format(spark, tmp_path):
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_egress
+
+    route_a, schema2 = _ddl_chain(spark, tmp_path, "default")
+    # the second publication leads with exactly one DDL control message
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1
+    assert ddl[0]["data"]["sql"] == "ALTER TABLE `src`.`t` ADD COLUMN `v2` varchar(255)"
+    route_b, evolved = _consume_chain(
+        spark, tmp_path, route_a, _ev(spark, B1).drop("op", "seq").schema,
+        envelope_from_egress,
+    )
+    # the registry evolved from the wire alone
+    assert [f.name for f in evolved.fields] == ["k", "v", "v2"]
+    got = {(r.k): (r.v, r.v2) for r in route_b.bind_target().read().collect()}
+    # post-DDL rows carry the column; the pre-DDL row reads as typed null
+    assert got == {1: ("a2", "x"), 2: ("b", None), 3: ("c", "y")}
+    # relay fixed point: B == A
+    assert got == {
+        (r.k): (r.v, r.v2) for r in route_a.bind_target().read().collect()
+    }
+
+
+def test_ddl_over_the_wire_canal_format(spark, tmp_path):
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_canal_egress
+
+    route_a, _ = _ddl_chain(spark, tmp_path, "canal")
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    ddl = [m for m in msgs if m["isDdl"]]
+    assert len(ddl) == 1
+    assert ddl[0]["type"] == "ALTER"
+    assert ddl[0]["sql"] == "ALTER TABLE `src`.`t` ADD COLUMN `v2` varchar(255)"
+    assert ddl[0]["data"] is None and ddl[0]["old"] is None
+    # DML messages still stamp isDdl false (reference wire contract)
+    dml = [m for m in msgs if m["isDdl"] is False]
+    assert len(dml) == 4 and {m["type"] for m in dml} == {"INSERT", "UPDATE"}
+    route_b, evolved = _consume_chain(
+        spark, tmp_path, route_a, _ev(spark, B1).drop("op", "seq").schema,
+        envelope_from_canal_egress,
+    )
+    assert [f.name for f in evolved.fields] == ["k", "v", "v2"]
+    got = {(r.k): (r.v, r.v2) for r in route_b.bind_target().read().collect()}
+    assert got == {1: ("a2", "x"), 2: ("b", None), 3: ("c", "y")}
+
+
+def test_ddl_emission_is_schema_diff_gated(spark, tmp_path):
+    """No schema change → no DDL message; compaction carries the newest
+    sidecar so a post-compaction emission still diffs correctly."""
+    from qin_cdc_spark.streaming.cdc_stream import (
+        EGRESS_SCHEMA_NAME,
+        compact_egress,
+        envelope_from_egress,
+    )
+
+    route_a, schema2 = _ddl_chain(spark, tmp_path, "default")
+    # an unevolved third batch emits no DDL
+    b3 = _evolved(spark, [("update", 7, 2, "b2", "z")])
+    route_a.apply_batch(envelope_from_typed(b3, db="src", table="t"), batch_id=2)
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    assert len([m for m in msgs if m["type"] == "ddl"]) == 1
+    # compaction: the combined publication keeps the newest schema
+    compact_egress(spark, route_a.egress_dir)
+    dirs = [d for d in os.listdir(route_a.egress_dir) if d.startswith("v")]
+    assert dirs == ["v0-3"]
+    assert os.path.exists(
+        os.path.join(route_a.egress_dir, "v0-3", EGRESS_SCHEMA_NAME)
+    )
+    # DDL control rows survive compaction as ordinary feed rows
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    assert len([m for m in msgs if m["type"] == "ddl"]) == 1
+    # a post-compaction batch with an unchanged schema emits no new DDL
+    b4 = _evolved(spark, [("insert", 9, 4, "d", "w")])
+    route_a.apply_batch(envelope_from_typed(b4, db="src", table="t"), batch_id=3)
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    assert len([m for m in msgs if m["type"] == "ddl"]) == 1
+
+
+def test_schema_change_ddl_round_trips_through_parser(spark):
+    """The synthesized ALTER is the engine's own dialect: parsing it
+    back yields the exact Spark types (add + modify + drop in one
+    statement, applied atomically in seq order)."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from qin_cdc_spark.cdc.ddl_parse import apply_raw_ddl
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+    from qin_cdc_spark.sinks.kafka import schema_change_ddl
+
+    prev = [["k", "bigint"], ["v", "string"], ["gone", "int"]]
+    cur = [["k", "bigint"], ["v", "double"], ["n", "bigint"]]
+    sql = schema_change_ddl("db1", "t1", prev, cur)
+    assert sql == (
+        "ALTER TABLE `db1`.`t1` MODIFY COLUMN `v` double, "
+        "ADD COLUMN `n` bigint, DROP COLUMN `gone`"
+    )
+    reg = SchemaRegistry()
+    reg.add("db1", "t1", StructType([
+        StructField("k", LongType()), StructField("v", StringType()),
+        StructField("gone", IntegerType()),
+    ]))
+    apply_raw_ddl(reg, sql, "db1")
+    got = reg.get("db1", "t1")
+    assert [(f.name, f.dataType) for f in got.fields] == [
+        ("k", LongType()), ("v", DoubleType()), ("n", LongType()),
+    ]
+    assert schema_change_ddl("db1", "t1", cur, cur) is None
