@@ -654,6 +654,12 @@ class ScdType2Table:
             if late is not None:
                 late.unpersist()
 
+    def history_stats_mv(self, path: str, *, n_buckets: int = 32):
+        """Bind a :class:`ScdHistoryStatsMV` over this history — the
+        first DERIVED CONSUMER of SCD2 history (VERDICT r7 #4): the
+        retention floor stops being a contract with zero consumers."""
+        return ScdHistoryStatsMV(self, path, n_buckets=n_buckets)
+
     def expire_history(self, before: int) -> int:
         """Retention for the history ITSELF: physically drop every
         version that closed at-or-before ``before`` (``valid_to <=
@@ -731,3 +737,148 @@ class ScdType2Table:
         # history never deletes identities otherwise), so reclaiming
         # below del_seq + 1 is exact
         return self.store.gc_tombstones(del_seq + 1)
+
+
+class _HistoryStatsSource:
+    """CDF adapter: the SCD2 store's version rows projected to additive
+    per-key statistics columns, so ``DerivedKeyedAggTable`` maintains
+    the stats MV with its standard signed-delta machinery.  Projection
+    per version row (identity = key…, valid_from):
+
+    * ``closed``  — 1 for a closed real version (``valid_to`` set and
+      > ``valid_from``), else 0 (open rows, zero-width markers);
+    * ``dwell``   — ``valid_to - valid_from`` for closed versions
+      (stream-seq dwell time of that version), else 0;
+    * ``is_open`` — 1 for the key's open (current) version, else 0.
+
+    Identities are stable (a row's valid_from never changes); the only
+    mutations are open→closed and retro-shortened closes — exactly the
+    update retract/add the delta machinery handles; expiry deletes
+    retract their row's contribution, so after ``expire_history`` the
+    MV converges to stats over the RETAINED range by construction."""
+
+    def __init__(self, store: VersionedBucketedTable):
+        self.store = store
+
+    @staticmethod
+    def _stat_cols(prefix: str = ""):
+        vf, vt = F.col(f"{prefix}valid_from"), F.col(f"{prefix}valid_to")
+        closed = (vt.isNotNull() & (vt > vf)).cast("long")
+        return [
+            closed.alias(f"{prefix}closed"),
+            F.when(closed == 1, vt - vf).otherwise(F.lit(0))
+            .cast("long").alias(f"{prefix}dwell"),
+            vt.isNull().cast("long").alias(f"{prefix}is_open"),
+        ]
+
+    def current_version(self) -> int:
+        return self.store.current_version()
+
+    def read_at(self, v: int) -> DataFrame:
+        df = self.store.read_at(v)
+        keys = [k for k in self.store.keys if k != "valid_from"]
+        return df.select(*keys, *self._stat_cols())
+
+    def changes_between(
+        self, v0: int, v1: int, *, include_preimage: bool = True
+    ) -> DataFrame:
+        cdf = self.store.changes_between(v0, v1, include_preimage=True)
+        keys = [k for k in self.store.keys if k != "valid_from"]
+        post = self._stat_cols()
+        # the store's key columns (key…, valid_from) are the CDF's join
+        # IDENTITY — they have no _pre_ side (a row never changes them),
+        # so the preimage stats read _pre_valid_to against the identity
+        # valid_from, and the retract's _pre_<group> aliases are the
+        # identity keys themselves
+        pre_vf, pre_vt = F.col("valid_from"), F.col("_pre_valid_to")
+        pre_closed = (pre_vt.isNotNull() & (pre_vt > pre_vf)).cast("long")
+        pre = [
+            pre_closed.alias("_pre_closed"),
+            F.when(pre_closed == 1, pre_vt - pre_vf).otherwise(F.lit(0))
+            .cast("long").alias("_pre_dwell"),
+            pre_vt.isNull().cast("long").alias("_pre_is_open"),
+        ]
+        return cdf.select(
+            "_change",
+            *keys,
+            *[F.col(k).alias(f"_pre_{k}") for k in keys],
+            *post,
+            *pre,
+        )
+
+
+class ScdHistoryStatsMV:
+    """Per-key VERSION STATISTICS derived from the SCD2 history's own
+    change feed — the retention floor's first real consumer: a derived
+    view that (a) maintains itself incrementally from history CDF
+    (O(delta + touched buckets) per refresh, the DerivedKeyedAggTable
+    discipline — state and applied-version commit in one manifest
+    flip), and (b) CARRIES the floor: each refresh records the
+    source's ``history_floor`` as its own prop, so a consumer can ask
+    whether the stats are complete over a range BEFORE trusting them
+    (``assert_covers``) instead of silently reading
+    counts-minus-the-expired.  Reference analog: the versioned-schema
+    read path (outputs/kafka/kafka.go:135-141) — state must be
+    interpreted with the metadata of the range it was built over.
+
+    Columns: (key…, n_entries, n_closed, dwell, n_open) where
+    ``n_entries`` counts ALL stored identities (zero-width no-op-delete
+    markers included — storage-grain), ``n_closed``/``n_open`` count
+    visible versions, ``dwell`` totals the closed versions'
+    ``valid_to - valid_from``.  After ``expire_history`` + refresh the
+    stats equal the from-scratch derivation over the RETAINED history
+    (the gate query's hash contract)."""
+
+    def __init__(self, scd: "ScdType2Table", path: str, *, n_buckets: int = 32):
+        from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+
+        self.scd = scd
+        self.mv = DerivedKeyedAggTable(
+            scd.spark,
+            path,
+            group_cols=[k for k in scd.store.keys if k != "valid_from"],
+            sum_cols=["closed", "dwell", "is_open"],
+            n_buckets=n_buckets,
+            cnt_col="n_entries",
+        )
+        self._source = _HistoryStatsSource(scd.store)
+
+    def refresh(self) -> int:
+        v = self.mv.refresh(self._source)
+        fl = self.scd.history_floor()
+        if fl and fl != int(self.mv.store.get_prop("history_floor", 0)):
+            self.mv.store.set_prop("history_floor", int(fl))
+        return v
+
+    def floor(self) -> int:
+        """The retention floor the stats were built over (0 = full
+        history): versions closing at-or-below it were expired at the
+        SOURCE, so their counts/dwell are gone from these stats —
+        correctly (the MV mirrors the retained range), but a consumer
+        summing 'all versions ever' must hear that."""
+        return int(self.mv.store.get_prop("history_floor", 0))
+
+    def assert_covers(self, since_seq: int) -> None:
+        """Raise unless the stats are COMPLETE for versions closing
+        at-or-after ``since_seq`` — the read_at-on-gc-expired
+        discipline applied to the derived view (partial answers are
+        worse than loud ones)."""
+        fl = self.floor()
+        if fl and since_seq < fl:
+            raise ValueError(
+                f"history stats cover versions closing above the retention "
+                f"floor {fl}; completeness since {since_seq} is gone "
+                "(expired at the source)"
+            )
+
+    def read(self) -> DataFrame | None:
+        st = self.mv.read()
+        if st is None:
+            return None
+        return st.select(
+            *self.mv.group_cols,
+            F.col("n_entries"),
+            F.col("sum_closed").alias("n_closed"),
+            F.col("sum_dwell").alias("dwell"),
+            F.col("sum_is_open").alias("n_open"),
+        )

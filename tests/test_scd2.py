@@ -737,3 +737,62 @@ def test_read_history_hides_noop_delete_markers_by_default(spark, tmp_path):
     assert scd.history_of([9]).count() == 0
     marked = scd.history_of([9], include_markers=True).collect()
     assert [(r.valid_from, r.valid_to, r.v) for r in marked] == [(5, 5, None)]
+
+def test_history_stats_mv_incremental_and_floor(spark, tmp_path):
+    """The retention floor's first derived CONSUMER (VERDICT r7 #4):
+    per-key version-count/dwell stats maintained from history CDF —
+    incremental refreshes equal the from-scratch derivation, expiry
+    deletes fold into stats-over-the-retained-range, and the MV
+    carries the floor so completeness below it raises."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    mv = scd.history_stats_mv(str(tmp_path / "stats"), n_buckets=4)
+
+    def from_scratch():
+        rows = scd.read_history(include_markers=True).collect()
+        out = {}
+        for r in rows:
+            e = out.setdefault(r.k, [0, 0, 0, 0])
+            e[0] += 1
+            if r.valid_to is not None and r.valid_to > r.valid_from:
+                e[1] += 1
+                e[2] += r.valid_to - r.valid_from
+            if r.valid_to is None:
+                e[3] += 1
+        return {k: tuple(v) for k, v in out.items()}
+
+    def mv_rows():
+        return {
+            r.k: (r.n_entries, r.n_closed, r.dwell, r.n_open)
+            for r in mv.read().collect()
+        }
+
+    # bootstrap refresh, plus a delete-first key exercising the marker
+    # grain (counts in n_entries, invisible to n_closed/n_open)
+    scd.apply_batch(
+        _ev(spark, BATCH1 + [("delete", 5, 9, None)]), batch_id=0
+    )
+    assert mv.refresh() == scd.store.current_version()
+    assert mv_rows() == from_scratch()
+    assert mv_rows()[9] == (1, 0, 0, 0)  # the marker: storage-grain only
+    # incremental refresh over the second batch's CDF
+    scd.apply_batch(_ev(spark, BATCH2), batch_id=1)
+    mv.refresh()
+    assert mv_rows() == from_scratch()
+    # k=1 has versions [10,20),[20,30),[30,·): dwell 10+10, one open
+    assert mv_rows()[1] == (3, 2, 20, 1)
+    # retro-insert changes a stored close: the CDF update retract/add
+    scd.insert_versions(_ev(spark, [("update", 25, 3, "c15")]))
+    mv.refresh()
+    assert mv_rows() == from_scratch()
+    # expiry: stats converge to the RETAINED range and carry the floor
+    scd.expire_history(before=20)
+    mv.refresh()
+    assert mv_rows() == from_scratch()
+    assert mv.floor() == 20
+    mv.assert_covers(20)
+    with pytest.raises(ValueError, match="retention floor"):
+        mv.assert_covers(19)
+    # a replayed refresh no-ops (batch-id guard in the MV store)
+    before = mv_rows()
+    mv.refresh()
+    assert mv_rows() == before
