@@ -9,6 +9,8 @@ window idiom from FIXTURES.md §5.
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -285,6 +287,24 @@ def bootstrap_route(route, snapshot: DataFrame, snapshot_seq: int) -> None:
 # again for every consumer/query/bench-sample would charge the gate for
 # work no real pipeline repeats.  Keyed by (sf_dir, stream key); the key
 # MUST uniquely name the derivation (including any post-derived columns).
+def materialized_without(df: DataFrame, *tmp_dirs: str) -> DataFrame:
+    """Materialize a gate query's RESULT, then delete its temp stores
+    (VERDICT r7 "what's wrong" #2: store-building gate queries leaked
+    their ``tempfile.mkdtemp`` trees — a full 236-query run left GBs
+    under /tmp).  ``localCheckpoint(eager=True)`` pins the result rows
+    in executor block storage and truncates lineage, so the returned
+    frame no longer references the on-disk stores and the caller (the
+    driver's collect, the oracle compare) reads the checkpointed
+    blocks.  Gate results are small by construction (the stores are
+    the big thing — exactly what gets deleted)."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    for d in tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 _LAND_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -377,7 +397,7 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
-        spark, tempfile.mkdtemp(prefix="ttravel_gate_") + "/t", ["o_orderkey"]
+        spark, gate_tmp("ttravel_gate_") + "/t", ["o_orderkey"]
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
@@ -415,7 +435,7 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
-        spark, tempfile.mkdtemp(prefix="vdiff_gate_") + "/t", ["o_orderkey"]
+        spark, gate_tmp("vdiff_gate_") + "/t", ["o_orderkey"]
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     v2 = tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
@@ -499,7 +519,7 @@ def cdc_derived_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         land_key="orders_price_c",
     )
-    base = tempfile.mkdtemp(prefix="derived_gate_")
+    base = gate_tmp("derived_gate_")
     # GATE-SCALE LAYOUT: 8 buckets for the ~12k-key fixture table (the
     # bucket count is a layout knob sized to the data — rebucket() is
     # the documented growth path; 32 buckets here just means 4x the
@@ -555,7 +575,7 @@ def cdc_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.coordinator import SnapshotCoordinator
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    base = tempfile.mkdtemp(prefix="coord_gate_")
+    base = gate_tmp("coord_gate_")
     l_schema = load_table(spark, sf_dir, "lineitem").schema
     o_dec, so = _decoded_orders_halved(spark, sf_dir)
     l_env = envelope_from_typed(
@@ -655,7 +675,7 @@ def cdc_consistent_egress_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.coordinator import SnapshotCoordinator
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    base = tempfile.mkdtemp(prefix="egress_coord_gate_")
+    base = gate_tmp("egress_coord_gate_")
     l_schema = load_table(spark, sf_dir, "lineitem").schema
     o_dec, so = _decoded_orders_halved(spark, sf_dir)
     l_env = envelope_from_typed(
@@ -765,7 +785,7 @@ def cdc_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
         spark,
-        tempfile.mkdtemp(prefix="bloom_gate_") + "/t",
+        gate_tmp("bloom_gate_") + "/t",
         ["o_orderkey"],
         bloom_cols=["o_custkey"],
     )
@@ -828,7 +848,7 @@ def cdc_derived_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.derived import DerivedJoinTable
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    base = tempfile.mkdtemp(prefix="joinmv_gate_")
+    base = gate_tmp("joinmv_gate_")
     fo = landed_stream(
         spark, sf_dir, "orders_mvcols",
         lambda: orders_change_stream(spark, sf_dir).select(
@@ -915,7 +935,7 @@ def cdc_derived_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         land_key="orders_price_c",
     )
-    base = tempfile.mkdtemp(prefix="extrema_gate_")
+    base = gate_tmp("extrema_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     mv = DerivedExtremaTable(
         spark, base + "/emv", group_cols=["o_orderstatus"], minmax_cols=["price_c"]
@@ -972,7 +992,7 @@ def cdc_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = orders_change_stream(spark, sf_dir).persist()
     s = ev.agg(F.max("seq")).collect()[0][0] // 2
     tbl = VersionedBucketedTable(
-        spark, tempfile.mkdtemp(prefix="hist_gate_") + "/t",
+        spark, gate_tmp("hist_gate_") + "/t",
         ["o_orderkey"], n_buckets=1,
     )
     tbl.merge(ev.filter(F.col("seq") <= s), batch_id=0)
@@ -1028,7 +1048,7 @@ def cdc_rtbf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
-        spark, tempfile.mkdtemp(prefix="rtbf_gate_") + "/t", ["o_orderkey"]
+        spark, gate_tmp("rtbf_gate_") + "/t", ["o_orderkey"]
     )
     tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
     tbl.merge(decoded.filter(F.col("seq") > s), batch_id=1)
@@ -1082,7 +1102,7 @@ def cdc_derived_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         land_key="orders_price_c",
     )
-    base = tempfile.mkdtemp(prefix="quantile_gate_")
+    base = gate_tmp("quantile_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     mv = DerivedQuantileTable(
         spark, base + "/qmv", group_cols=["o_orderstatus"],
@@ -1160,7 +1180,7 @@ def cdc_derived_keyed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         land_key="orders_price_c",
     )
-    base = tempfile.mkdtemp(prefix="keyedagg_gate_")
+    base = gate_tmp("keyedagg_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     mv = DerivedKeyedAggTable(
         spark, base + "/kamv", group_cols=["o_custkey"], sum_cols=["price_c"],
@@ -1212,7 +1232,7 @@ def cdc_derived_mv_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="mvchain_gate_")
+    base = gate_tmp("mvchain_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     mv1 = DerivedKeyedAggTable(
         spark, base + "/lvl1", group_cols=["o_custkey"], sum_cols=[],
@@ -1279,7 +1299,7 @@ def cdc_table_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         land_key="orders_price_c",
     )
-    base = tempfile.mkdtemp(prefix="stats_gate_")
+    base = gate_tmp("stats_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     st = IncrementalColumnStats(
         spark, base + "/stats", group_cols=["o_orderstatus"],
@@ -1368,7 +1388,7 @@ def cdc_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         land_key="orders_price_c",
     )
-    base = tempfile.mkdtemp(prefix="topk_gate_")
+    base = gate_tmp("topk_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     mv = DerivedTopKTable(
         spark, base + "/tkmv", group_cols=["o_orderstatus"],
@@ -1428,7 +1448,7 @@ def cdc_derived_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="distinct_gate_")
+    base = gate_tmp("distinct_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     mv = DerivedDistinctTable(
         spark, base + "/dmv", group_cols=["o_orderstatus"],
@@ -1481,7 +1501,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     scd = ScdType2Table(
-        spark, tempfile.mkdtemp(prefix="scd2_gate_") + "/h",
+        spark, gate_tmp("scd2_gate_") + "/h",
         keys=["o_orderkey"], n_buckets=8,
     )
     scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -1534,7 +1554,7 @@ def cdc_scd2_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     decoded = decoded.persist()
     scd = ScdType2Table(
-        spark, tempfile.mkdtemp(prefix="scd2_late_gate_") + "/h",
+        spark, gate_tmp("scd2_late_gate_") + "/h",
         keys=["o_orderkey"], n_buckets=8,
     )
     scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=0)
@@ -1578,7 +1598,7 @@ def cdc_scd2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     scd = ScdType2Table(
-        spark, tempfile.mkdtemp(prefix="scd2_ret_gate_") + "/h",
+        spark, gate_tmp("scd2_ret_gate_") + "/h",
         keys=["o_orderkey"], n_buckets=8,
     )
     scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -1685,7 +1705,7 @@ def cdc_temporal_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     scd = ScdType2Table(
-        spark, tempfile.mkdtemp(prefix="scd2_serve_gate_") + "/h",
+        spark, gate_tmp("scd2_serve_gate_") + "/h",
         keys=["o_orderkey"], n_buckets=64,
     )
     scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -1755,7 +1775,7 @@ def cdc_partitioned_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_key="orders_year",
     )
     tbl = PartitionedVersionedTable(
-        spark, tempfile.mkdtemp(prefix="part_gate_") + "/t",
+        spark, gate_tmp("part_gate_") + "/t",
         ["o_orderkey"], partition_col="o_year", n_buckets=4,
     )
     tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -1809,7 +1829,7 @@ def cdc_partitioned_mv_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         post=lambda d: d.withColumn("o_year", F.year("o_orderdate")),
         land_key="orders_year",
     )
-    base = tempfile.mkdtemp(prefix="pchain_gate_")
+    base = gate_tmp("pchain_gate_")
     tbl = PartitionedVersionedTable(
         spark, base + "/t", ["o_orderkey"], partition_col="o_year", n_buckets=4,
     )
@@ -1882,7 +1902,7 @@ def cdc_partitioned_drop_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
         post=lambda d: d.withColumn("o_year", F.year("o_orderdate")),
         land_key="orders_year",
     )
-    base = tempfile.mkdtemp(prefix="pdrop_egress_gate_")
+    base = gate_tmp("pdrop_egress_gate_")
     tbl = PartitionedVersionedTable(
         spark, base + "/t", ["o_orderkey"], partition_col="o_year", n_buckets=4,
     )
@@ -1948,7 +1968,7 @@ def cdc_relay_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         envelope_from_egress,
     )
 
-    base = tempfile.mkdtemp(prefix="relay_chain_gate_")
+    base = gate_tmp("relay_chain_gate_")
     schema = load_table(spark, sf_dir, "orders").schema
     route_a = CdcStreamRoute(
         spark, db="src", table="orders", schema=schema, keys=["o_orderkey"],
@@ -1998,7 +2018,7 @@ def cdc_cdf_kafka_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
-        spark, tempfile.mkdtemp(prefix="egress_gate_") + "/t",
+        spark, gate_tmp("egress_gate_") + "/t",
         ["o_orderkey"], n_buckets=8,
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -2081,7 +2101,7 @@ def cdc_cdf_canal_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     tbl = VersionedBucketedTable(
-        spark, tempfile.mkdtemp(prefix="canal_gate_") + "/t",
+        spark, gate_tmp("canal_gate_") + "/t",
         ["o_orderkey"], n_buckets=8,
     )
     v1 = tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -2188,7 +2208,7 @@ def cdc_gsi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="gsi_gate_")
+    base = gate_tmp("gsi_gate_")
     tbl = VersionedBucketedTable(spark, base + "/t", ["o_orderkey"], n_buckets=8)
     gsi = GlobalSecondaryIndex(
         spark, base + "/idx", index_col="o_orderstatus",
@@ -2239,7 +2259,7 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     k = F.col("doc_id") % 10
     st = IncrementalClusterStore(
-        spark, tempfile.mkdtemp(prefix="cc_gate_") + "/cc", n_buckets=8
+        spark, gate_tmp("cc_gate_") + "/cc", n_buckets=8
     )
     b1 = (
         d.filter(k.isin(0, 1, 2))
@@ -2298,7 +2318,7 @@ def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded, s = _decoded_orders_halved(spark, sf_dir)
     scd = ScdType2Table(
-        spark, tempfile.mkdtemp(prefix="scd2_asof_gate_") + "/h",
+        spark, gate_tmp("scd2_asof_gate_") + "/h",
         keys=["o_orderkey"], n_buckets=8,
     )
     scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -2347,7 +2367,7 @@ def cdc_partitioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_key="orders_year",
     )
     tbl = PartitionedVersionedTable(
-        spark, tempfile.mkdtemp(prefix="part_hist_gate_") + "/t",
+        spark, gate_tmp("part_hist_gate_") + "/t",
         ["o_orderkey"], partition_col="o_year", n_buckets=4,
     )
     tbl.merge(decoded.filter(F.col("seq") <= s), batch_id=0)
@@ -2398,3 +2418,159 @@ SELECT 4, (SELECT n FROM nyk), 0, 0, (SELECT n FROM r4) + 2
 
 QUERIES["cdc_partitioned_history"] = cdc_partitioned_history
 ORACLES["cdc_partitioned_history"] = CDC_PARTITIONED_HISTORY_ORACLE
+
+
+def cdc_ddl_relay_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL OVER THE WIRE — the last relay-loop gap (VERDICT r7 #1)
+    closed and gate-checked: mid-stream schema evolution propagates
+    store → wire → store.  Route A applies the lower half of the orders
+    change stream under the 6-column schema, then the upstream ALTER
+    lands (the route's bound schema gains ``o_pflag``, exactly what
+    ``run_cdc_stream``'s registry refresh does) and the upper half
+    applies with the new column.  Each batch emits canal wire messages;
+    the second emission detects the schema change and PREPENDS a DDL
+    control message (``isDdl: true``, ``sql`` = the synthesized ALTER —
+    the reference carries DDL as first-class events, core/msg.go:24-28,
+    but its kafka formatter drops them, kafka_utils.go:112).  The
+    consumer side seeds a SchemaRegistry with the ORIGINAL 6-column
+    schema, turns the feed into envelope rows
+    (``envelope_from_canal_egress`` maps isDdl → op='ddl' + raw SQL),
+    lets ``handle_ddl_rows`` evolve the registry from the wire alone,
+    and applies the DML through the evolved schema into store B.  The
+    oracle derives the same final state from scratch: post-DDL rows
+    carry the column, pre-DDL rows read as typed NULLs — hash-equal
+    means an ALTER ADD COLUMN round-trips the full chain."""
+    import tempfile
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        envelope_from_canal_egress,
+        handle_ddl_rows,
+    )
+
+    base = gate_tmp("ddl_relay_gate_")
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    schema0 = load_table(spark, sf_dir, "orders").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="orders", schema=schema0, keys=["o_orderkey"],
+        target_path=f"{base}/a", n_buckets=8, versioned=True,
+        egress_format="canal",
+    )
+    route_a.apply_batch(
+        envelope_from_typed(
+            decoded.filter(F.col("seq") <= s), db="src", table="orders"
+        ),
+        batch_id=0,
+    )
+    # the upstream ALTER TABLE ADD COLUMN: the route's schema evolves,
+    # the second half's rows carry the new column
+    evolved_half = decoded.filter(F.col("seq") > s).withColumn(
+        "o_pflag", F.substring("o_orderpriority", 1, 1)
+    )
+    route_a.schema = StructType(
+        [*schema0.fields, StructField("o_pflag", StringType())]
+    )
+    route_a.apply_batch(
+        envelope_from_typed(evolved_half, db="src", table="orders"),
+        batch_id=1,
+    )
+
+    # relay consumer: registry seeded with the PRE-DDL schema evolves
+    # from the wire's DDL control message alone
+    reg = SchemaRegistry()
+    reg.add("src", "orders", schema0)
+    wire_env = envelope_from_canal_egress(route_a.read_egress())
+    dml = handle_ddl_rows(wire_env, reg)
+    route_b = CdcStreamRoute(
+        spark, db="src", table="orders", schema=reg.get("src", "orders"),
+        keys=["o_orderkey"], target_path=f"{base}/b", n_buckets=8,
+    )
+    route_b.apply_batch(dml, batch_id=0)
+    return route_b.bind_target().read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_pflag"
+    )
+
+
+CDC_DDL_RELAY_CHAIN_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (SELECT max(seq) // 2 AS s FROM ev),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CASE WHEN seq > (SELECT s FROM half)
+            THEN substr(o_orderpriority, 1, 1) END AS o_pflag
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+QUERIES["cdc_ddl_relay_chain"] = cdc_ddl_relay_chain
+ORACLES["cdc_ddl_relay_chain"] = CDC_DDL_RELAY_CHAIN_ORACLE
+
+
+def cdc_scd2_dwell_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 HISTORY'S FIRST DERIVED CONSUMER (VERDICT r7 #4): per-key
+    version-count / dwell-time stats maintained INCREMENTALLY from the
+    history store's own change feed (ScdHistoryStatsMV — the
+    DerivedKeyedAggTable signed-delta discipline over a stats
+    projection of the version rows), so the retention floor stops
+    being a contract nobody downstream checks.  Two apply batches
+    (bootstrap + incremental CDF refresh), then ``expire_history`` at
+    the half-stream floor and one more refresh: the expiry deletes
+    retract their rows' contributions, so the stats converge to the
+    RETAINED range and the MV records the floor
+    (``assert_covers(floor)`` passes; below it raises — pytest covers
+    the raise).  The oracle derives the same per-key
+    (n_entries, n_closed, dwell, n_open) from scratch over the
+    retained history — hash-equal proves three incremental refreshes
+    (including one that is pure retraction) equal the one-shot
+    derivation.  Reference analog: state interpreted with the metadata
+    of the range it was built over (outputs/kafka/kafka.go:135-141)."""
+    import tempfile
+
+    from qin_cdc_spark.streaming.scd2 import ScdType2Table
+
+    base = gate_tmp("scd2_dwell_gate_")
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    scd = ScdType2Table(
+        spark, f"{base}/h", keys=["o_orderkey"], n_buckets=8
+    )
+    mv = scd.history_stats_mv(f"{base}/stats", n_buckets=8)
+    scd.apply_batch(decoded.filter(F.col("seq") <= s), batch_id=0)
+    mv.refresh()  # bootstrap
+    scd.apply_batch(decoded.filter(F.col("seq") > s), batch_id=1)
+    mv.refresh()  # incremental CDF fold
+    scd.expire_history(before=s)
+    mv.refresh()  # pure-retraction fold; records the floor
+    mv.assert_covers(s)  # the completeness contract the MV now carries
+    return materialized_without(mv.read(), base)
+
+
+CDC_SCD2_DWELL_MV_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+half AS (SELECT max(seq) // 2 AS s FROM ev),
+h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+  FROM ev
+),
+v AS (
+  SELECT o_orderkey, seq AS valid_from, valid_to
+  FROM h, half WHERE op <> 'delete' AND (valid_to IS NULL OR valid_to > s)
+)
+SELECT o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed,
+       CAST(coalesce(sum(CASE WHEN valid_to IS NOT NULL
+                               THEN valid_to - valid_from END), 0) AS BIGINT)
+         AS dwell,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open
+FROM v GROUP BY o_orderkey
+"""
+
+QUERIES["cdc_scd2_dwell_mv"] = cdc_scd2_dwell_mv
+ORACLES["cdc_scd2_dwell_mv"] = CDC_SCD2_DWELL_MV_ORACLE

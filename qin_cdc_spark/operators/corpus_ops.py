@@ -15,6 +15,8 @@ Scale notes per operator live on the functions.
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -766,7 +768,7 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the big sketch cache for a smaller but session-lifetime leak
     import tempfile
 
-    dest = tempfile.mkdtemp(prefix="kmv_gate_") + "/out"
+    dest = gate_tmp("kmv_gate_") + "/out"
     try:
         out.write.parquet(dest)
     finally:

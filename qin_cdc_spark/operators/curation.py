@@ -15,6 +15,8 @@ rounded to 9dp first so summation order can never flip results.
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
@@ -274,7 +276,7 @@ def dedup_decision_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both_even = (F.col("a") % 2 == 0) & (F.col("b") % 2 == 0)
     st = IncrementalClusterStore(
-        spark, tempfile.mkdtemp(prefix="decision_gate_") + "/cc", n_buckets=8
+        spark, gate_tmp("decision_gate_") + "/cc", n_buckets=8
     )
     st.apply_batch(pairs.filter(both_even), batch_id=0)
     st.apply_batch(pairs.filter(~both_even), batch_id=1)
@@ -1421,7 +1423,7 @@ def curation_dsir_topk(
     # can't see and so can never release)
     import tempfile
 
-    dest = tempfile.mkdtemp(prefix="dsir_gate_") + "/out"
+    dest = gate_tmp("dsir_gate_") + "/out"
     try:
         out.write.parquet(dest)
     finally:

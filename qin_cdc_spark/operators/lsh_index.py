@@ -30,6 +30,8 @@ north star); the maintenance pattern mirrors its schema-registry
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 import os
 import shutil
 import uuid
@@ -217,7 +219,7 @@ def dedup_minhash_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    idx = LshBandIndex(spark, tempfile.mkdtemp(prefix="lshidx_gate_") + "/idx")
+    idx = LshBandIndex(spark, gate_tmp("lshidx_gate_") + "/idx")
     idx.build(docs)
     cand = idx.candidate_pairs()
     sets = docs.select(

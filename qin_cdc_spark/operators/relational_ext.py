@@ -7,6 +7,8 @@ its DuckDB oracle, built-ins only, Catalyst-optimized.
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
@@ -466,7 +468,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     nation = load_table(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="jsonl_scan_") + "/nation"
+    path = gate_tmp("jsonl_scan_") + "/nation"
     nation.coalesce(1).write.mode("overwrite").json(path)
     return (
         spark.read.schema(nation.schema)
@@ -563,7 +565,7 @@ def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="part_scan_") + "/orders_by_status"
+    path = gate_tmp("part_scan_") + "/orders_by_status"
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(
@@ -583,7 +585,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     region = load_table(spark, sf_dir, "region")
-    path = tempfile.mkdtemp(prefix="csv_scan_") + "/region"
+    path = gate_tmp("csv_scan_") + "/region"
     region.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     return (
         spark.read.schema(region.schema)
@@ -630,7 +632,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     nation = load_table(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="orc_scan_") + "/nation"
+    path = gate_tmp("orc_scan_") + "/nation"
     nation.write.mode("overwrite").orc(path)
     return (
         spark.read.orc(path)

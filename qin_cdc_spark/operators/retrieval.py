@@ -29,6 +29,8 @@ Scale design
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -456,7 +458,7 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qin_cdc_spark.cdc.queries import landed_stream
 
-    base = tempfile.mkdtemp(prefix="bm25idx_gate_")
+    base = gate_tmp("bm25idx_gate_")
     ev = landed_stream(
         spark, sf_dir, "documents",
         lambda: documents_change_stream(spark, sf_dir),

@@ -17,6 +17,8 @@ bucketed join, salt distribution) live in tests/test_scale_joins.py.
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 import tempfile
 
 import pyspark.sql.functions as F
@@ -250,7 +252,7 @@ def scan_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB pattern for append-only fact tables queried by range.
     """
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="zonemap_") + "/orders_sorted"
+    path = gate_tmp("zonemap_") + "/orders_sorted"
     (
         orders.repartitionByRange(8, "o_orderkey")
         .sortWithinPartitions("o_orderkey")
@@ -400,7 +402,7 @@ def scan_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-order needs strictly fewer candidate files on both-dimension
     boxes than a 1-D sort."""
     d2 = _orders_2d(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="zorder_") + "/orders_z"
+    path = gate_tmp("zorder_") + "/orders_z"
     write_zorder_layout(d2, path)
     lo_day = d2.agg(F.min("order_day")).collect()[0][0]
     back = spark.read.parquet(path).filter(
@@ -445,7 +447,7 @@ ORACLES["scan_zorder_2d"] = ZORDER_2D_ORACLE
 def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
-    path = tempfile.mkdtemp(prefix="dpp_") + "/orders_by_month"
+    path = gate_tmp("dpp_") + "/orders_by_month"
     orders.withColumn("order_month", month).write.partitionBy(
         "order_month"
     ).parquet(path)
@@ -553,7 +555,7 @@ def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oracle filters the raw table); pruning is asserted in
     tests/test_scale_joins.py."""
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="bloom_") + "/orders_hashed"
+    path = gate_tmp("bloom_") + "/orders_hashed"
     orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(path)
     index = build_bloom_file_index(spark, path, "o_orderkey")
     # deterministic lookup set: the 5 smallest keys ≡ 3 (mod 7) — a

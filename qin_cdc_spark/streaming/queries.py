@@ -14,6 +14,8 @@ below have the same shuffle profile.
 
 from __future__ import annotations
 
+from qin_cdc_spark.testing import gate_tmp
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -330,7 +332,7 @@ def rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = RollupStore(
         spark,
-        tempfile.mkdtemp(prefix="rollup_gate_") + "/store",
+        gate_tmp("rollup_gate_") + "/store",
         keys=["event_type"],
         value_col="value_c",
         window_duration="1 hour",

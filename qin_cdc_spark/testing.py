@@ -66,3 +66,39 @@ def assert_matches_oracle(df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -
     dc, dh = canon_rows(duck_cols, duck_rows)
     assert sc == dc, f"row counts differ: spark={sc} duckdb={dc}"
     assert sh == dh, f"value hash mismatch over {sc} rows"
+
+
+# -- gate-query temp-store hygiene (VERDICT r7 "what's wrong" #2) ------------
+#
+# Store-building gate queries mkdtemp their stores and used to leak them:
+# a full 236-query run left GBs under /tmp.  They now allocate through
+# gate_tmp(), which DEFERS cleanup by one query: the previous gate's
+# trees delete when the NEXT query allocates (by then the prior query's
+# returned frame has been materialized by every harness — the driver,
+# check_correctness, pytest, and bench all consume a query's result
+# before invoking the next), and the final tree deletes at
+# cleanup_gate_tmp(), which the checker calls after the sweep.
+# Session-cached dirs (landed_stream, bucketed_tables) are deliberately
+# NOT routed through this — they are one-per-session by design.
+
+_GATE_TMP: list[str] = []
+
+
+def gate_tmp(prefix: str) -> str:
+    """mkdtemp for a gate query's temp stores, with deferred cleanup."""
+    import shutil
+    import tempfile
+
+    while _GATE_TMP:
+        shutil.rmtree(_GATE_TMP.pop(), ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _GATE_TMP.append(d)
+    return d
+
+
+def cleanup_gate_tmp() -> None:
+    """Remove the last gate query's temp stores (end-of-sweep hook)."""
+    import shutil
+
+    while _GATE_TMP:
+        shutil.rmtree(_GATE_TMP.pop(), ignore_errors=True)

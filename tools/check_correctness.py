@@ -152,6 +152,23 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if failures:
         print("failures:", " ".join(failures))
+    # gate temp-store hygiene: queries defer cleanup by one (gate_tmp);
+    # drop the final query's trees and assert nothing of ours remains
+    from qin_cdc_spark.testing import cleanup_gate_tmp
+
+    cleanup_gate_tmp()
+    import glob as _glob
+    import tempfile as _tempfile
+
+    leaked = [
+        d
+        for pat in ("*_gate_*", "*_scan_*", "zonemap_*", "zorder_*",
+                    "dpp_*", "bloom_*", "rollup_gate*")
+        for d in _glob.glob(str(Path(_tempfile.gettempdir()) / pat))
+    ]
+    if leaked:
+        print(f"WARN: {len(leaked)} gate temp trees left under /tmp: "
+              f"{leaked[:5]}")
     spark.stop()
     return 1 if n_fail else 0
 
