@@ -127,6 +127,14 @@ HEADLINE = [
     # cross-corpus MinHash decontamination: broadcast benchmark side,
     # zero train-side join shuffle
     "decontaminate_neardup",
+    # round 8 (appended, never reordered): DDL over the wire — two
+    # merges + two canal emissions (one with a schema-diff DDL control
+    # message) + registry evolution from the wire + second LWW apply
+    # under the evolved schema; and the SCD2 history stats MV — three
+    # incremental CDF refreshes (bootstrap, delta, pure retraction
+    # after history expiry)
+    "cdc_ddl_relay_chain",
+    "cdc_scd2_dwell_mv",
 ]
 
 

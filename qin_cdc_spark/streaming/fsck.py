@@ -317,12 +317,22 @@ def fsck_coordinator_path(
     still WIRE-reconstructible (compaction did not merge across a
     retained coordinate)."""
     rep = _report(path, "coordinator")
-    p = os.path.join(path, "_coordinates.json")
-    if not os.path.exists(p):
-        rep["errors"].append("no _coordinates.json")
+    from qin_cdc_spark.streaming.coordinator import COORD_LOG, COORD_META
+
+    if not (
+        os.path.exists(os.path.join(path, COORD_META))
+        or os.path.exists(os.path.join(path, COORD_LOG))
+    ):
+        rep["errors"].append("no _coordinates.json / _coordinates.log")
         return rep
-    meta = _load_json(p, rep)
-    if meta is None:
+    # the READER's own loader (base JSON + append-only log folded, the
+    # expiry floor applied) — fsck must audit what consumers will see
+    try:
+        from qin_cdc_spark.streaming.coordinator import load_coordinates
+
+        meta = load_coordinates(path)
+    except (OSError, ValueError) as e:
+        rep["errors"].append(f"meta unreadable: {e}")
         return rep
     batches = meta.get("batches")
     if not isinstance(batches, dict):
@@ -407,7 +417,9 @@ def fsck_path(path: str, *, deep: bool = False) -> dict:
         return fsck_partitioned_path(path, deep=deep)
     if os.path.exists(os.path.join(path, META_NAME)):
         return fsck_versioned_path(path, deep=deep)
-    if os.path.exists(os.path.join(path, "_coordinates.json")):
+    if os.path.exists(os.path.join(path, "_coordinates.json")) or os.path.exists(
+        os.path.join(path, "_coordinates.log")
+    ):
         return fsck_coordinator_path(path)
     if os.path.isdir(path) and any(
         _PUB_NAME.match(d) for d in os.listdir(path)

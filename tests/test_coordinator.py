@@ -561,3 +561,94 @@ def test_coordinator_crash_point_sweep(spark, tmp_path):
                     ).collect()
                 }
                 assert got == fold(n, b), ("wire", crash_after, b, n)
+
+class _FakeTable:
+    """current_version()-only stand-in: the scale microbench measures
+    the coordinator's OWN bookkeeping, no Spark anywhere."""
+
+    def __init__(self):
+        self.v = 0
+
+    def current_version(self):
+        return self.v
+
+
+def test_coordinator_append_only_scale(tmp_path):
+    """VERDICT r7 #6: a month-long 100 TB stream is ~1e5 batches ×
+    several routes — record() must stay O(1) per call at that history
+    length (the single-JSON layout re-read and rewrote the whole
+    manifest per record: quadratic).  Driver-side microbench: 1e5
+    records, then assert the marginal record cost is far under the
+    100 ms bound, a fresh loader folds the whole log, and expire
+    compacts it away."""
+    import time
+
+    tabs = {f"db.t{i}": _FakeTable() for i in range(4)}
+    coord = SnapshotCoordinator(str(tmp_path / "c"), tabs)
+    n = 100_000
+    t0 = time.time()
+    for b in range(n):
+        for t in tabs.values():
+            t.v += 1
+        coord.record(b)
+    total = time.time() - t0
+    assert total < 60, f"1e5 records took {total:.1f}s"
+    # marginal cost AT 1e5 entries: 100 more records
+    t1 = time.time()
+    for b in range(n, n + 100):
+        coord.record(b)
+    per = (time.time() - t1) / 100
+    assert per < 0.1, f"record() cost {per*1000:.1f} ms at 1e5 entries"
+    # a fresh reader folds base + log
+    c2 = SnapshotCoordinator(str(tmp_path / "c"), tabs)
+    assert len(c2.batches()) == n + 100
+    assert c2.versions_at(n + 99)["db.t0"] == n
+    # expire compacts: log gone, floor stamped, retained set exact
+    dropped = coord.expire(keep_last=50)
+    assert len(dropped) == n + 50
+    assert not (tmp_path / "c" / "_coordinates.log").exists()
+    c3 = SnapshotCoordinator(str(tmp_path / "c"), tabs)
+    assert c3.batches() == list(range(n + 50, n + 100))
+
+
+def test_coordinator_log_crash_windows(tmp_path):
+    """The append-only log's two crash windows: (a) a torn tail (crash
+    mid-append) is skipped by the loader and never swallows the
+    post-crash re-record; (b) a stale log surviving an expire's
+    base-publish (crash before log removal) cannot resurrect expired
+    coordinates — the floor filters them."""
+    import json
+    import os
+
+    tabs = {"db.t": _FakeTable()}
+    cpath = str(tmp_path / "c")
+    coord = SnapshotCoordinator(cpath, tabs)
+    for b in range(10):
+        tabs["db.t"].v += 1
+        coord.record(b)
+    log = os.path.join(cpath, "_coordinates.log")
+    # (a) torn tail: crash mid-append of batch 10
+    with open(log, "a") as f:
+        f.write('{"batch": 10, "coo')
+    fresh = SnapshotCoordinator(cpath, tabs)
+    assert fresh.batches() == list(range(10))  # torn line ignored
+    # the replayed batch re-records THROUGH the torn tail (healed, not
+    # concatenated) and a later loader sees it
+    tabs["db.t"].v += 1
+    fresh.record(10)
+    assert SnapshotCoordinator(cpath, tabs).batches() == list(range(11))
+    # (b) stale log after expire's publish: copy the log, expire
+    # (publishes base with floor, removes log), restore the old log
+    with open(log) as f:
+        stale = f.read()
+    fresh2 = SnapshotCoordinator(cpath, tabs)
+    dropped = fresh2.expire(keep_last=3)
+    assert dropped == list(range(8))
+    with open(log, "w") as f:
+        f.write(stale)  # the crash window: removal didn't happen
+    after = SnapshotCoordinator(cpath, tabs)
+    assert after.batches() == [8, 9, 10]  # floor blocks resurrection
+    # fsck reads the SAME loader: clean report on the composite layout
+    from qin_cdc_spark.streaming.fsck import fsck_coordinator_path, ok
+
+    assert ok(fsck_coordinator_path(cpath))
