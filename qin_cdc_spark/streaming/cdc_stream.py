@@ -536,7 +536,15 @@ class ParquetUpsertTable:
     def read_internal(self) -> DataFrame | None:
         if not self.exists():
             return None
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: after a mid-stream ADD COLUMN the bucketed
+        # table rewrites only TOUCHED buckets, so the directory is
+        # legitimately mixed-schema — without merging, Spark samples
+        # one file's schema and the new column can silently vanish
+        # from reads (and a later merge would rewrite touched buckets
+        # WITHOUT it: durable loss).  The versioned table already
+        # merges everywhere (versioned.py:167); same contract here.
+        # Cost is footer merging over O(n_buckets) files.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def merge(self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq") -> None:
         """LWW-merge a (op, seq, *cols) change batch into the table."""
@@ -609,7 +617,15 @@ class BucketedUpsertTable(ParquetUpsertTable):
     def read_internal(self) -> DataFrame | None:
         if not self.exists():
             return None
-        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+        # mergeSchema: after a mid-stream ADD COLUMN the bucketed
+        # table rewrites only TOUCHED buckets, so the directory is
+        # legitimately mixed-schema — without merging, Spark samples
+        # one file's schema and the new column can silently vanish
+        # from reads (and a later merge would rewrite touched buckets
+        # WITHOUT it: durable loss).  The versioned table already
+        # merges everywhere (versioned.py:167); same contract here.
+        # Cost is footer merging over O(n_buckets) files.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path).drop(self.BUCKET_COL)
 
     def read(self) -> DataFrame | None:
         full = self.read_internal()
@@ -640,14 +656,20 @@ class BucketedUpsertTable(ParquetUpsertTable):
         # steady-state path below stays touched-buckets-only.
         stored_types = {
             f.name: f.dataType
-            for f in self.spark.read.parquet(self.path).schema.fields
+            for f in self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
+            .schema.fields
         }
         type_changed = any(
             f.name in stored_types and stored_types[f.name] != f.dataType
             for f in incoming.schema.fields
         )
         if type_changed:
-            current_all = self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+            current_all = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
+                .drop(self.BUCKET_COL)
+            )
             union = _align_to_incoming(
                 current_all, incoming.drop(self.BUCKET_COL)
             ).unionByName(
@@ -665,7 +687,8 @@ class BucketedUpsertTable(ParquetUpsertTable):
                 r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()
             ]
             current = (
-                self.spark.read.parquet(self.path)
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
                 # partition pruning: only touched bucket dirs are scanned
                 .filter(F.col(self.BUCKET_COL).isin(touched))
             )

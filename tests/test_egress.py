@@ -717,3 +717,71 @@ def test_schema_change_ddl_round_trips_through_parser(spark):
         ("k", LongType()), ("v", DoubleType()), ("n", LongType()),
     ]
     assert schema_change_ddl("db1", "t1", cur, cur) is None
+
+def test_ddl_relay_through_structured_streaming(spark, tmp_path):
+    """The wire DDL path through the REAL streaming machinery: the
+    producer's egress feed (re-enveloped) replays as a file stream,
+    one publication per micro-batch; start_cdc_stream's registry leg
+    applies the op='ddl' row at the second batch's start and refreshes
+    the consumer route's schema BEFORE its DML decodes — the binlog
+    source's mid-stream add-column path, now fed from the wire."""
+    import os
+
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+    from qin_cdc_spark.streaming.cdc_stream import (
+        envelope_from_canal_egress,
+        read_store_egress_until,
+        start_cdc_stream,
+    )
+
+    route_a, schema2 = _ddl_chain(spark, tmp_path, "canal")
+    # one envelope parquet FILE per publication → one micro-batch each
+    env_dir = str(tmp_path / "env")
+    os.makedirs(env_dir)
+    for i, v_to in enumerate((1, 2)):
+        pub = read_store_egress_until(spark, route_a.egress_dir, v_to)
+        if i == 1:
+            # publication 2 alone (feed minus what batch 1 carried)
+            pub = pub.join(
+                read_store_egress_until(spark, route_a.egress_dir, 1),
+                ["key", "value"],
+                "left_anti",
+            )
+        envelope_from_canal_egress(pub).coalesce(1).write.parquet(
+            f"{env_dir}/b{i}", mode="overwrite"
+        )
+        os.rename(
+            next(
+                f"{env_dir}/b{i}/{f}"
+                for f in os.listdir(f"{env_dir}/b{i}")
+                if f.endswith(".parquet")
+            ),
+            f"{env_dir}/f{i}.parquet",
+        )
+    import shutil
+
+    shutil.rmtree(f"{env_dir}/b0")
+    shutil.rmtree(f"{env_dir}/b1")
+
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    stream = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(env_dir)
+    )
+    reg = SchemaRegistry()
+    reg.add("src", "t", _ev(spark, B1).drop("op", "seq").schema)
+    route_b = CdcStreamRoute(
+        spark, db="src", table="t", schema=reg.get("src", "t"), keys=["k"],
+        target_path=str(tmp_path / "sb"), n_buckets=4,
+    )
+    q = start_cdc_stream(
+        spark, stream, [route_b],
+        checkpoint_dir=str(tmp_path / "ckpt"), registry=reg,
+    )
+    q.awaitTermination()
+    # the registry evolved mid-stream from the wire DDL alone
+    assert [f.name for f in reg.get("src", "t").fields] == ["k", "v", "v2"]
+    got = {(r.k): (r.v, r.v2) for r in route_b.bind_target().read().collect()}
+    assert got == {1: ("a2", "x"), 2: ("b", None), 3: ("c", "y")}
