@@ -284,6 +284,33 @@ class VersionedBucketedTable:
             touched = [
                 str(r[0]) for r in incoming.select("_bucket").distinct().collect()
             ]
+            # MODIFY-column evolution is TABLE-WIDE (the flat table's
+            # rule, cdc_stream.py): parquet files are physically typed,
+            # so a touched-buckets-only rewrite would mint a manifest
+            # mixing e.g. string and double files for one column — and
+            # every mergeSchema read of it throws CANNOT_MERGE_SCHEMAS.
+            # When any shared column's type changed, this version
+            # rewrites EVERY current bucket (aligned to the incoming
+            # types); older versions keep their own uniform files, and
+            # CDF across the boundary reads each side separately.  The
+            # probe is one dir's footer (post-fix manifests are always
+            # type-uniform), driver-side.
+            if touched and cur_man["buckets"]:
+                probe_dir = next(iter(set(cur_man["buckets"].values())))
+                stored_types = {
+                    f.name: f.dataType
+                    for f in self.spark.read.parquet(
+                        os.path.join(self.path, probe_dir)
+                    ).schema.fields
+                }
+                if any(
+                    f.name in stored_types and stored_types[f.name] != f.dataType
+                    for f in incoming.schema.fields
+                    if f.name != "_bucket"
+                ):
+                    touched = sorted(
+                        set(touched) | set(cur_man["buckets"]), key=int
+                    )
             if not touched:
                 # empty batch: advance the replay guard, mint no snapshot
                 if batch_id is not None:
@@ -296,7 +323,13 @@ class VersionedBucketedTable:
                 if b in cur_man["buckets"]
             ]
             if cur_dirs:
-                current = self.spark.read.parquet(*cur_dirs)
+                # mergeSchema: after an ADD COLUMN, dirs written before
+                # the evolution legitimately lack the new column —
+                # sampling one file's schema here could silently drop
+                # it from the merge (the cdc_stream.py read contract)
+                current = self.spark.read.option("mergeSchema", "true").parquet(
+                    *cur_dirs
+                )
                 union = _align_to_incoming(
                     current.withColumn("_bucket", self._bucket_expr(nb)), incoming
                 ).unionByName(incoming, allowMissingColumns=True)

@@ -785,3 +785,68 @@ def test_ddl_relay_through_structured_streaming(spark, tmp_path):
     assert [f.name for f in reg.get("src", "t").fields] == ["k", "v", "v2"]
     got = {(r.k): (r.v, r.v2) for r in route_b.bind_target().read().collect()}
     assert got == {1: ("a2", "x"), 2: ("b", None), 3: ("c", "y")}
+
+def test_ddl_over_the_wire_modify_column(spark, tmp_path):
+    """MODIFY COLUMN through the chain: a string → double widening
+    propagates store → wire → store (consumer decode casts; the
+    type-evolution full-rewrite keeps every manifest type-uniform).
+    A column the upstream feed stops carrying is NOT a wire DROP —
+    the store's union-by-name evolution retains it (old rows keep
+    their values, new rows read null), and the emitted schema is the
+    STORE's, so the relay honestly mirrors that; `schema_change_ddl`'s
+    DROP spec exists for stores that physically shed a column (unit
+    round-trip test covers it)."""
+    from qin_cdc_spark.cdc.registry import SchemaRegistry
+    from qin_cdc_spark.streaming.cdc_stream import (
+        envelope_from_egress,
+        handle_ddl_rows,
+    )
+
+    c1 = spark.createDataFrame(
+        [("insert", 1, 1, "1.5", "x"), ("insert", 2, 2, "2.5", "y")],
+        "op string, seq long, k long, amt string, gone string",
+    )
+    s1 = c1.drop("op", "seq").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="t", schema=s1, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    route_a.apply_batch(envelope_from_typed(c1, db="src", table="t"), batch_id=0)
+    # upstream MODIFY amt -> double, DROP gone
+    c2 = spark.createDataFrame(
+        [("update", 3, 1, 9.25), ("insert", 4, 3, 3.5)],
+        "op string, seq long, k long, amt double",
+    )
+    route_a.schema = c2.drop("op", "seq").schema
+    route_a.apply_batch(envelope_from_typed(c2, db="src", table="t"), batch_id=1)
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1
+    assert ddl[0]["data"]["sql"] == (
+        "ALTER TABLE `src`.`t` MODIFY COLUMN `amt` double"
+    )
+    reg = SchemaRegistry()
+    reg.add("src", "t", s1)
+    dml = handle_ddl_rows(envelope_from_egress(route_a.read_egress()), reg)
+    evolved = reg.get("src", "t")
+    assert [(f.name, f.dataType.simpleString()) for f in evolved.fields] == [
+        ("k", "bigint"), ("amt", "double"), ("gone", "string"),
+    ]
+    route_b = CdcStreamRoute(
+        spark, db="src", table="t", schema=evolved, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    route_b.apply_batch(dml, batch_id=0)
+    got = {
+        (r.k): (r.amt, r.gone)
+        for r in route_b.bind_target().read().collect()
+    }
+    # pre-DDL rows decode their stringified amt under the widened type;
+    # the retained column keeps old rows' values, new rows read null —
+    # exactly the upstream store's state (relay fixed point)
+    assert got == {1: (9.25, None), 2: (2.5, "y"), 3: (3.5, None)}
+    assert got == {
+        (r.k): (r.amt, r.gone)
+        for r in route_a.bind_target().read().collect()
+    }

@@ -592,3 +592,48 @@ def test_gc_tombstones_random_interleaving_preserves_lww(spark, tmp_path):
         expect = {k: v for k, (s, v) in state.items() if v is not None}
         got = {r.id: r.val for r in tbl.read().collect()} if tbl.read() is not None else {}
         assert got == expect, f"round {rnd}: {got} != {expect}"
+
+def test_modify_column_type_rewrites_all_buckets(spark, tmp_path):
+    """MODIFY-column evolution on the versioned store: a batch whose
+    incoming type differs on a shared column rewrites EVERY current
+    bucket (the flat table's table-wide rule) — a touched-buckets-only
+    rewrite would mint a manifest mixing string and double files for
+    one column, and every mergeSchema read of it would throw
+    CANNOT_MERGE_SCHEMAS.  Old versions keep their own uniform files
+    (time travel intact); CDF across the boundary reads each side
+    separately."""
+    from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+
+    t = VersionedBucketedTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    v1 = t.merge(
+        spark.createDataFrame(
+            [("insert", 1, 1, "1.5"), ("insert", 2, 2, "2.5"),
+             ("insert", 3, 3, "3.5"), ("insert", 4, 4, "4.5")],
+            "op string, seq long, k long, amt string",
+        ),
+        batch_id=0,
+    )
+    man1 = t._meta()["versions"][str(v1)]["buckets"]
+    # widening batch touches ONE key; the rewrite must cover all buckets
+    v2 = t.merge(
+        spark.createDataFrame(
+            [("update", 5, 1, 9.25)], "op string, seq long, k long, amt double"
+        ),
+        batch_id=1,
+    )
+    man2 = t._meta()["versions"][str(v2)]["buckets"]
+    assert set(man1.values()).isdisjoint(set(man2.values()))  # all-new dirs
+    # current read is type-uniform double with stored values cast
+    cur = t.read()
+    assert dict(cur.dtypes)["amt"] == "double"
+    assert {(r.k, r.amt) for r in cur.collect()} == {
+        (1, 9.25), (2, 2.5), (3, 3.5), (4, 4.5)
+    }
+    # time travel: the old version reads its own uniform string files
+    old = t.read_at(v1)
+    assert dict(old.dtypes)["amt"] == "string"
+    assert old.count() == 4
+    # CDF across the type boundary: each side reads separately
+    cdf = t.changes_between(v1, v2, include_preimage=True)
+    ch = {(r.k, r._change) for r in cdf.collect()}
+    assert ch == {(1, "update")}
