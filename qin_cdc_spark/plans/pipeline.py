@@ -159,12 +159,26 @@ class Pipeline:
                 )
             if m.name in self.mviews:
                 raise ValueError(f"duplicate materialized view {m.name!r}")
-            mv = build_materialized_view(
-                spark,
-                os.path.join(target_root, "_mv", m.name),
-                m.mv_type,
-                m.config,
-            )
+            if m.mv_type == "scd2-stats":
+                # the SCD2 history's derived consumer: its source is
+                # the route's HISTORY store (not the target CDF), so
+                # it binds through the route rather than the factory
+                if route.history_path is None:
+                    raise ValueError(
+                        f"materialized view {m.name!r}: scd2-stats "
+                        "requires history = true on the router"
+                    )
+                mv = route.bind_history().history_stats_mv(
+                    os.path.join(target_root, "_mv", m.name),
+                    n_buckets=int(m.config.get("n-buckets", 32)),
+                )
+            else:
+                mv = build_materialized_view(
+                    spark,
+                    os.path.join(target_root, "_mv", m.name),
+                    m.mv_type,
+                    m.config,
+                )
             self.mviews[m.name] = (route, mv)
 
         # [coordinator] (engine extension): cross-table consistent

@@ -11,10 +11,15 @@ inside every micro-batch — no hand-written post_batch wiring:
     name = "orders_by_status"
     type = "agg"                       # agg | extrema | distinct |
     source-schema = "src"              # quantile | topk | keyed-agg |
-    source-table  = "orders"           # column-stats
+    source-table  = "orders"           # column-stats | gsi | scd2-stats
     [materialized-views.config]
     group-cols = ["o_orderstatus"]
     sum-cols   = ["price_c"]
+
+``type = "scd2-stats"`` (per-key version-count/dwell stats over the
+route's SCD2 history, scd2.py::ScdHistoryStatsMV) requires
+``history = true`` on the router and binds through the route's history
+store — the pipeline compiles it directly, not this factory.
 
 A declared view forces its route's target to be VERSIONED (the views
 refresh from the change data feed — there is nothing to refresh from

@@ -877,7 +877,12 @@ class ScdHistoryStatsMV:
         )
         self._source = _HistoryStatsSource(scd.store)
 
-    def refresh(self) -> int:
+    def refresh(self, source=None) -> int:
+        """Fold the history CDF since the last applied version.  The
+        ``source`` argument is accepted-and-ignored for protocol parity
+        with the derived-view family (the pipeline's mview hook passes
+        the route TARGET; this view's source is the bound history
+        store, fixed at construction)."""
         v = self.mv.refresh(self._source)
         fl = self.scd.history_floor()
         if fl and fl != int(self.mv.store.get_prop("history_floor", 0)):

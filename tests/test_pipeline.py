@@ -606,3 +606,90 @@ sum-cols = ["val"]
         str(coord.path), egress_dirs={"src.t": route.egress_dir}
     )
     assert ok(rep), rep["errors"]
+
+SCD2_STATS_CONFIG = """
+name = "scd2-stats-sync"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+history = true
+
+[[materialized-views]]
+name = "t_version_stats"
+type = "scd2-stats"
+source-schema = "src"
+source-table = "t"
+[materialized-views.config]
+n-buckets = 4
+"""
+
+
+def test_pipeline_declared_scd2_stats_view(spark, tmp_path):
+    """type = "scd2-stats" in [[materialized-views]]: the SCD2
+    history's derived consumer is DECLARED next to its route (requires
+    history = true) and refreshes inside every batch like the rest of
+    the view family — per-key version stats end equal to a recompute
+    over the route's own history."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+
+    schema = _parse_datatype_string("id long, val string")
+    pipe = compile_pipeline(
+        spark,
+        SCD2_STATS_CONFIG,
+        schemas={("src", "t"): schema},
+        primary_keys={("src", "t"): ["id"]},
+        target_root=str(tmp_path / "targets"),
+    )
+    assert set(pipe.mviews) == {"t_version_stats"}
+
+    def typed(rows):
+        return spark.createDataFrame(rows, "op string, seq long, id long, val string")
+
+    pipe.run_batch(envelope_from_typed(
+        typed([("insert", 1, 1, "a"), ("insert", 2, 2, "b")]),
+        db="src", table="t",
+    ))
+    pipe.run_batch(envelope_from_typed(
+        typed([("update", 3, 1, "a2"), ("delete", 4, 2, None)]),
+        db="src", table="t",
+    ))
+    got = {
+        r.id: (r.n_entries, r.n_closed, r.dwell, r.n_open)
+        for r in pipe.read_mview("t_version_stats").collect()
+    }
+    # id=1: [1,3) closed (dwell 2) + [3,·) open; id=2: [2,4) closed
+    assert got == {1: (2, 1, 2, 1), 2: (1, 1, 2, 0)}
+    # and equals a recompute over the route's own history
+    hist = pipe.routes[0].bind_history().read_history(include_markers=True)
+    expect = {}
+    for r in hist.collect():
+        e = expect.setdefault(r.id, [0, 0, 0, 0])
+        e[0] += 1
+        if r.valid_to is not None and r.valid_to > r.valid_from:
+            e[1] += 1
+            e[2] += r.valid_to - r.valid_from
+        if r.valid_to is None:
+            e[3] += 1
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    # declaring scd2-stats without history on the router is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="history = true"):
+        compile_pipeline(
+            spark,
+            SCD2_STATS_CONFIG.replace("history = true\n", ""),
+            schemas={("src", "t"): schema},
+            primary_keys={("src", "t"): ["id"]},
+            target_root=str(tmp_path / "targets2"),
+        )
