@@ -225,6 +225,7 @@ def cdf_json_messages(
     database: str,
     table_name: str,
     ts_epoch: int = 0,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """CDF EGRESS: re-emit a versioned table's change feed between two
     snapshots as reference-format Kafka messages — the CDC-relay loop
@@ -244,8 +245,11 @@ def cdf_json_messages(
     ``ts_epoch`` stamps the envelope ts (the relay's emission time in
     production; a deterministic literal here so the wire bytes are
     oracle-checkable).  Everything is JVM-side ``to_json`` — O(|CDF|)
-    with no Python in the path."""
-    cdf = table.changes_between(v_from, v_to, include_preimage=True)
+    with no Python in the path.  ``cdf`` lets the caller pass the
+    prebuilt change feed (emit_store_egress derives the schema sidecar
+    from the same frame — one schema inference, not two)."""
+    if cdf is None:
+        cdf = table.changes_between(v_from, v_to, include_preimage=True)
     keys = list(table.keys)
     value_cols = [
         c
@@ -303,6 +307,7 @@ def cdf_canal_messages(
     raw_types: dict[str, str] | None = None,
     event_ts_ms: int = 0,
     emit_ts_ms: int = 0,
+    cdf: DataFrame | None = None,
 ) -> DataFrame:
     """CDF egress in the aliyun_dts_canal wire format — the canal
     sibling of :func:`cdf_json_messages`: a versioned table's change
@@ -312,8 +317,9 @@ def cdf_canal_messages(
     as ``data``.  Timestamps are pinned (the snapshot diff has no
     binlog event time; a live relay stamps real ones) and ``id`` is 0
     for the same reason — the stream position is the (v_from, v_to)
-    snapshot pair."""
-    cdf = table.changes_between(v_from, v_to, include_preimage=True)
+    snapshot pair.  ``cdf``: see :func:`cdf_json_messages`."""
+    if cdf is None:
+        cdf = table.changes_between(v_from, v_to, include_preimage=True)
     keys = list(table.keys)
     value_cols = [
         c

@@ -137,16 +137,24 @@ def emit_store_egress(
         schema_change_ddl,
     )
 
+    cdf = store.changes_between(hwm, v_cur, include_preimage=True)
     if fmt == "canal":
         msgs = cdf_canal_messages(
-            store, hwm, v_cur, database=database, table_name=table_name
+            store, hwm, v_cur, database=database, table_name=table_name, cdf=cdf
         )
     else:
         msgs = cdf_json_messages(
-            store, hwm, v_cur, database=database, table_name=table_name
+            store, hwm, v_cur, database=database, table_name=table_name, cdf=cdf
         )
+    # the sidecar schema comes from the CDF's POSTIMAGE columns — the
+    # to-snapshot's schema, resolved by the same inference the message
+    # plan needs anyway.  A separate store.read().schema would re-infer
+    # over every current dir (a partitioned store unions ALL partitions
+    # — measured ~×1.4 on cdc_partitioned_drop_egress before this).
     cur_cols = [
-        [f.name, f.dataType.simpleString()] for f in store.read().schema.fields
+        [f.name, f.dataType.simpleString()]
+        for f in cdf.schema.fields
+        if f.name != "_change" and not f.name.startswith("_pre_")
     ]
     prev_cols = None
     cover = _egress_coverage(egress_dir)

@@ -132,13 +132,24 @@ class PartitionedVersionedTable:
         return s
 
     def _sub(self, pstr: str, gen: str) -> VersionedBucketedTable:
-        return VersionedBucketedTable(
-            self.spark,
-            os.path.join(self.path, f"p={pstr}", gen),
-            self.keys,
-            n_buckets=self.n_buckets,
-            **self.table_opts,
-        )
+        # cached per (partition, generation): the sub-store objects are
+        # stateless wrappers EXCEPT for per-object memos (the merge's
+        # type-probe signature) — recreating them per call would pay
+        # the probe once per merge instead of once per shape
+        cache = getattr(self, "_sub_cache", None)
+        if cache is None:
+            cache = {}
+            self._sub_cache = cache
+        key = (pstr, gen)
+        if key not in cache:
+            cache[key] = VersionedBucketedTable(
+                self.spark,
+                os.path.join(self.path, f"p={pstr}", gen),
+                self.keys,
+                n_buckets=self.n_buckets,
+                **self.table_opts,
+            )
+        return cache[key]
 
     def _manifest(self, version: int | None = None) -> dict:
         meta = self._meta()

@@ -293,9 +293,21 @@ class VersionedBucketedTable:
             # rewrites EVERY current bucket (aligned to the incoming
             # types); older versions keep their own uniform files, and
             # CDF across the boundary reads each side separately.  The
-            # probe is one dir's footer (post-fix manifests are always
-            # type-uniform), driver-side.
-            if touched and cur_man["buckets"]:
+            # probe (one dir's schema) is MEMOIZED per incoming
+            # signature: a steady-state stream merging the same shape
+            # pays it once per table object, not once per batch (a
+            # partitioned store merges one sub-store per partition —
+            # an unmemoized probe measurably taxed drop-egress).
+            inc_sig = tuple(
+                (f.name, str(f.dataType))
+                for f in incoming.schema.fields
+                if f.name != "_bucket"
+            )
+            if (
+                touched
+                and cur_man["buckets"]
+                and inc_sig != getattr(self, "_merge_sig", None)
+            ):
                 probe_dir = next(iter(set(cur_man["buckets"].values())))
                 stored_types = {
                     f.name: f.dataType
@@ -311,6 +323,10 @@ class VersionedBucketedTable:
                     touched = sorted(
                         set(touched) | set(cur_man["buckets"]), key=int
                     )
+                # after this merge the store's types match the incoming
+                # signature (aligned rewrite or already-equal) — probe
+                # again only when a DIFFERENT shape arrives
+                self._merge_sig = inc_sig
             if not touched:
                 # empty batch: advance the replay guard, mint no snapshot
                 if batch_id is not None:
