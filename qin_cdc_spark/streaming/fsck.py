@@ -287,6 +287,38 @@ def fsck_egress_dir(path: str) -> dict:
             )
             end = b
     rep["hwm"] = end
+    # schema sidecars (DDL-over-the-wire): a corrupt one is an error
+    # (the next emission's schema diff reads it); the coverage TAIL
+    # missing one — in a dir where other publications carry sidecars,
+    # so the feature is in use — disables DDL detection for the next
+    # emission (documented degrade): warn.  Dirs with no sidecars
+    # anywhere are pre-feature and stay silent.
+    tail_pub = None
+    cov_end = 0
+    for a, b, d in _egress_ranges_fs(path, _report(path, "egress")):
+        if a == cov_end and b > cov_end:
+            cov_end = b
+            tail_pub = d
+    have_sidecar: set[str] = set()
+    for d in sorted(os.listdir(path)):
+        if not os.path.isdir(os.path.join(path, d)) or ".stage-" in d:
+            continue
+        sp = os.path.join(path, d, "_egress_schema.json")
+        if os.path.exists(sp):
+            have_sidecar.add(d)
+            try:
+                with open(sp) as f:
+                    cols = json.load(f)["columns"]
+                if not isinstance(cols, list):
+                    raise ValueError("'columns' is not a list")
+            except (OSError, ValueError, KeyError) as e:
+                rep["errors"].append(f"corrupt schema sidecar in {d}: {e}")
+    if have_sidecar and tail_pub is not None and tail_pub not in have_sidecar:
+        rep["warnings"].append(
+            f"coverage tail {tail_pub} has no schema sidecar — the next "
+            "emission cannot detect a schema change (heals at the "
+            "emission after next)"
+        )
     return rep
 
 

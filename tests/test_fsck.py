@@ -360,3 +360,46 @@ def test_fsck_coordinator_corrupt_egress_section_reports_not_raises(tmp_path):
     assert not ok(rep)
     assert any("non-integer egress batch keys" in e for e in rep["errors"])
     assert any("stamps value is not a mapping" in e for e in rep["errors"])
+
+def test_fsck_egress_schema_sidecars(spark, tmp_path):
+    """Sidecar audit: corrupt _egress_schema.json is an error; the
+    coverage tail missing one (while other publications carry them) is
+    a warning — DDL detection degrades for exactly one emission;
+    sidecar-free (pre-feature) dirs stay silent."""
+    import json as _json
+    import os
+
+    from qin_cdc_spark.streaming.fsck import fsck_egress_dir, ok
+
+    eg = str(tmp_path / "eg")
+    for d in ("v0-2", "v2-5"):
+        _mkpub(eg, d)
+    # pre-feature dir: no sidecars anywhere → clean and silent
+    rep = fsck_egress_dir(eg)
+    assert ok(rep) and not rep["warnings"]
+    # feature in use, tail sidecar lost → warning
+    with open(os.path.join(eg, "v0-2", "_egress_schema.json"), "w") as f:
+        _json.dump({"columns": [["k", "bigint"]]}, f)
+    rep = fsck_egress_dir(eg)
+    assert ok(rep)
+    assert any("no schema sidecar" in w for w in rep["warnings"])
+    # corrupt sidecar → error
+    with open(os.path.join(eg, "v2-5", "_egress_schema.json"), "w") as f:
+        f.write("{broken")
+    rep = fsck_egress_dir(eg)
+    assert any("corrupt schema sidecar" in e for e in rep["errors"])
+    # a REAL emission's dir fscks clean (sidecar written atomically)
+    from qin_cdc_spark.cdc.envelope import envelope_from_typed
+    from qin_cdc_spark.streaming.cdc_stream import CdcStreamRoute
+
+    changes = spark.createDataFrame(
+        [("insert", 1, 1, "a")], "op string, seq long, k long, v string"
+    )
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=changes.drop("op", "seq").schema,
+        keys=["k"], target_path=str(tmp_path / "t"), n_buckets=2,
+        versioned=True, egress_format="default",
+    )
+    route.apply_batch(envelope_from_typed(changes, db="src", table="t"), batch_id=0)
+    rep = fsck_egress_dir(route.egress_dir)
+    assert ok(rep) and not rep["warnings"]
