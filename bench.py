@@ -492,6 +492,10 @@ def main() -> None:
             }
         )
     )
+    # drop the last gate query's temp stores (gate_tmp defers by one)
+    from qin_cdc_spark.testing import cleanup_gate_tmp
+
+    cleanup_gate_tmp()
     spark.stop()
 
 

@@ -26,3 +26,11 @@ def duck():
     from qin_cdc_spark.testing import duckdb_conn
 
     return duckdb_conn(SF_SMOKE)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Drop the LAST gate query's temp store trees (gate_tmp defers
+    cleanup by one query; everything earlier was already reclaimed)."""
+    from qin_cdc_spark.testing import cleanup_gate_tmp
+
+    cleanup_gate_tmp()
