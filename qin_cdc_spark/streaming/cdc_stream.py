@@ -544,15 +544,14 @@ class ParquetUpsertTable:
     def read_internal(self) -> DataFrame | None:
         if not self.exists():
             return None
-        # mergeSchema: after a mid-stream ADD COLUMN the bucketed
-        # table rewrites only TOUCHED buckets, so the directory is
-        # legitimately mixed-schema — without merging, Spark samples
-        # one file's schema and the new column can silently vanish
-        # from reads (and a later merge would rewrite touched buckets
-        # WITHOUT it: durable loss).  The versioned table already
-        # merges everywhere (versioned.py:167); same contract here.
-        # Cost is footer merging over O(n_buckets) files.
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        # PLAIN read is safe because merge() maintains the UNIFORM-DIR
+        # invariant: any schema-shape change (new column or changed
+        # type) triggers a full aligned rewrite, so every file in the
+        # directory always carries the same schema — one-file sampling
+        # can never drop an evolved column.  (A per-read mergeSchema
+        # was tried first and cost ~2× on the streaming CDC hot path:
+        # a footer-merge job per read per batch.)
+        return self.spark.read.parquet(self.path)
 
     def merge(self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq") -> None:
         """LWW-merge a (op, seq, *cols) change batch into the table."""
@@ -625,15 +624,14 @@ class BucketedUpsertTable(ParquetUpsertTable):
     def read_internal(self) -> DataFrame | None:
         if not self.exists():
             return None
-        # mergeSchema: after a mid-stream ADD COLUMN the bucketed
-        # table rewrites only TOUCHED buckets, so the directory is
-        # legitimately mixed-schema — without merging, Spark samples
-        # one file's schema and the new column can silently vanish
-        # from reads (and a later merge would rewrite touched buckets
-        # WITHOUT it: durable loss).  The versioned table already
-        # merges everywhere (versioned.py:167); same contract here.
-        # Cost is footer merging over O(n_buckets) files.
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path).drop(self.BUCKET_COL)
+        # PLAIN read is safe because merge() maintains the UNIFORM-DIR
+        # invariant: any schema-shape change (new column or changed
+        # type) triggers a full aligned rewrite, so every file in the
+        # directory always carries the same schema — one-file sampling
+        # can never drop an evolved column.  (A per-read mergeSchema
+        # was tried first and cost ~2× on the streaming CDC hot path:
+        # a footer-merge job per read per batch.)
+        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
     def read(self) -> DataFrame | None:
         full = self.read_internal()
@@ -656,28 +654,29 @@ class BucketedUpsertTable(ParquetUpsertTable):
             merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(self.path)
             return
 
-        # MODIFY-column type evolution: a type change is TABLE-WIDE —
-        # parquet files are physically typed, so rewriting only touched
-        # buckets would leave a mixed-type directory that breaks every
-        # later read (int files + binary files under one schema).  Fall
-        # back to a full aligned rewrite for exactly those batches; the
-        # steady-state path below stays touched-buckets-only.
+        # SCHEMA-SHAPE evolution is TABLE-WIDE: parquet files are
+        # physically typed, so rewriting only touched buckets after a
+        # MODIFY (type change) would mix int and binary files under one
+        # schema, and after an ADD COLUMN would leave the new column in
+        # some files and not others — either way one-file schema
+        # sampling breaks later reads (silent column loss) or mergeSchema
+        # breaks outright (CANNOT_MERGE_SCHEMAS).  A shape-changing
+        # batch therefore does a full aligned rewrite, keeping the
+        # UNIFORM-DIR invariant that lets every read stay a plain (no
+        # footer-merge job) parquet read; the steady-state path below
+        # stays touched-buckets-only.  The probe is the plan schema of
+        # a plain read — uniform dir by invariant, no data scan.
         stored_types = {
             f.name: f.dataType
-            for f in self.spark.read.option("mergeSchema", "true")
-            .parquet(self.path)
-            .schema.fields
+            for f in self.spark.read.parquet(self.path).schema.fields
         }
-        type_changed = any(
-            f.name in stored_types and stored_types[f.name] != f.dataType
+        shape_changed = any(
+            f.name not in stored_types or stored_types[f.name] != f.dataType
             for f in incoming.schema.fields
+            if f.name != self.BUCKET_COL
         )
-        if type_changed:
-            current_all = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(self.path)
-                .drop(self.BUCKET_COL)
-            )
+        if shape_changed:
+            current_all = self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
             union = _align_to_incoming(
                 current_all, incoming.drop(self.BUCKET_COL)
             ).unionByName(
@@ -695,15 +694,14 @@ class BucketedUpsertTable(ParquetUpsertTable):
                 r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()
             ]
             current = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(self.path)
+                self.spark.read.parquet(self.path)
                 # partition pruning: only touched bucket dirs are scanned
                 .filter(F.col(self.BUCKET_COL).isin(touched))
             )
-            # allowMissingColumns: same schema-evolution contract as the flat
-            # table — a batch decoded under a newer schema merges into an
-            # older table (old rows take NULL for added columns); type
-            # alignment covers MODIFY-column widening
+            # allowMissingColumns: an incoming batch missing a STORED
+            # column keeps it (new rows read null) without breaking the
+            # uniform-dir invariant; added/retyped columns never reach
+            # this path (shape_changed full rewrite above)
             union = _align_to_incoming(current, incoming).unionByName(
                 incoming.filter(F.col(self.BUCKET_COL).isin(touched)),
                 allowMissingColumns=True,
