@@ -1252,3 +1252,58 @@ def test_bootstrap_then_stream_with_overlap(spark, tmp_path):
 
     assert final(10) == {1: "v2"}  # watermark seed: stale insert loses
     assert final(-1) == {1: "v1"}  # sentinel seed: silent regression
+
+def test_bucketed_table_uniform_dir_invariant(spark, tmp_path):
+    """The bucketed target's UNIFORM-DIR invariant: a schema-shape
+    change (ADD COLUMN here) triggers the full aligned rewrite, so
+    every parquet file in the directory carries the same schema —
+    one-file schema sampling (the plain read) can never drop an
+    evolved column, and no read needs a footer-merge job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from qin_cdc_spark.streaming.cdc_stream import BucketedUpsertTable
+
+    t = BucketedUpsertTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, 1, "a"), ("insert", 2, 2, "b"),
+         ("insert", 3, 3, "c"), ("insert", 4, 4, "d")],
+        "op string, seq long, k long, v string",
+    ))
+    # add-column batch touches ONE key; the invariant demands every
+    # file in the dir end up carrying v2
+    t.merge(spark.createDataFrame(
+        [("update", 5, 1, "a2", "x")],
+        "op string, seq long, k long, v string, v2 string",
+    ))
+    schemas = set()
+    for root, _dirs, files in os.walk(str(tmp_path / "t")):
+        for f in files:
+            if f.endswith(".parquet"):
+                schemas.add(
+                    tuple(pq.read_schema(os.path.join(root, f)).names)
+                )
+    assert len(schemas) == 1 and "v2" in next(iter(schemas))
+    got = {(r.k): (r.v, r.v2) for r in t.read().collect()}
+    assert got == {
+        1: ("a2", "x"), 2: ("b", None), 3: ("c", None), 4: ("d", None)
+    }
+    # steady state after the evolution: a same-shape batch goes back to
+    # touched-buckets-only (other buckets' files unchanged on disk)
+    before = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(str(tmp_path / "t"))
+        for f in fs if f.endswith(".parquet")
+    }
+    t.merge(spark.createDataFrame(
+        [("update", 6, 1, "a3", "y")],
+        "op string, seq long, k long, v string, v2 string",
+    ))
+    after = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(str(tmp_path / "t"))
+        for f in fs if f.endswith(".parquet")
+    }
+    untouched = [p for p in before if p in after]
+    assert untouched, "untouched buckets must share files across merges"
