@@ -363,6 +363,60 @@ def parse_ddl(sql: str, default_db: str) -> list[ParsedDdl]:
     return results
 
 
+def evolve_simple_cols(
+    cols: list, sql: str, db: str, table: str
+) -> list:
+    """Apply a raw DDL statement to a ``[[name, spark simpleString]]``
+    column list, TOLERANTLY (idempotent re-application is a no-op):
+    the egress emitter evolves the previous publication's sidecar
+    schema through the verbatim-forwarded statements to compute the
+    RESIDUAL diff — any schema movement the forwarded DDL does not
+    explain still emits as a synthesized ALTER, so the consumer's
+    registry can never silently diverge from the producer store."""
+    out = [list(c) for c in cols]
+
+    def _idx(name: str) -> int | None:
+        for i, (n, _dt) in enumerate(out):
+            if n == name:
+                return i
+        return None
+
+    for parsed in parse_ddl(sql, db):
+        if (parsed.db, parsed.table) != (db, table):
+            continue
+        for op in parsed.ops:
+            ops = (
+                [
+                    DdlOp(action="modify-column", column=op.column, dtype=op.dtype),
+                    DdlOp(action="rename-column", column=op.column, new_name=op.new_name),
+                ]
+                if op.action == "change-column"
+                else [op]
+            )
+            for o in ops:
+                if o.action == "add-column":
+                    if _idx(o.column) is None:
+                        out.append([o.column, o.dtype.simpleString()])
+                elif o.action == "drop-column":
+                    i = _idx(o.column)
+                    if i is not None:
+                        out.pop(i)
+                elif o.action == "modify-column":
+                    i = _idx(o.column)
+                    if i is not None:
+                        out[i][1] = o.dtype.simpleString()
+                elif o.action == "rename-column":
+                    i = _idx(o.column)
+                    if i is not None and _idx(o.new_name) is None:
+                        out[i][0] = o.new_name
+                elif o.action == "create-table" and o.schema is not None:
+                    out = [
+                        [f.name, f.dataType.simpleString()] for f in o.schema.fields
+                    ]
+                # table-level ops are schema-neutral for a column list
+    return out
+
+
 def apply_raw_ddl(registry, sql: str, default_db: str) -> list[tuple[str, str]]:
     """Parse raw DDL and apply every op to the registry; returns the
     (db, table) pairs touched.  ``change-column`` decomposes into

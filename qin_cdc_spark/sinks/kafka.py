@@ -362,8 +362,15 @@ def cdf_canal_messages(
 # Spark simpleString dtype → the MySQL column type emitted into
 # synthesized DDL.  Inverse of cdc/ddl_parse.py::mysql_type_to_spark on
 # the types the engine round-trips (decimal(p,s) passes through
-# verbatim); boolean degrades to tinyint (MySQL has no boolean — the
-# same lossy edge every MySQL CDC pipeline carries).
+# verbatim).  Two documented LOSSY-TYPE edges (ADVICE r8) — both chosen
+# so VALUES survive the wire even where the type widens:
+# * byte → tinyint, which the parser reads back as ShortType (the
+#   reference's own tinyint mapping) — byte values cast to short
+#   losslessly; the consumer's column is one width wider.
+# * boolean → varchar(255): MySQL has no boolean, and the old
+#   boolean→tinyint mapping NULLED every value downstream (the wire
+#   stringifies booleans as "true"/"false", which cast-to-short drops)
+#   — string keeps the values verbatim at the cost of the type.
 _SPARK_TO_MYSQL = {
     "bigint": "bigint",
     "long": "bigint",
@@ -372,20 +379,79 @@ _SPARK_TO_MYSQL = {
     "smallint": "smallint",
     "short": "smallint",
     "tinyint": "tinyint",
+    "byte": "tinyint",
     "float": "float",
     "double": "double",
     "date": "date",
     "timestamp": "datetime",
     "binary": "blob",
     "string": "varchar(255)",
-    "boolean": "tinyint",
+    "boolean": "varchar(255)",
 }
 
 
 def mysql_type_of(dtype_simple: str) -> str:
     if dtype_simple.startswith("decimal"):
         return dtype_simple
+    # complex types cannot round-trip through MySQL DDL: emitting
+    # varchar(255) would silently evolve a relay consumer's registry to
+    # string while the producer keeps array/struct/map — schema
+    # divergence a hash check only catches much later.  Fail at the
+    # point of synthesis instead (ADVICE r8).
+    if dtype_simple.startswith(("array<", "struct<", "map<")):
+        raise ValueError(
+            f"cannot synthesize MySQL DDL for complex type {dtype_simple!r} "
+            "— a schema change adding/retyping a non-atomic column is not "
+            "expressible on the reference wire format"
+        )
     return _SPARK_TO_MYSQL.get(dtype_simple, "varchar(255)")
+
+
+def render_alter_ops(database: str, table_name: str, ops: list) -> str | None:
+    """Render parsed column-level ``DdlOp``s back into ONE canonical
+    ALTER statement in the engine's own round-trip dialect — the
+    verbatim-forwarding half of DDL-over-the-wire (VERDICT r8 #1):
+    where ``schema_change_ddl`` re-DERIVES a name-based diff (renames
+    degrade to DROP+ADD), this re-renders the upstream statement's
+    intent, so RENAME/CHANGE COLUMN cross the wire as renames and the
+    consumer's historical values survive.  Canonical form also lets the
+    egress emitter re-qualify the table name when a route re-routes
+    (``ALTER TABLE `db`.`t` <specs>`` — a fixed prefix).  FIRST/AFTER
+    positions are dropped (consumers union by name; same rule as the
+    diff path).  Returns None when no op is renderable."""
+    specs = []
+    for op in ops:
+        if op.action == "add-column":
+            specs.append(
+                f"ADD COLUMN `{op.column}` {mysql_type_of(op.dtype.simpleString())}"
+            )
+        elif op.action == "modify-column":
+            specs.append(
+                f"MODIFY COLUMN `{op.column}` {mysql_type_of(op.dtype.simpleString())}"
+            )
+        elif op.action == "drop-column":
+            specs.append(f"DROP COLUMN `{op.column}`")
+        elif op.action == "rename-column":
+            specs.append(f"RENAME COLUMN `{op.column}` TO `{op.new_name}`")
+        elif op.action == "change-column":
+            specs.append(
+                f"CHANGE COLUMN `{op.column}` `{op.new_name}` "
+                f"{mysql_type_of(op.dtype.simpleString())}"
+            )
+    if not specs:
+        return None
+    return f"ALTER TABLE `{database}`.`{table_name}` " + ", ".join(specs)
+
+
+def requalify_alter(sql: str, database: str, table_name: str) -> str:
+    """Swap a canonical ALTER's table qualifier for the egress names —
+    a producer route may publish under a re-routed (database, table),
+    and the forwarded DDL must name what the DML messages name."""
+    import re
+
+    m = re.match(r"^ALTER TABLE `[^`]*`\.`[^`]*` (.*)$", sql, re.S)
+    specs = m.group(1) if m else sql
+    return f"ALTER TABLE `{database}`.`{table_name}` {specs}"
 
 
 def schema_change_ddl(

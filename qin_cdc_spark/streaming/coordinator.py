@@ -201,11 +201,20 @@ class SnapshotCoordinator:
             from qin_cdc_spark.streaming.cdc_stream import egress_hwm
 
             if self._prev_hwm is None:
+                # seed from the retained stamps PLUS the compacted-base
+                # floor ``egress_hwm`` (persisted by expire — without it,
+                # expire(keep_last=0) or a long-idle table would reseed
+                # at 0 and the next stamp would claim v_from=0, naming a
+                # replay window wider than what was actually emitted)
                 eg0 = meta.get("egress", {})
+                base_hwm = meta.get("egress_hwm", {})
                 self._prev_hwm = {
                     name: max(
-                        (r[name][1] for r in eg0.values() if name in r),
-                        default=0,
+                        int(base_hwm.get(name, 0)),
+                        max(
+                            (r[name][1] for r in eg0.values() if name in r),
+                            default=0,
+                        ),
                     )
                     for name in self.egress_dirs
                 }
@@ -339,6 +348,17 @@ class SnapshotCoordinator:
         meta = self._meta()
         bs = sorted(int(b) for b in meta["batches"])
         drop = bs[:-keep_last] if keep_last > 0 else bs
+        # persist each table's last emitted hwm BEFORE dropping stamps
+        # (ADVICE r8): with every egress entry expired (keep_last=0, or
+        # a long-idle table) the next record() would otherwise reseed
+        # _prev_hwm at 0 and stamp v_from=0 — a consumer deriving a
+        # replay window from that stamp over-reads the feed (idempotent
+        # under LWW, but the stamp no longer names the emitted range).
+        if meta.get("egress"):
+            hwms = meta.setdefault("egress_hwm", {})
+            for stamp in meta["egress"].values():
+                for name, r in stamp.items():
+                    hwms[name] = max(int(hwms.get(name, 0)), int(r[1]))
         for b in drop:
             del meta["batches"][str(b)]
             meta.get("egress", {}).pop(str(b), None)

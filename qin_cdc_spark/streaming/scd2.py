@@ -163,6 +163,23 @@ class ScdType2Table:
             bucket_cols=self.keys,
         )
 
+    def rename_columns(self, mapping: dict[str, str]) -> int:
+        """Upstream RENAME COLUMN applied to the history store —
+        historical versions keep their values under the new name (the
+        same value-preserving contract as the target tables; the route
+        applies both sides from one DDL row).  The interval columns are
+        engine bookkeeping, never upstream columns — renaming them is
+        refused.  Business-key renames follow through ``keys`` and the
+        store's bucket placement (value-hashed: no row moves)."""
+        if "valid_from" in mapping or "valid_to" in mapping:
+            raise ValueError(
+                "rename_columns: valid_from/valid_to are engine interval "
+                "columns, not renameable upstream columns"
+            )
+        v = self.store.rename_columns(mapping)
+        self.keys = [mapping.get(k, k) for k in self.keys]
+        return v
+
     # -- reads ---------------------------------------------------------------
 
     def read_history(self, *, include_markers: bool = False) -> DataFrame | None:
@@ -882,12 +899,22 @@ class ScdHistoryStatsMV:
         ``source`` argument is accepted-and-ignored for protocol parity
         with the derived-view family (the pipeline's mview hook passes
         the route TARGET; this view's source is the bound history
-        store, fixed at construction)."""
-        v = self.mv.refresh(self._source)
+        store, fixed at construction).
+
+        The source's retention floor records BEFORE the state flip
+        (ADVICE r8): the two writes aren't atomic, and a crash between
+        them must land on the safe side — floor recorded, retractions
+        not yet folded ⇒ ``assert_covers`` OVER-claims incompleteness
+        (raises for a range the stats could still answer, heals on the
+        next refresh).  The old order (state first, floor second) left
+        a window where stats had already retracted expired versions
+        while ``floor()`` still read the old value, so ``assert_covers``
+        passed for ranges the stats no longer covered — defeating the
+        loud-completeness contract this MV exists for."""
         fl = self.scd.history_floor()
         if fl and fl != int(self.mv.store.get_prop("history_floor", 0)):
             self.mv.store.set_prop("history_floor", int(fl))
-        return v
+        return self.mv.refresh(self._source)
 
     def floor(self) -> int:
         """The retention floor the stats were built over (0 = full

@@ -622,6 +622,15 @@ class VersionedBucketedTable:
         b = self.read_internal(v_to)
         if b is None:
             raise ValueError("changes_between: v_to snapshot is empty")
+        if a is not None:
+            # align the pre side through any column renames recorded in
+            # (v_from, v_to]: the key join stays well-formed when a KEY
+            # was renamed, and preimages land under the POST names
+            # (_pre_<new>) so update messages keep their old values
+            # instead of nulling the renamed column
+            for old, new in self.renames_between(v_from, v_to).items():
+                if old in a.columns:
+                    a = a.withColumnRenamed(old, new)
         b_live = b.filter(~F.col("_deleted")).select(
             *[F.col(c) for c in b.columns if c != "_deleted"]
         ).withColumnRenamed("_seq", "_seq_to")
@@ -737,6 +746,130 @@ class VersionedBucketedTable:
         new_v = meta["current"] + 1
         meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
         meta["current"] = new_v
+        self._publish(meta)
+        return new_v
+
+    # -- verbatim-DDL ledger (rename fidelity over the wire) ----------------
+
+    def attach_ddl(self, sqls: list[str]) -> None:
+        """Record upstream DDL statements against the CURRENT version —
+        the durable half of verbatim DDL forwarding (VERDICT r8 #1):
+        the egress emitter replays these over the wire instead of
+        re-deriving a name-based diff, so an upstream RENAME COLUMN
+        crosses as a rename (values intact downstream), not DROP+ADD.
+        The ledger lives in the manifest (``ddl_log``: [version, sql]
+        pairs), so it survives restarts and gc() — statements are rare
+        and tiny, so the log is unbounded by design.  Idempotent under
+        replay: an already-recorded (version, sql) pair is skipped."""
+        if not sqls:
+            return
+        meta = self._meta()
+        v = meta["current"]
+        log = meta.setdefault("ddl_log", [])
+        add = []
+        for s in sqls:
+            if [v, s] not in log and [v, s] not in add:
+                add.append([v, s])
+        if add:
+            log.extend(add)
+            self._publish(meta)
+
+    def ddl_between(self, v_from: int, v_to: int) -> list[str]:
+        """Verbatim DDL statements recorded by versions in
+        ``(v_from, v_to]``, in application order — what an egress
+        emission covering that range forwards as control messages."""
+        return [
+            s for v, s in self._meta().get("ddl_log", []) if v_from < v <= v_to
+        ]
+
+    def renames_between(self, v_from: int, v_to: int) -> dict[str, str]:
+        """Cumulative old→new column mapping applied by rename versions
+        in ``(v_from, v_to]`` (chains collapse: a→b then b→c gives
+        a→c).  Recorded top-level in the manifest (``renames``) so gc()
+        of the intermediate versions cannot lose the alignment a CDF
+        across the boundary needs."""
+        out: dict[str, str] = {}
+        for v, ren in self._meta().get("renames", []):
+            if not (v_from < v <= v_to):
+                continue
+            for old, new in ren.items():
+                src = next((k for k, t in out.items() if t == old), None)
+                if src is not None:
+                    out[src] = new
+                else:
+                    out[old] = new
+        return out
+
+    def rename_columns(self, mapping: dict[str, str]) -> int:
+        """Column rename as a NEW version: the current snapshot
+        rewrites under the new names (parquet matches columns by name,
+        so a metadata-only rename would split old/new dirs into two
+        columns under mergeSchema), older versions keep their dirs and
+        their old names (time travel stays honest), and the rename
+        records top-level so ``changes_between`` across the boundary
+        aligns the pre side before diffing.  Key columns may be renamed
+        — ``keys``/``bucket_cols``/``sort_cols``/``bloom_cols`` follow,
+        and bucket placement is value-hashed so no row moves.
+
+        Idempotent under at-least-once replay: entries whose old name
+        is already gone AND whose new name is present are skipped; if
+        nothing is left to do, no version is minted.  Cost: O(current
+        snapshot) — ONE full rewrite, the same class as rebucket; on a
+        production Delta/Iceberg target a rename is metadata-only
+        (column IDs) and this rewrite disappears.  Reference analog:
+        DDL mutates the Table struct, never data
+        (metas/mysql_ddl_parse.go:99-376)."""
+        meta = self._meta()
+        full = self.read_internal()
+        if full is None:
+            raise ValueError(f"rename_columns: no current snapshot at {self.path}")
+        cols = set(full.columns)
+        effective = {}
+        for old, new in mapping.items():
+            if old in cols:
+                if new in cols:
+                    raise ValueError(
+                        f"rename_columns: target column {new!r} already exists"
+                    )
+                effective[old] = new
+            elif new not in cols:
+                raise ValueError(
+                    f"rename_columns: column {old!r} not found (and {new!r} "
+                    "absent — not an already-applied replay)"
+                )
+            # old absent + new present: already applied (replay) — skip
+        self.keys = [mapping.get(k, k) for k in self.keys]
+        self.bucket_cols = [mapping.get(k, k) for k in self.bucket_cols]
+        self.sort_cols = [mapping.get(k, k) for k in self.sort_cols]
+        self.bloom_cols = [mapping.get(k, k) for k in self.bloom_cols]
+        if not effective:
+            return meta["current"]
+        man = meta["versions"][str(meta["current"])]
+        nb = self._manifest_n_buckets(man)
+        rows = full
+        for old, new in effective.items():
+            rows = rows.withColumnRenamed(old, new)
+        rows = rows.withColumn("_bucket", self._bucket_expr(nb))
+        rows = self._cluster(rows.repartition(nb, F.col("_bucket")))
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
+        rows.write.partitionBy("_bucket").parquet(stage)
+        new_buckets: dict[str, str] = {}
+        new_dnames = []
+        for b in range(nb):
+            src = os.path.join(stage, f"_bucket={b}")
+            if os.path.isdir(src):
+                dname = f"d-{uuid.uuid4().hex[:12]}"
+                os.rename(src, os.path.join(self.path, dname))
+                new_buckets[str(b)] = dname
+                new_dnames.append(dname)
+        shutil.rmtree(stage, ignore_errors=True)
+        self._write_blooms(new_dnames)
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
+        meta["current"] = new_v
+        meta.setdefault("renames", []).append([new_v, effective])
+        # a rename invalidates the memoized merge-shape probe
+        self._merge_sig = None
         self._publish(meta)
         return new_v
 

@@ -82,18 +82,57 @@ def assert_matches_oracle(df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -
 # NOT routed through this — they are one-per-session by design.
 
 _GATE_TMP: list[str] = []
+_GATE_TMP_SCOPED = 0
 
 
 def gate_tmp(prefix: str) -> str:
-    """mkdtemp for a gate query's temp stores, with deferred cleanup."""
+    """mkdtemp for a gate query's temp stores, with deferred cleanup.
+
+    CONTRACT: the caller of one gate query materializes its returned
+    frame before invoking the next (true of the driver, the checker,
+    pytest, and bench).  A caller that COMPOSES two live gate frames
+    (builds query B's plan before collecting query A's result) must
+    wrap the composition in :func:`gate_tmp_scope` — otherwise B's
+    allocation deletes A's stores out from under A's lazy plan
+    (ADVICE r8: the consume-before-next contract is now enforceable,
+    not just documented)."""
     import shutil
     import tempfile
 
-    while _GATE_TMP:
-        shutil.rmtree(_GATE_TMP.pop(), ignore_errors=True)
+    if not _GATE_TMP_SCOPED:
+        while _GATE_TMP:
+            shutil.rmtree(_GATE_TMP.pop(), ignore_errors=True)
     d = tempfile.mkdtemp(prefix=prefix)
     _GATE_TMP.append(d)
     return d
+
+
+def gate_tmp_scope():
+    """Context manager suspending gate_tmp's deferred deletion: every
+    tree allocated inside the scope survives until scope exit (so two
+    gate queries' frames can be composed/collected together), then all
+    of them delete at once.  Pending trees from BEFORE the scope are
+    flushed on entry — by the normal contract their query has already
+    been consumed."""
+    import contextlib
+    import shutil
+
+    @contextlib.contextmanager
+    def _scope():
+        global _GATE_TMP_SCOPED
+        if not _GATE_TMP_SCOPED:  # nested scopes must not flush the outer's
+            while _GATE_TMP:
+                shutil.rmtree(_GATE_TMP.pop(), ignore_errors=True)
+        _GATE_TMP_SCOPED += 1
+        try:
+            yield
+        finally:
+            _GATE_TMP_SCOPED -= 1
+            if not _GATE_TMP_SCOPED:
+                while _GATE_TMP:
+                    shutil.rmtree(_GATE_TMP.pop(), ignore_errors=True)
+
+    return _scope()
 
 
 def cleanup_gate_tmp() -> None:

@@ -652,3 +652,34 @@ def test_coordinator_log_crash_windows(tmp_path):
     from qin_cdc_spark.streaming.fsck import fsck_coordinator_path, ok
 
     assert ok(fsck_coordinator_path(cpath))
+
+
+def test_egress_stamp_vfrom_survives_full_expire(tmp_path):
+    """ADVICE r8: _prev_hwm seeds from the retained egress stamps, so
+    after expire() drops every egress entry (keep_last=0, or a
+    long-idle table) the next stamp would claim v_from=0 instead of
+    the true prior publication hwm — a consumer deriving a replay
+    window from the stamp would over-read the feed.  expire() now
+    persists each table's last emitted hwm into the compacted base."""
+    import os
+
+    tabs = {"db.t": _FakeTable()}
+    eg = str(tmp_path / "eg")
+    os.makedirs(eg)
+    cpath = str(tmp_path / "c")
+    coord = SnapshotCoordinator(cpath, tabs, egress_dirs={"db.t": eg})
+    tabs["db.t"].v = 3
+    os.makedirs(os.path.join(eg, "v0-3"))
+    coord.record(0)
+    tabs["db.t"].v = 5
+    os.makedirs(os.path.join(eg, "v3-5"))
+    coord.record(1)
+    assert coord.egress_at(1) == {"db.t": (3, 5)}
+    coord.expire(keep_last=0)  # every stamp gone
+    # fresh writer (cold caches, the restart case): the next stamp must
+    # start where the last publication actually ended
+    c2 = SnapshotCoordinator(cpath, tabs, egress_dirs={"db.t": eg})
+    tabs["db.t"].v = 8
+    os.makedirs(os.path.join(eg, "v5-8"))
+    c2.record(2)
+    assert c2.egress_at(2) == {"db.t": (5, 8)}

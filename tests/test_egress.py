@@ -718,6 +718,29 @@ def test_schema_change_ddl_round_trips_through_parser(spark):
     ]
     assert schema_change_ddl("db1", "t1", cur, cur) is None
 
+
+def test_mysql_type_of_lossy_edges_and_complex_refusal():
+    """ADVICE r8: the synthesized-DDL type map must keep VALUES alive
+    across the wire even where the type widens, and refuse non-atomic
+    types instead of silently degrading the consumer to varchar."""
+    import pytest as _pytest
+
+    from qin_cdc_spark.cdc.ddl_parse import mysql_type_to_spark
+    from qin_cdc_spark.sinks.kafka import mysql_type_of
+
+    # byte: widens to the parser's tinyint→short (values survive a cast)
+    assert mysql_type_of("byte") == "tinyint"
+    assert mysql_type_to_spark(mysql_type_of("byte")).simpleString() == "smallint"
+    # boolean: the wire stringifies true/false, which cast-to-short
+    # nulls — string keeps values verbatim at the cost of the type
+    assert mysql_type_of("boolean") == "varchar(255)"
+    assert mysql_type_to_spark(mysql_type_of("boolean")).simpleString() == "string"
+    # complex types: loud failure, never silent varchar divergence
+    for t in ("array<bigint>", "struct<a:int>", "map<string,int>"):
+        with _pytest.raises(ValueError, match="complex type"):
+            mysql_type_of(t)
+
+
 def test_ddl_relay_through_structured_streaming(spark, tmp_path):
     """The wire DDL path through the REAL streaming machinery: the
     producer's egress feed (re-enveloped) replays as a file stream,

@@ -797,6 +797,40 @@ def test_history_stats_mv_incremental_and_floor(spark, tmp_path):
     mv.refresh()
     assert mv_rows() == before
 
+def test_history_stats_mv_floor_records_before_state(spark, tmp_path):
+    """ADVICE r8: the floor prop flips BEFORE the stats state.  The two
+    writes aren't atomic, so a crash between them must land on the safe
+    side — floor visible, retractions not yet folded ⇒ assert_covers
+    OVER-claims incompleteness (raises for a range the stats could
+    still answer) and heals on the next refresh.  The old order left a
+    window where assert_covers passed for expired ranges."""
+    scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
+    mv = scd.history_stats_mv(str(tmp_path / "stats"), n_buckets=4)
+    scd.apply_batch(_ev(spark, BATCH1), batch_id=0)
+    mv.refresh()
+    scd.apply_batch(_ev(spark, BATCH2), batch_id=1)
+    scd.expire_history(before=20)
+    # crash window: the inner state refresh dies after the floor flip
+    inner = mv.mv.refresh
+
+    def boom(source):
+        raise RuntimeError("crash between floor flip and state flip")
+
+    mv.mv.refresh = boom
+    with pytest.raises(RuntimeError, match="crash between"):
+        mv.refresh()
+    mv.mv.refresh = inner
+    # the safe side: the floor is ALREADY visible, so completeness
+    # below it raises even though the retractions haven't folded yet
+    assert mv.floor() == 20
+    with pytest.raises(ValueError, match="retention floor"):
+        mv.assert_covers(19)
+    # heal: the next refresh folds the expiry retractions
+    mv.refresh()
+    assert mv.floor() == 20
+    mv.assert_covers(20)
+
+
 def test_temporal_join_salted_hot_key(spark, tmp_path):
     """The CDC skew case (VERDICT r7 #7): one business key is ~50% of
     the facts.  temporal_join_salted must (a) produce exactly the
