@@ -135,6 +135,10 @@ HEADLINE = [
     # after history expiry)
     "cdc_ddl_relay_chain",
     "cdc_scd2_dwell_mv",
+    # round 9 (appended): rename fidelity over the wire — in-band DDL
+    # segmentation, a value-preserving store rename at both hops, and
+    # the verbatim-forwarded RENAME control message on the canal feed
+    "cdc_rename_relay_chain",
 ]
 
 
@@ -493,9 +497,11 @@ def main() -> None:
         )
     )
     # drop the last gate query's temp stores (gate_tmp defers by one)
+    from qin_cdc_spark.session import cleanup_session_tmp
     from qin_cdc_spark.testing import cleanup_gate_tmp
 
     cleanup_gate_tmp()
+    cleanup_session_tmp()
     spark.stop()
 
 

@@ -314,12 +314,15 @@ def landed_stream(spark: SparkSession, sf_dir: str, key: str, build):
     callable returning the stream DataFrame; it runs only on the first
     request for (sf_dir, key)."""
     import os
-    import tempfile
+
+    from qin_cdc_spark.session import session_tmp
 
     k = (sf_dir, key)
     dest = _LAND_CACHE.get(k)
     if dest is None or not os.path.isdir(dest):
-        dest = tempfile.mkdtemp(prefix=f"land_{key}_") + "/stream"
+        # session_tmp: atexit-cleaned (and removable mid-run by
+        # cleanup_session_tmp — this cache re-lands on the isdir miss)
+        dest = session_tmp(f"land_{key}_") + "/stream"
         build().write.parquet(dest)
         _LAND_CACHE[k] = dest
     return spark.read.parquet(dest)
@@ -2509,6 +2512,100 @@ FROM last WHERE rn = 1 AND op <> 'delete'
 
 QUERIES["cdc_ddl_relay_chain"] = cdc_ddl_relay_chain
 ORACLES["cdc_ddl_relay_chain"] = CDC_DDL_RELAY_CHAIN_ORACLE
+
+
+def cdc_rename_relay_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME FIDELITY OVER THE WIRE (VERDICT r8 #1): an upstream
+    ``RENAME COLUMN`` round-trips store → wire → store with historical
+    values INTACT.  The round-8 wire-DDL path re-derived a name-based
+    schema diff, so a rename crossed as DROP+ADD and every key whose
+    last event predated the rename read NULL downstream; now the
+    upstream ``op='ddl'`` row forwards verbatim (re-rendered
+    canonically, sinks/kafka.py::render_alter_ops — the reference
+    carries the raw statement as a first-class event, core/msg.go:49-53)
+    and every hop applies a value-preserving rename:
+
+    * route A consumes the lower half of the orders stream under the
+      original schema, then one batch carrying the DDL row plus the
+      upper half (renamed ``o_orderstatus`` → ``o_status``) — the
+      in-band segmentation decodes each seq range under its schema
+      vintage and the versioned target renames in place (a new
+      snapshot; time travel keeps the old names);
+    * the canal egress emission forwards the rename as an
+      ``isDdl: true`` control message (verbatim-first; the diff runs
+      only as the residual, which is empty here);
+    * route B (plain bucketed) replays the wire feed through
+      ``apply_batch_with_ddl``: its schema evolves from the wire, its
+      target store renames in place.
+
+    The oracle derives the final state from scratch: ``o_status`` is
+    simply the last event's ``o_orderstatus`` — non-null for keys whose
+    last event sits in the LOWER half, exactly the rows DROP+ADD
+    nulls, so the hash is the discriminator."""
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from qin_cdc_spark.streaming.cdc_stream import (
+        CdcStreamRoute,
+        envelope_from_canal_egress,
+    )
+
+    base = gate_tmp("rename_relay_gate_")
+    decoded, s = _decoded_orders_halved(spark, sf_dir)
+    schema0 = load_table(spark, sf_dir, "orders").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="orders", schema=schema0, keys=["o_orderkey"],
+        target_path=f"{base}/a", n_buckets=8, versioned=True,
+        egress_format="canal",
+    )
+    route_a.apply_batch(
+        envelope_from_typed(
+            decoded.filter(F.col("seq") <= s), db="src", table="orders"
+        ),
+        batch_id=0,
+    )
+    ddl_row = spark.createDataFrame(
+        [(
+            "src", "orders", "ddl", int(s), None, None,
+            "ALTER TABLE `src`.`orders` RENAME COLUMN `o_orderstatus` TO `o_status`",
+            None,
+        )],
+        ENVELOPE_SCHEMA,
+    )
+    upper = decoded.filter(F.col("seq") > s).withColumnRenamed(
+        "o_orderstatus", "o_status"
+    )
+    route_a.apply_batch_with_ddl(
+        ddl_row.unionByName(
+            envelope_from_typed(upper, db="src", table="orders")
+        ),
+        batch_id=1,
+    )
+
+    # relay consumer: schema seeded PRE-rename, evolves from the wire's
+    # verbatim statement; the bucketed target renames value-preserving
+    route_b = CdcStreamRoute(
+        spark, db="src", table="orders", schema=schema0,
+        keys=["o_orderkey"], target_path=f"{base}/b", n_buckets=8,
+    )
+    route_b.apply_batch_with_ddl(
+        envelope_from_canal_egress(route_a.read_egress()), batch_id=0
+    )
+    return route_b.bind_target().read().select(
+        "o_orderkey", "o_custkey", "o_status", "o_totalprice"
+    )
+
+
+CDC_RENAME_RELAY_CHAIN_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT o_orderkey, o_custkey, o_orderstatus AS o_status, o_totalprice
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+QUERIES["cdc_rename_relay_chain"] = cdc_rename_relay_chain
+ORACLES["cdc_rename_relay_chain"] = CDC_RENAME_RELAY_CHAIN_ORACLE
 
 
 def cdc_scd2_dwell_mv(spark: SparkSession, sf_dir: str) -> DataFrame:

