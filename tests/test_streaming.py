@@ -1253,17 +1253,26 @@ def test_bootstrap_then_stream_with_overlap(spark, tmp_path):
     assert final(10) == {1: "v2"}  # watermark seed: stale insert loses
     assert final(-1) == {1: "v1"}  # sentinel seed: silent regression
 
-def test_bucketed_table_uniform_dir_invariant(spark, tmp_path):
-    """The bucketed target's UNIFORM-DIR invariant: a schema-shape
-    change (ADD COLUMN here) triggers the full aligned rewrite, so
-    every parquet file in the directory carries the same schema —
-    one-file schema sampling (the plain read) can never drop an
-    evolved column, and no read needs a footer-merge job."""
+def test_bucketed_table_schema_manifest_odelta_evolution(spark, tmp_path):
+    """The bucketed target's SCHEMA-MANIFEST contract (VERDICT r8 #3):
+    ADD COLUMN is O(delta) — only the batch's touched buckets rewrite;
+    untouched buckets keep their pre-evolution files and read typed
+    NULLs for the added column through the declared-schema read (no
+    footer-merge job, no silent column loss, no O(store) rewrite).
+    Only a TYPE change still pays the table-wide aligned rewrite."""
     import os
 
     import pyarrow.parquet as pq
 
     from qin_cdc_spark.streaming.cdc_stream import BucketedUpsertTable
+
+    def files_of(p):
+        return {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        }
 
     t = BucketedUpsertTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
     t.merge(spark.createDataFrame(
@@ -1271,39 +1280,72 @@ def test_bucketed_table_uniform_dir_invariant(spark, tmp_path):
          ("insert", 3, 3, "c"), ("insert", 4, 4, "d")],
         "op string, seq long, k long, v string",
     ))
-    # add-column batch touches ONE key; the invariant demands every
-    # file in the dir end up carrying v2
+    before = files_of(str(tmp_path / "t"))
+    # add-column batch touches ONE key → only its bucket rewrites
     t.merge(spark.createDataFrame(
-        [("update", 5, 1, "a2", "x")],
+        [("update", 5, 1, "a2", "7")],
         "op string, seq long, k long, v string, v2 string",
     ))
-    schemas = set()
-    for root, _dirs, files in os.walk(str(tmp_path / "t")):
-        for f in files:
-            if f.endswith(".parquet"):
-                schemas.add(
-                    tuple(pq.read_schema(os.path.join(root, f)).names)
-                )
-    assert len(schemas) == 1 and "v2" in next(iter(schemas))
+    after = files_of(str(tmp_path / "t"))
+    shared = before & after
+    assert shared, "ADD COLUMN must not rewrite untouched buckets (O(delta))"
+    # physical schemas legitimately MIX (old files lack v2); the
+    # manifest carries the logical schema and the declared read heals
+    schemas = {tuple(pq.read_schema(p).names) for p in after}
+    assert len(schemas) == 2  # old-vintage files + evolved files
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), "_table_schema.json"))
     got = {(r.k): (r.v, r.v2) for r in t.read().collect()}
     assert got == {
-        1: ("a2", "x"), 2: ("b", None), 3: ("c", None), 4: ("d", None)
+        1: ("a2", "7"), 2: ("b", None), 3: ("c", None), 4: ("d", None)
     }
-    # steady state after the evolution: a same-shape batch goes back to
-    # touched-buckets-only (other buckets' files unchanged on disk)
-    before = {
-        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
-        for r, _d, fs in os.walk(str(tmp_path / "t"))
-        for f in fs if f.endswith(".parquet")
-    }
+    # steady state: a same-shape batch stays touched-buckets-only
+    before2 = files_of(str(tmp_path / "t"))
     t.merge(spark.createDataFrame(
-        [("update", 6, 1, "a3", "y")],
+        [("update", 6, 1, "a3", "8")],
         "op string, seq long, k long, v string, v2 string",
     ))
-    after = {
-        os.path.join(r, f)
-        for r, _d, fs in os.walk(str(tmp_path / "t"))
-        for f in fs if f.endswith(".parquet")
-    }
-    untouched = [p for p in before if p in after]
-    assert untouched, "untouched buckets must share files across merges"
+    assert before2 & files_of(str(tmp_path / "t"))
+    # a TYPE change (MODIFY v2: string → bigint-compatible values) is
+    # the one table-wide rewrite: no pre-MODIFY file survives, and the
+    # manifest flipped atomically with the swap
+    t.merge(spark.createDataFrame(
+        [("update", 7, 1, "a4", 42)],
+        "op string, seq long, k long, v string, v2 long",
+    ))
+    assert not (before2 & files_of(str(tmp_path / "t")))
+    got = {(r.k): (r.v, r.v2) for r in t.read().collect()}
+    assert got[1] == ("a4", 42) and got[2] == ("b", None)
+
+
+def test_bucketed_manifest_crash_window_hides_then_heals(spark, tmp_path):
+    """Crash between the ADD path's bucket swaps and the manifest flip:
+    the table reads as a consistent PRE-DDL view (the new column is
+    hidden, never silently dropped from future merges), and the
+    replayed batch heals it."""
+    import os
+
+    from qin_cdc_spark.streaming.cdc_stream import BucketedUpsertTable
+
+    t = BucketedUpsertTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [("insert", 1, 1, "a"), ("insert", 2, 2, "b")],
+        "op string, seq long, k long, v string",
+    ))
+    man_path = os.path.join(str(tmp_path / "t"), "_table_schema.json")
+    with open(man_path) as f:
+        pre_ddl_manifest = f.read()
+    batch = spark.createDataFrame(
+        [("update", 5, 1, "a2", "x")],
+        "op string, seq long, k long, v string, v2 string",
+    )
+    t.merge(batch)
+    # simulate the crash: the manifest flip is undone (bucket swaps
+    # landed, flip didn't)
+    with open(man_path, "w") as f:
+        f.write(pre_ddl_manifest)
+    t2 = BucketedUpsertTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    assert "v2" not in t2.read().columns  # consistent pre-DDL view
+    assert {(r.k, r.v) for r in t2.read().collect()} == {(1, "a2"), (2, "b")}
+    t2.merge(batch)  # the at-least-once replay
+    got = {(r.k): (r.v, r.v2) for r in t2.read().collect()}
+    assert got == {1: ("a2", "x"), 2: ("b", None)}
