@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from qin_cdc_spark.testing import gate_tmp
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -193,12 +192,21 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
     both sides co-located — zero Exchange in the join plan.  Cached per
     (session, sf_dir) like a real warehouse layout would be.
     """
+    import os
+
+    from qin_cdc_spark.session import session_tmp
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKET_TABLES:
-        return _BUCKET_TABLES[key]
+        o_name, l_name, base = _BUCKET_TABLES[key]
+        if os.path.isdir(base):
+            return o_name, l_name
+        # cleanup_session_tmp ran mid-session: rebuild the layout
+        _BUCKET_TABLES.pop(key)
     suffix = abs(hash(key)) % 10**8
     o_name, l_name = f"orders_b{suffix}", f"li_rollup_b{suffix}"
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    # session_tmp: atexit-cleaned, plus mid-run removable (see above)
+    base = session_tmp("bucketed_")
     orders = load_table(spark, sf_dir, "orders")
     li_rollup = (
         load_table(spark, sf_dir, "lineitem")
@@ -219,7 +227,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
         .mode("overwrite")
         .saveAsTable(l_name)
     )
-    _BUCKET_TABLES[key] = (o_name, l_name)
+    _BUCKET_TABLES[key] = (o_name, l_name, base)
     return o_name, l_name
 
 

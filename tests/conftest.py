@@ -31,6 +31,8 @@ def duck():
 def pytest_sessionfinish(session, exitstatus):
     """Drop the LAST gate query's temp store trees (gate_tmp defers
     cleanup by one query; everything earlier was already reclaimed)."""
+    from qin_cdc_spark.session import cleanup_session_tmp
     from qin_cdc_spark.testing import cleanup_gate_tmp
 
     cleanup_gate_tmp()
+    cleanup_session_tmp()
