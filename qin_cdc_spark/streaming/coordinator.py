@@ -47,21 +47,70 @@ COORD_META = "_coordinates.json"
 # Append-only record log: one JSON line per coordinate.  The base JSON
 # alone was O(batches × routes) re-read + full rewrite PER RECORD — a
 # month-long stream is ~1e5 batches, so the write side was quadratic
-# (measured: >100 ms/record past ~3e4 entries).  Now ``record`` appends
-# ONE line (O(1), microseconds at any history length) and ``expire``
-# compacts: fold the log into the base, stamp the expiry floor, drop
-# the log.  Crash contract: a torn final line (crash mid-append) is
-# ignored by the loader — the batch replays and re-records; a crash
-# between base publish and log removal is covered by the FLOOR (log
-# entries at-or-below it are expired and skipped on load, so dropped
-# coordinates cannot resurrect).
+# (measured: >100 ms/record past ~3e4 entries).  ``record`` appends
+# ONE line (O(1), microseconds at any history length).  Crash
+# contract: a torn final line (crash mid-append) is ignored by the
+# loader — the batch replays and re-records; any stale log/segment
+# surviving an expire is covered by the FLOOR (entries at-or-below it
+# are expired and skipped on load, so dropped coordinates cannot
+# resurrect).
 COORD_LOG = "_coordinates.log"
+# Sealed log segments (fleet-scale retention, VERDICT r8 #6): the
+# active log rotates into an immutable
+# ``_coordinates.seg-<first>-<last>.log`` every LOG_SEGMENT_ENTRIES
+# records, so (a) no single log file grows unboundedly, and (b)
+# ``expire`` reclaims a fully-expired segment with ONE unlink — the
+# range is in the NAME, no read, no base rewrite.  Retained
+# coordinates stay in their segment files; the base JSON only ever
+# holds the floor, the egress hwm floor, and legacy pre-segment
+# entries, so its rewrite stays a few KB at any history length.
+SEG_PREFIX = "_coordinates.seg-"
+LOG_SEGMENT_ENTRIES = 10_000
+
+
+def _segment_files(path: str) -> list[tuple[int, int, str]]:
+    """Sealed (first_batch, last_batch, filename) tuples in batch order."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for f in os.listdir(path):
+        if not (f.startswith(SEG_PREFIX) and f.endswith(".log")):
+            continue
+        try:
+            a, b = f[len(SEG_PREFIX):-len(".log")].split("-", 1)
+            out.append((int(a), int(b), f))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _fold_log_file(meta: dict, fp: str, floor: int) -> None:
+    with open(fp) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                ent = json.loads(line)
+            except ValueError:
+                # torn line from a crash mid-append: SKIP it (the
+                # interrupted batch replays and re-records with a
+                # complete line later in the file — stopping here
+                # would hide every post-crash record)
+                continue
+            b = ent.get("batch")
+            if not isinstance(b, int) or b <= floor:
+                continue  # expired (or junk): the floor governs
+            meta["batches"][str(b)] = ent.get("coord", {})
+            if "egress" in ent:
+                meta.setdefault("egress", {})[str(b)] = ent["egress"]
 
 
 def load_coordinates(path: str) -> dict:
     """The coordinator manifest as one dict — base JSON plus the
-    append-only log folded on top (shared by the read side and fsck,
-    so the two can never disagree on the layout)."""
+    sealed segments plus the active append-only log folded on top
+    (shared by the read side and fsck, so the two can never disagree
+    on the layout)."""
     meta = {"batches": {}}
     p = os.path.join(path, COORD_META)
     if os.path.exists(p):
@@ -69,27 +118,16 @@ def load_coordinates(path: str) -> dict:
             meta = json.load(f)
         meta.setdefault("batches", {})
     floor = meta.get("floor", -1)
+    # base entries predate the floor stamp only in a crash window —
+    # filter them the same way stale segments are filtered
+    for b in [b for b in meta["batches"] if int(b) <= floor]:
+        del meta["batches"][b]
+        meta.get("egress", {}).pop(b, None)
+    for _a, _b, f in _segment_files(path):
+        _fold_log_file(meta, os.path.join(path, f), floor)
     lp = os.path.join(path, COORD_LOG)
     if os.path.exists(lp):
-        with open(lp) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    ent = json.loads(line)
-                except ValueError:
-                    # torn line from a crash mid-append: SKIP it (the
-                    # interrupted batch replays and re-records with a
-                    # complete line later in the file — stopping here
-                    # would hide every post-crash record)
-                    continue
-                b = ent.get("batch")
-                if not isinstance(b, int) or b <= floor:
-                    continue  # expired (or junk): the floor governs
-                meta["batches"][str(b)] = ent.get("coord", {})
-                if "egress" in ent:
-                    meta.setdefault("egress", {})[str(b)] = ent["egress"]
+        _fold_log_file(meta, lp, floor)
     return meta
 
 
@@ -121,6 +159,10 @@ class SnapshotCoordinator:
         # them record() would re-read O(batches) state per batch
         self._cache: dict | None = None
         self._prev_hwm: dict[str, int] | None = None
+        # active-log rotation state: (entries, first_batch, last_batch)
+        # — lazily recovered from the file on the first append
+        self.log_segment_entries = LOG_SEGMENT_ENTRIES
+        self._active: tuple[int, int, int] | None = None
 
     @classmethod
     def for_routes(cls, path: str, routes: list) -> "SnapshotCoordinator":
@@ -150,16 +192,46 @@ class SnapshotCoordinator:
             self._cache = load_coordinates(self.path)
         return self._cache
 
-    def _publish(self, meta: dict) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".{COORD_META}.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.path, COORD_META))
-        self._cache = meta
+    def _scan_active(self) -> tuple[int, int, int]:
+        """(entries, first_batch, last_batch) of the active log —
+        recovered by one bounded read on restart (the log rotates at
+        log_segment_entries, so the scan never exceeds one segment
+        except for a legacy pre-rotation log, which the next append
+        then immediately seals)."""
+        lp = os.path.join(self.path, COORD_LOG)
+        n, first, last = 0, -1, -1
+        if os.path.exists(lp):
+            with open(lp) as f:
+                for line in f:
+                    try:
+                        b = json.loads(line).get("batch")
+                    except ValueError:
+                        continue
+                    if not isinstance(b, int):
+                        continue
+                    n += 1
+                    first = b if first < 0 else first
+                    last = b
+        return (n, first, last)
+
+    def _rotate_log(self) -> None:
+        """Seal the active log as an immutable range-named segment.
+        The range in the NAME is what lets expire() reclaim a fully-
+        expired segment with one unlink — no read, no base rewrite."""
+        n, first, last = self._active or self._scan_active()
+        lp = os.path.join(self.path, COORD_LOG)
+        if n <= 0 or not os.path.exists(lp):
+            self._active = (0, -1, -1)
+            return
+        os.rename(lp, os.path.join(self.path, f"{SEG_PREFIX}{first}-{last}.log"))
+        self._active = (0, -1, -1)
 
     def _append_log(self, ent: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
+        if self._active is None:
+            self._active = self._scan_active()
+        if self._active[0] >= self.log_segment_entries:
+            self._rotate_log()
         # one write() of one line: effectively atomic on a local FS,
         # and the loader skips a torn line anyway
         lp = os.path.join(self.path, COORD_LOG)
@@ -172,6 +244,9 @@ class SnapshotCoordinator:
                     if r.read(1) != b"\n":
                         f.write(b"\n")
             f.write((json.dumps(ent) + "\n").encode())
+        n, first, last = self._active
+        b = ent.get("batch", last)
+        self._active = (n + 1, b if first < 0 else first, b)
 
     # -- write side --------------------------------------------------------
 
@@ -339,36 +414,70 @@ class SnapshotCoordinator:
         ``gc(keep_last=…)`` so no retained coordinate can name an
         expired version.
 
-        This is also the LOG COMPACTION step: retained log entries
-        fold into the base JSON, the expiry FLOOR (max dropped batch
-        id) stamps into it, the base publishes atomically, and the log
-        drops.  A crash between publish and log removal is safe — the
-        loader skips log entries at-or-below the floor, so expired
-        coordinates cannot resurrect from the stale log."""
+        Retention is SEGMENT-GRAINED (VERDICT r8 #6): the active log
+        seals into a range-named segment, the expiry FLOOR (max
+        dropped batch id) stamps into the base, and every sealed
+        segment whose range sits entirely at-or-below the floor
+        reclaims with ONE unlink — no read, no rewrite.  Retained
+        coordinates STAY in their segment files (the loader folds
+        everything above the floor), so the base rewrite is bounded by
+        floor + egress hwms + surviving legacy entries — a few KB at
+        ANY history length, where the old fold-into-base wrote the
+        whole retained set.  Crash windows: a stale segment (or log)
+        surviving its unlink cannot resurrect expired coordinates —
+        the floor filters them on load, same contract as before."""
         meta = self._meta()
         bs = sorted(int(b) for b in meta["batches"])
         drop = bs[:-keep_last] if keep_last > 0 else bs
+        if not drop:
+            return []
+        floor = max(int(meta.get("floor", -1)), max(drop))
         # persist each table's last emitted hwm BEFORE dropping stamps
         # (ADVICE r8): with every egress entry expired (keep_last=0, or
         # a long-idle table) the next record() would otherwise reseed
         # _prev_hwm at 0 and stamp v_from=0 — a consumer deriving a
         # replay window from that stamp over-reads the feed (idempotent
         # under LWW, but the stamp no longer names the emitted range).
-        if meta.get("egress"):
-            hwms = meta.setdefault("egress_hwm", {})
-            for stamp in meta["egress"].values():
-                for name, r in stamp.items():
-                    hwms[name] = max(int(hwms.get(name, 0)), int(r[1]))
+        hwms = dict(meta.get("egress_hwm", {}))
+        for stamp in meta.get("egress", {}).values():
+            for name, r in stamp.items():
+                hwms[name] = max(int(hwms.get(name, 0)), int(r[1]))
+        # prune the folded in-memory view (this object's read side)
         for b in drop:
             del meta["batches"][str(b)]
             meta.get("egress", {}).pop(str(b), None)
-        if drop:
-            meta["floor"] = max(int(meta.get("floor", -1)), max(drop))
-            self._publish(meta)  # retained log entries are folded in
-            try:
-                os.remove(os.path.join(self.path, COORD_LOG))
-            except FileNotFoundError:
-                pass
+        meta["floor"] = floor
+        if hwms:
+            meta["egress_hwm"] = hwms
+        self._cache = meta
+        # bounded base rewrite: floor + hwms + surviving base-resident
+        # (legacy pre-segment) entries only — never the retained set
+        base = {"batches": {}}
+        bp = os.path.join(self.path, COORD_META)
+        if os.path.exists(bp):
+            with open(bp) as f:
+                base = json.load(f)
+            base.setdefault("batches", {})
+        for b in [b for b in base["batches"] if int(b) <= floor]:
+            del base["batches"][b]
+            base.get("egress", {}).pop(b, None)
+        base["floor"] = floor
+        if hwms:
+            base["egress_hwm"] = hwms
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{COORD_META}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(base, f)
+        os.replace(tmp, os.path.join(self.path, COORD_META))
+        # seal the active log, then reclaim fully-expired segments by
+        # name math — one unlink each
+        self._rotate_log()
+        for _a, b, fname in _segment_files(self.path):
+            if b <= floor:
+                try:
+                    os.remove(os.path.join(self.path, fname))
+                except FileNotFoundError:
+                    pass
         return drop
 
     def referenced_versions(self) -> dict[str, set[int]]:

@@ -349,13 +349,20 @@ def fsck_coordinator_path(
     still WIRE-reconstructible (compaction did not merge across a
     retained coordinate)."""
     rep = _report(path, "coordinator")
-    from qin_cdc_spark.streaming.coordinator import COORD_LOG, COORD_META
+    from qin_cdc_spark.streaming.coordinator import (
+        COORD_LOG,
+        COORD_META,
+        _segment_files,
+    )
 
     if not (
         os.path.exists(os.path.join(path, COORD_META))
         or os.path.exists(os.path.join(path, COORD_LOG))
+        or _segment_files(path)
     ):
-        rep["errors"].append("no _coordinates.json / _coordinates.log")
+        rep["errors"].append(
+            "no _coordinates.json / _coordinates.log / sealed segments"
+        )
         return rep
     # the READER's own loader (base JSON + append-only log folded, the
     # expiry floor applied) — fsck must audit what consumers will see
@@ -449,8 +456,12 @@ def fsck_path(path: str, *, deep: bool = False) -> dict:
         return fsck_partitioned_path(path, deep=deep)
     if os.path.exists(os.path.join(path, META_NAME)):
         return fsck_versioned_path(path, deep=deep)
-    if os.path.exists(os.path.join(path, "_coordinates.json")) or os.path.exists(
-        os.path.join(path, "_coordinates.log")
+    from qin_cdc_spark.streaming.coordinator import _segment_files
+
+    if (
+        os.path.exists(os.path.join(path, "_coordinates.json"))
+        or os.path.exists(os.path.join(path, "_coordinates.log"))
+        or _segment_files(path)
     ):
         return fsck_coordinator_path(path)
     if os.path.isdir(path) and any(

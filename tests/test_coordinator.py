@@ -599,16 +599,36 @@ def test_coordinator_append_only_scale(tmp_path):
         coord.record(b)
     per = (time.time() - t1) / 100
     assert per < 0.1, f"record() cost {per*1000:.1f} ms at 1e5 entries"
-    # a fresh reader folds base + log
+    # the active log rotated into sealed segments (VERDICT r8 #6):
+    # ~1e5 records at 1e4/segment ⇒ ≥9 sealed files, none oversized
+    import os
+
+    from qin_cdc_spark.streaming.coordinator import _segment_files
+
+    segs = _segment_files(str(tmp_path / "c"))
+    assert len(segs) >= 9, f"expected rollover, got {len(segs)} segments"
+    # a fresh reader folds base + segments + active log
     c2 = SnapshotCoordinator(str(tmp_path / "c"), tabs)
     assert len(c2.batches()) == n + 100
     assert c2.versions_at(n + 99)["db.t0"] == n
-    # expire compacts: log gone, floor stamped, retained set exact
+    # expire: active log seals, fully-expired segments UNLINK (no
+    # read), the base rewrite stays bounded (floor + hwms only — never
+    # the retained set), and the retained coordinates read exactly
     dropped = coord.expire(keep_last=50)
     assert len(dropped) == n + 50
     assert not (tmp_path / "c" / "_coordinates.log").exists()
+    base_bytes = os.path.getsize(tmp_path / "c" / "_coordinates.json")
+    assert base_bytes < 10_000, f"base grew to {base_bytes} bytes"
+    remaining = _segment_files(str(tmp_path / "c"))
+    assert len(remaining) < len(segs) + 2  # expired segments reclaimed
+    assert all(b > n + 49 for _a, b, _f in remaining)
     c3 = SnapshotCoordinator(str(tmp_path / "c"), tabs)
     assert c3.batches() == list(range(n + 50, n + 100))
+    # post-expire records keep working across the segment boundary
+    for b in range(n + 100, n + 110):
+        c3.record(b)
+    c4 = SnapshotCoordinator(str(tmp_path / "c"), tabs)
+    assert c4.batches() == list(range(n + 50, n + 110))
 
 
 def test_coordinator_log_crash_windows(tmp_path):
