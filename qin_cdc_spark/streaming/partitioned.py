@@ -244,6 +244,85 @@ class PartitionedVersionedTable:
         self._publish(meta)
         return new_v
 
+    # -- schema evolution --------------------------------------------------------
+
+    def rename_columns(self, mapping: dict[str, str]) -> int:
+        """Value-preserving column rename over every live partition
+        (the upstream RENAME COLUMN applied to a partitioned target):
+        each partition's current-generation sub-store renames in place
+        (minting a sub-version; its own manifest records the rename so
+        sub-CDFs align), then ONE parent flip publishes the renamed
+        {partition → sub-version} map — readers see the rename
+        atomically.  The rename also records at the PARENT level so a
+        parent-range CDF whose dropped-partition deletes render from a
+        pre-rename generation can align those frames forward.  The
+        PARTITION column itself is parent-manifest identity and is not
+        renameable (restate the table); key renames follow through
+        ``keys`` (cached sub objects mutate theirs in their own
+        rename).  Crash mid-way is safe: un-flipped parents still
+        reference the pre-rename sub-versions (a consistent old-name
+        view), and the replay's sub renames no-op (already-applied
+        entries skip)."""
+        if self.partition_col in mapping:
+            raise ValueError(
+                f"rename_columns: {self.partition_col!r} is the partition "
+                "column — partition identity is not renameable"
+            )
+        meta = self._meta()
+        cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
+        if not cur_man:
+            self.keys = [mapping.get(k, k) for k in self.keys]
+            return meta["current"]
+        new_man = {}
+        for pstr, ent in cur_man.items():
+            sub = self._sub(pstr, ent["gen"])
+            sv = sub.rename_columns(dict(mapping))
+            new_man[pstr] = {"gen": ent["gen"], "v": sv}
+        self.keys = [mapping.get(k, k) for k in self.keys]
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = new_man
+        meta["current"] = new_v
+        meta.setdefault("renames", []).append([new_v, dict(mapping)])
+        self._publish(meta)
+        return new_v
+
+    def _renames_between(self, v_from: int, v_to: int) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for v, ren in self._meta().get("renames", []):
+            if not (v_from < v <= v_to):
+                continue
+            for old, new in ren.items():
+                src = next((k for k, t in out.items() if t == old), None)
+                if src is not None:
+                    out[src] = new
+                else:
+                    out[old] = new
+        return out
+
+    # -- verbatim-DDL ledger (rename fidelity over the wire) ----------------------
+
+    def attach_ddl(self, sqls: list[str]) -> None:
+        """Record upstream DDL against the CURRENT parent version — the
+        partitioned sibling of VersionedBucketedTable.attach_ddl, so a
+        partitioned route's egress forwards renames verbatim too."""
+        if not sqls:
+            return
+        meta = self._meta()
+        v = meta["current"]
+        log = meta.setdefault("ddl_log", [])
+        add = []
+        for s in sqls:
+            if [v, s] not in log and [v, s] not in add:
+                add.append([v, s])
+        if add:
+            log.extend(add)
+            self._publish(meta)
+
+    def ddl_between(self, v_from: int, v_to: int) -> list[str]:
+        return [
+            s for v, s in self._meta().get("ddl_log", []) if v_from < v <= v_to
+        ]
+
     # -- retention ---------------------------------------------------------------
 
     def drop_partitions(self, values: list) -> int:
@@ -508,6 +587,7 @@ class PartitionedVersionedTable:
         retraction."""
         m_from = self._manifest(v_from) if v_from > 0 else {}
         m_to = self._manifest(v_to)
+        renames = self._renames_between(v_from, v_to)
         parts: list[DataFrame] = []
         for pstr in sorted(set(m_from) | set(m_to)):
             a, b = m_from.get(pstr), m_to.get(pstr)
@@ -522,6 +602,12 @@ class PartitionedVersionedTable:
             if a is not None:  # dropped (or generation replaced)
                 old = self._sub(pstr, a["gen"]).read_at(a["v"])
                 if old is not None:
+                    # a pre-rename generation renders its deletes under
+                    # the OLD names — align forward so the union (and
+                    # self.keys) stay well-formed across the boundary
+                    for o, n in renames.items():
+                        if o in old.columns:
+                            old = old.withColumnRenamed(o, n)
                     parts.append(self._as_deletes(old, include_preimage))
             if b is not None:  # born (or generation replaced)
                 new = self._sub(pstr, b["gen"]).read_at(b["v"])

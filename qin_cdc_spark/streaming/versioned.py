@@ -42,11 +42,26 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from qin_cdc_spark.cdc.apply import latest_by_key
 from qin_cdc_spark.streaming.cdc_stream import _align_to_incoming
 
 META_NAME = "_versions_meta.json"
+
+
+def _nullable_schema(schema: StructType) -> StructType:
+    """All-nullable copy minus the transient _bucket partition column —
+    the shape recorded into version manifests for declared-schema reads."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(f.name, f.dataType, True)
+            for f in schema.fields
+            if f.name != "_bucket"
+        ]
+    )
 
 
 class VersionedBucketedTable:
@@ -154,17 +169,34 @@ class VersionedBucketedTable:
 
     # -- read --------------------------------------------------------------
 
-    def _read_manifest(self, manifest: dict) -> DataFrame | None:
-        paths = [os.path.join(self.path, d) for d in manifest["buckets"].values()]
+    @staticmethod
+    def _man_schema(manifest: dict) -> StructType | None:
+        """The version's recorded logical schema (None on manifests
+        written before schemas were recorded)."""
+        s = manifest.get("schema")
+        return StructType.fromJson(s) if s is not None else None
+
+    def _read_dirs(self, manifest: dict, paths: list[str]) -> DataFrame | None:
+        """Read data dirs under the version's DECLARED schema: after
+        mid-stream ADD COLUMN a version's buckets legitimately hold
+        different physical schemas (only touched buckets were rewritten
+        under the new one) — the recorded schema reads the old dirs'
+        missing columns as typed NULLs with NO footer-merge job, where
+        a plain read would silently drop the added column and
+        mergeSchema paid a footer scan over every file on every read
+        (VERDICT r8 #3 applied to the versioned store).  Manifests from
+        before schemas were recorded fall back to mergeSchema."""
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return None
-        # mergeSchema: after mid-stream schema evolution a version's
-        # buckets legitimately hold different schemas (only touched
-        # buckets were rewritten under the new one); without it Spark
-        # picks one file's schema and silently drops the added column
-        # for every untouched bucket.
+        schema = self._man_schema(manifest)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _read_manifest(self, manifest: dict) -> DataFrame | None:
+        paths = [os.path.join(self.path, d) for d in manifest["buckets"].values()]
+        return self._read_dirs(manifest, paths)
 
     def read_internal(self, version: int | None = None) -> DataFrame | None:
         meta = self._meta()
@@ -213,10 +245,9 @@ class VersionedBucketedTable:
             for b, d in man["buckets"].items()
             if b in names
         ]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if not paths:
+        full = self._read_dirs(man, paths)
+        if full is None:
             return None
-        full = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         return full if internal else self._visible(full)
 
     @staticmethod
@@ -339,13 +370,12 @@ class VersionedBucketedTable:
                 if b in cur_man["buckets"]
             ]
             if cur_dirs:
-                # mergeSchema: after an ADD COLUMN, dirs written before
+                # declared-schema read (recorded-manifest fallback to
+                # mergeSchema): after an ADD COLUMN, dirs written before
                 # the evolution legitimately lack the new column —
                 # sampling one file's schema here could silently drop
                 # it from the merge (the cdc_stream.py read contract)
-                current = self.spark.read.option("mergeSchema", "true").parquet(
-                    *cur_dirs
-                )
+                current = self._read_dirs(cur_man, cur_dirs)
                 union = _align_to_incoming(
                     current.withColumn("_bucket", self._bucket_expr(nb)), incoming
                 ).unionByName(incoming, allowMissingColumns=True)
@@ -375,7 +405,17 @@ class VersionedBucketedTable:
             self._write_blooms(new_dnames)
 
             new_v = meta["current"] + 1
-            meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
+            meta["versions"][str(new_v)] = {
+                "buckets": new_buckets,
+                "n_buckets": nb,
+                # the version's logical schema: declared-schema reads
+                # resolve mixed-vintage dirs (typed nulls for columns
+                # added since a dir was written) with no footer merging
+                # all-nullable copy: an old dir missing a later-added
+                # column must read as nulls even where the writing
+                # plan inferred a non-nullable field
+                "schema": _nullable_schema(merged.schema).jsonValue(),
+            }
             meta["current"] = new_v
             if batch_id is not None:
                 meta["last_batch_id"] = batch_id
@@ -469,9 +509,7 @@ class VersionedBucketedTable:
         d = man["buckets"].get(b)
         if d is None:
             return self._visible(None)
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(self.path, d)
-        )
+        df = self._read_dirs(man, [os.path.join(self.path, d)])
         cond = None
         for k, v in zip(self.keys, key_values):
             c = F.col(k) == F.lit(v)
@@ -566,14 +604,12 @@ class VersionedBucketedTable:
             # arbitrary dir may predate a mid-stream added column and
             # would return an empty frame missing columns the normal
             # mergeSchema path carries), scan nothing real
-            empty = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(self.path, d) for d in sorted(dirs)])
-                .filter(F.lit(False))
-            )
+            empty = self._read_dirs(
+                man, [os.path.join(self.path, d) for d in sorted(dirs)]
+            ).filter(F.lit(False))
             return self._visible(empty.filter(pred))
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, d) for d in read_dirs]
+        df = self._read_dirs(
+            man, [os.path.join(self.path, d) for d in read_dirs]
         )
         return self._visible(df.filter(pred))
 
@@ -722,8 +758,9 @@ class VersionedBucketedTable:
             return meta["current"]
         droppable = F.col("_deleted") & (F.col("_seq") < F.lit(min_live_seq))
         kept = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, d) for d in touched.values()])
+            self._read_dirs(
+                man, [os.path.join(self.path, d) for d in touched.values()]
+            )
             .filter(~droppable)
             .withColumn("_bucket", self._bucket_expr(nb))
         )
@@ -745,6 +782,8 @@ class VersionedBucketedTable:
         self._write_blooms(new_dnames)
         new_v = meta["current"] + 1
         meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
+        if self._man_schema(man) is not None:
+            meta["versions"][str(new_v)]["schema"] = man["schema"]
         meta["current"] = new_v
         self._publish(meta)
         return new_v
@@ -865,7 +904,11 @@ class VersionedBucketedTable:
         shutil.rmtree(stage, ignore_errors=True)
         self._write_blooms(new_dnames)
         new_v = meta["current"] + 1
-        meta["versions"][str(new_v)] = {"buckets": new_buckets, "n_buckets": nb}
+        meta["versions"][str(new_v)] = {
+            "buckets": new_buckets,
+            "n_buckets": nb,
+            "schema": _nullable_schema(rows.schema).jsonValue(),
+        }
         meta["current"] = new_v
         meta.setdefault("renames", []).append([new_v, effective])
         # a rename invalidates the memoized merge-shape probe
@@ -891,6 +934,8 @@ class VersionedBucketedTable:
             "buckets": dict(man["buckets"]),
             "n_buckets": self._manifest_n_buckets(man),
         }
+        if self._man_schema(man) is not None:
+            meta["versions"][str(new_v)]["schema"] = man["schema"]
         meta["current"] = new_v
         self._publish(meta)
         return new_v
@@ -935,6 +980,7 @@ class VersionedBucketedTable:
         meta["versions"][str(new_v)] = {
             "buckets": new_buckets,
             "n_buckets": new_n_buckets,
+            "schema": _nullable_schema(rows.schema).jsonValue(),
         }
         meta["current"] = new_v
         self._publish(meta)

@@ -296,3 +296,80 @@ def test_scd2_rename_refuses_interval_columns(spark, tmp_path):
     scd = ScdType2Table(spark, str(tmp_path / "h"), keys=["k"], n_buckets=4)
     with pytest.raises(ValueError, match="interval columns"):
         scd.rename_columns({"valid_from": "vf"})
+
+
+def test_partitioned_rename_and_cdf_across_boundary(spark, tmp_path):
+    """Partitioned targets rename too: every live partition's sub-store
+    renames in place, ONE parent flip publishes atomically, and a
+    parent-range CDF spanning the rename (including a dropped
+    partition's deletes rendered from a pre-rename generation) aligns
+    forward to the new names."""
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    tbl = PartitionedVersionedTable(
+        spark, str(tmp_path / "t"), ["k"], partition_col="y", n_buckets=2
+    )
+    v1 = tbl.merge(
+        spark.createDataFrame(
+            [("insert", 1, 1, 2023, "a"), ("insert", 2, 2, 2024, "b")],
+            "op string, seq long, k long, y int, v string",
+        ),
+        batch_id=0,
+    )
+    tbl.rename_columns({"v": "w"})
+    with pytest.raises(ValueError, match="partition column"):
+        tbl.rename_columns({"y": "year"})
+    assert {(r.k, r.y, r.w) for r in tbl.read().collect()} == {
+        (1, 2023, "a"), (2, 2024, "b")
+    }
+    # post-rename merge under the new name, then drop the 2023 partition
+    tbl.merge(
+        spark.createDataFrame(
+            [("update", 3, 2, 2024, "b2")],
+            "op string, seq long, k long, y int, w string",
+        ),
+        batch_id=1,
+    )
+    v_drop = tbl.drop_partitions([2023])
+    cdf = {
+        (r._change, r.k): r
+        for r in tbl.changes_between(v1, v_drop, include_preimage=True).collect()
+    }
+    # the dropped partition's delete renders under the NEW name with
+    # the old value as preimage; the update aligns through the sub CDF
+    assert cdf[("delete", 1)]._pre_w == "a" and cdf[("delete", 1)].w is None
+    assert cdf[("update", 2)].w == "b2" and cdf[("update", 2)]._pre_w == "b"
+
+
+def test_partitioned_route_rename_over_the_wire(spark, tmp_path):
+    """A partitioned route applies an in-band RENAME and forwards it
+    verbatim through its egress (the parent-level ddl ledger)."""
+    schema0 = _old(spark, B1).drop("op", "seq").schema
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema_y = StructType([*schema0.fields, StructField("y", IntegerType())])
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema_y, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=2,
+        partition_col="y", egress_format="default",
+    )
+    b1 = spark.createDataFrame(
+        [("insert", 1, 1, "a", 2024), ("insert", 2, 2, "b", 2024)],
+        "op string, seq long, k long, v string, y int",
+    )
+    route.apply_batch(envelope_from_typed(b1, db="src", table="t"), batch_id=0)
+    b2 = spark.createDataFrame(
+        [("update", 4, 1, "a2", 2024)],
+        "op string, seq long, k long, w string, y int",
+    )
+    env2 = _ddl_env(spark, 3, RENAME_SQL).unionByName(
+        envelope_from_typed(b2, db="src", table="t")
+    )
+    route.apply_batch_with_ddl(env2, batch_id=1)
+    got = {(r.k, r.w) for r in route.bind_target().read().collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    msgs = [json.loads(r.value) for r in route.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1
+    assert "RENAME COLUMN `v` TO `w`" in ddl[0]["data"]["sql"]
+    assert "DROP COLUMN" not in ddl[0]["data"]["sql"]
