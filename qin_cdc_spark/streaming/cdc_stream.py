@@ -260,6 +260,12 @@ def _egress_coverage(egress_dir: str) -> list[str]:
     return picked
 
 
+# Every egress publication file carries exactly this shape; declaring
+# it (instead of mergeSchema) spares a footer-merge job per read and
+# still reads pre-feature publications (a missing _v_to yields nulls).
+EGRESS_WIRE_SCHEMA = "key string, value string, _v_to long"
+
+
 def read_store_egress(spark: SparkSession, egress_dir: str) -> DataFrame | None:
     """All published egress messages (key, value, _v_to) under
     ``egress_dir`` (coverage-selected, so compaction crash residue never
@@ -267,7 +273,7 @@ def read_store_egress(spark: SparkSession, egress_dir: str) -> DataFrame | None:
     dirs = [os.path.join(egress_dir, d) for d in _egress_coverage(egress_dir)]
     if not dirs:
         return None
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return spark.read.schema(EGRESS_WIRE_SCHEMA).parquet(*dirs)
 
 
 def egress_coverage_until(
@@ -318,7 +324,7 @@ def read_store_egress_until(
             f"egress boundary {v_to} not reconstructible at "
             f"{egress_dir}: {reason}"
         )
-    return spark.read.option("mergeSchema", "true").parquet(
+    return spark.read.schema(EGRESS_WIRE_SCHEMA).parquet(
         *[os.path.join(egress_dir, d) for d in picked]
     )
 
@@ -438,7 +444,7 @@ def _combine_publications(
     — a crash in between leaves residue that reads ignore (coverage
     rule) and the next compaction removes."""
     lo, hi = seg[0][0], seg[-1][1]
-    combined = spark.read.option("mergeSchema", "true").parquet(
+    combined = spark.read.schema(EGRESS_WIRE_SCHEMA).parquet(
         *[os.path.join(egress_dir, d) for _a, _b, d in seg]
     )
     final = os.path.join(egress_dir, f"v{lo}-{hi}")
@@ -1134,17 +1140,21 @@ class CdcStreamRoute:
             except KeyError:
                 pass  # table-level rename/drop: keep the bound schema
         if renames:
-            tgt = self.bind_target()
-            if not hasattr(tgt, "rename_columns"):
-                raise NotImplementedError(
-                    f"column rename on a {type(tgt).__name__} target is not "
-                    "supported — re-route through a flat/bucketed/versioned "
-                    "target or restate the partition"
-                )
-            if tgt.exists():
-                tgt.rename_columns(dict(renames))
-            else:
-                tgt.keys = [renames.get(k, k) for k in tgt.keys]
+            if self.sink is None:
+                # local targets rename in place; a REMOTE sink route has
+                # no local store — the remote table's ALTER is the
+                # operator's (or the downstream relay's) job, exactly as
+                # in the reference (outputs execute no DDL themselves)
+                tgt = self.bind_target()
+                if not hasattr(tgt, "rename_columns"):
+                    raise NotImplementedError(
+                        f"column rename on a {type(tgt).__name__} target is "
+                        "not supported"
+                    )
+                if tgt.exists():
+                    tgt.rename_columns(dict(renames))
+                else:
+                    tgt.keys = [renames.get(k, k) for k in tgt.keys]
             if self.history_path is not None:
                 h = self.bind_history()
                 if h.store.exists():
