@@ -373,3 +373,38 @@ def test_partitioned_route_rename_over_the_wire(spark, tmp_path):
     assert len(ddl) == 1
     assert "RENAME COLUMN `v` TO `w`" in ddl[0]["data"]["sql"]
     assert "DROP COLUMN" not in ddl[0]["data"]["sql"]
+
+
+def test_pending_ddl_lost_falls_back_to_diff(spark, tmp_path):
+    """A statement lost to a crash between merge and ledger-attach must
+    DEGRADE (rename crosses as DROP+ADD for that emission), never
+    vanish: the residual diff still reports the schema movement, so
+    the consumer registry cannot silently diverge."""
+    schema0 = _old(spark, B1).drop("op", "seq").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    route.apply_batch(
+        envelope_from_typed(_old(spark, B1), db="src", table="t"), batch_id=0
+    )
+    env2 = _ddl_env(spark, 3, RENAME_SQL).unionByName(
+        envelope_from_typed(_new(spark, B2), db="src", table="t")
+    )
+    # simulate the crash window: the attach never lands
+    tgt = route.bind_target()
+    real_attach = tgt.attach_ddl
+    tgt.attach_ddl = lambda sqls: None
+    try:
+        route.apply_batch_with_ddl(env2, batch_id=1)
+    finally:
+        tgt.attach_ddl = real_attach
+    msgs = [json.loads(r.value) for r in route.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1
+    sql = ddl[0]["data"]["sql"]
+    # no verbatim statement survived — the diff fallback reports the
+    # movement as ADD `w` + DROP `v` (lossy but never silent)
+    assert "ADD COLUMN `w`" in sql and "DROP COLUMN `v`" in sql
+    assert "RENAME" not in sql
