@@ -693,3 +693,76 @@ def test_pipeline_declared_scd2_stats_view(spark, tmp_path):
             primary_keys={("src", "t"): ["id"]},
             target_root=str(tmp_path / "targets2"),
         )
+
+
+def test_pipeline_inband_rename_ddl(spark, tmp_path):
+    """The TOML-compiled pipeline carries in-band DDL end to end: an
+    upstream RENAME COLUMN arriving as an op='ddl' envelope row inside
+    the stream evolves the registry, renames the route's target store
+    value-preservingly, and the post-rename micro-batch lands under the
+    new name — config surface included, not just the raw route API."""
+    import os
+
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    cfg = """
+name = "rename-sync"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+"""
+    t1 = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 2)],
+        "k long, v string, op string, seq long",
+    )
+    pipe = compile_pipeline(
+        spark,
+        cfg,
+        schemas={("src", "t"): t1.drop("op", "seq").schema},
+        primary_keys={("src", "t"): ["k"]},
+        target_root=str(tmp_path / "targets"),
+    )
+    env_dir = str(tmp_path / "env")
+    os.makedirs(env_dir)
+    envelope_from_typed(t1, db="src", table="t").coalesce(1).write.parquet(
+        f"{env_dir}/tmp0"
+    )
+    ddl = spark.createDataFrame(
+        [(
+            "src", "t", "ddl", 3, None, None,
+            "ALTER TABLE `src`.`t` RENAME COLUMN `v` TO `w`", None,
+        )],
+        ENVELOPE_SCHEMA,
+    )
+    t2 = spark.createDataFrame(
+        [(1, "a2", "update", 4)], "k long, w string, op string, seq long"
+    )
+    ddl.unionByName(envelope_from_typed(t2, db="src", table="t")).coalesce(
+        1
+    ).write.parquet(f"{env_dir}/tmp1")
+    import shutil
+
+    for i in (0, 1):
+        src = next(
+            f for f in os.listdir(f"{env_dir}/tmp{i}") if f.endswith(".parquet")
+        )
+        os.rename(f"{env_dir}/tmp{i}/{src}", f"{env_dir}/f{i}.parquet")
+        shutil.rmtree(f"{env_dir}/tmp{i}")
+    q = pipe.run_stream(
+        file_envelope_stream(spark, env_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = {(r.k, r.w) for r in pipe.read_target("dw", "ods_t").collect()}
+    # k=2 never re-appeared post-rename: DROP+ADD semantics would null it
+    assert got == {(1, "a2"), (2, "b")}
+    assert [f.name for f in pipe.registry.get("src", "t").fields] == ["k", "w"]
