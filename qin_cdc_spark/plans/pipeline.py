@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -264,9 +265,22 @@ class Pipeline:
         return self.mviews[name][1].read()
 
     def run_batch(self, envelope: DataFrame) -> None:
-        """One-shot batch apply (bootstrap/backfill path)."""
+        """One-shot batch apply (bootstrap/backfill path).  In-band
+        ``op='ddl'`` rows apply the same way the stream applies them:
+        to the registry in seq order, and to each route's decode
+        schema / local stores via the seq-segmented path (a backfill
+        spanning a RENAME keeps the pre-rename rows' values)."""
+        from qin_cdc_spark.streaming.cdc_stream import (
+            _apply_ddl_rows_to_registry,
+            _collect_ddl_rows,
+        )
+
+        ddl_rows = _collect_ddl_rows(envelope)
+        if ddl_rows:
+            _apply_ddl_rows_to_registry(ddl_rows, self.registry)
+            envelope = envelope.filter(F.col("op") != "ddl")
         for route in self.routes:
-            route.apply_batch(envelope)
+            route.apply_batch(envelope, ddl_rows=ddl_rows or None)
         if self.mviews:
             self._refresh_mviews(-1)
 

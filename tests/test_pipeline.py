@@ -766,3 +766,56 @@ target-table = "ods_t"
     # k=2 never re-appeared post-rename: DROP+ADD semantics would null it
     assert got == {(1, "a2"), (2, "b")}
     assert [f.name for f in pipe.registry.get("src", "t").fields] == ["k", "w"]
+
+
+def test_run_batch_inband_rename_ddl(spark, tmp_path):
+    """run_batch (the bootstrap/backfill path) honors in-band DDL the
+    same way the stream does: one envelope frame spanning a RENAME
+    applies seq-segmented, and pre-rename rows keep their values."""
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    cfg = """
+name = "batch-rename"
+
+[input]
+type = "mysql"
+
+[output]
+type = "starrocks"
+
+[[output.config.routers]]
+source-schema = "src"
+source-table = "t"
+target-schema = "dw"
+target-table = "ods_t"
+"""
+    t1 = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 2)],
+        "k long, v string, op string, seq long",
+    )
+    pipe = compile_pipeline(
+        spark,
+        cfg,
+        schemas={("src", "t"): t1.drop("op", "seq").schema},
+        primary_keys={("src", "t"): ["k"]},
+        target_root=str(tmp_path / "targets"),
+    )
+    ddl = spark.createDataFrame(
+        [(
+            "src", "t", "ddl", 3, None, None,
+            "ALTER TABLE `src`.`t` RENAME COLUMN `v` TO `w`", None,
+        )],
+        ENVELOPE_SCHEMA,
+    )
+    t2 = spark.createDataFrame(
+        [(1, "a2", "update", 4)], "k long, w string, op string, seq long"
+    )
+    env = (
+        envelope_from_typed(t1, db="src", table="t")
+        .unionByName(ddl)
+        .unionByName(envelope_from_typed(t2, db="src", table="t"))
+    )
+    pipe.run_batch(env)
+    got = {(r.k, r.w) for r in pipe.read_target("dw", "ods_t").collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    assert [f.name for f in pipe.registry.get("src", "t").fields] == ["k", "w"]
