@@ -392,6 +392,11 @@ def main() -> None:
                 }
             )
         )
+        from qin_cdc_spark.session import cleanup_session_tmp
+        from qin_cdc_spark.testing import cleanup_gate_tmp
+
+        cleanup_gate_tmp()
+        cleanup_session_tmp()
         spark.stop()
         raise SystemExit(0 if all(checks.values()) and not offenders else 1)
 

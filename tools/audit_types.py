@@ -99,6 +99,13 @@ def main() -> int:
             n_bad += 1
             print(f"MISMATCH {name}: " + "; ".join(bad))
     print(f"\n{n_bad} queries with type mismatches")
+    # the audit BUILDS every gate query (stores and all) — drop its
+    # gate/session temp trees like every other harness
+    from qin_cdc_spark.session import cleanup_session_tmp
+    from qin_cdc_spark.testing import cleanup_gate_tmp
+
+    cleanup_gate_tmp()
+    cleanup_session_tmp()
     spark.stop()
     return 1 if n_bad else 0
 
