@@ -223,3 +223,67 @@ def test_handle_ddl_rows_in_envelope_batch(spark):
         "price",
         "note",
     ]
+
+
+def test_render_alter_ops_round_trips_through_parser():
+    """The canonical re-render (verbatim forwarding's statement form)
+    parses back to the same ops — renames preserved, CHANGE kept as
+    rename+retype, positions dropped by design."""
+    from qin_cdc_spark.cdc.ddl_parse import parse_ddl
+    from qin_cdc_spark.sinks.kafka import render_alter_ops, requalify_alter
+
+    src = (
+        "ALTER TABLE `db`.`t` ADD COLUMN `c` bigint AFTER `a`, "
+        "RENAME COLUMN `a` TO `b`, CHANGE COLUMN `x` `y` varchar(20), "
+        "MODIFY COLUMN `m` double, DROP COLUMN `gone`"
+    )
+    [parsed] = parse_ddl(src, "db")
+    rendered = render_alter_ops("db", "t", parsed.ops)
+    assert rendered == (
+        "ALTER TABLE `db`.`t` ADD COLUMN `c` bigint, "
+        "RENAME COLUMN `a` TO `b`, CHANGE COLUMN `x` `y` varchar(255), "
+        "MODIFY COLUMN `m` double, DROP COLUMN `gone`"
+    )
+    [back] = parse_ddl(rendered, "db")
+    assert [(o.action, o.column, o.new_name) for o in back.ops] == [
+        ("add-column", "c", None),
+        ("rename-column", "a", "b"),
+        ("change-column", "x", "y"),
+        ("modify-column", "m", None),
+        ("drop-column", "gone", None),
+    ]
+    # table-level ops render nothing (registry concerns, not columns)
+    [tbl] = parse_ddl("ALTER TABLE t RENAME TO t2", "db")
+    assert render_alter_ops("db", "t", tbl.ops) is None
+    # re-qualification swaps only the table prefix
+    assert requalify_alter(rendered, "dw", "ods_t").startswith(
+        "ALTER TABLE `dw`.`ods_t` ADD COLUMN `c` bigint"
+    )
+
+
+def test_evolve_simple_cols_tolerant_idempotent():
+    """The egress residual-diff evolver: tolerant application over
+    [[name, simpleString]] pairs — re-applying is a no-op, other
+    tables' statements are ignored, CHANGE decomposes."""
+    from qin_cdc_spark.cdc.ddl_parse import evolve_simple_cols
+
+    cols = [["k", "bigint"], ["a", "string"]]
+    sql = (
+        "ALTER TABLE `db`.`t` RENAME COLUMN `a` TO `b`, "
+        "ADD COLUMN `c` int, MODIFY COLUMN `k` bigint"
+    )
+    once = evolve_simple_cols(cols, sql, "db", "t")
+    assert once == [["k", "bigint"], ["b", "string"], ["c", "int"]]
+    # idempotent: the rename's old name is gone, the add is present
+    assert evolve_simple_cols(once, sql, "db", "t") == once
+    # a statement for ANOTHER table changes nothing
+    assert evolve_simple_cols(cols, sql, "db", "other") == cols
+    # CHANGE = retype + rename; DROP removes; multi-statement applies
+    out = evolve_simple_cols(
+        cols,
+        "ALTER TABLE `db`.`t` CHANGE COLUMN `a` `z` double; "
+        "ALTER TABLE `db`.`t` DROP COLUMN `k`",
+        "db",
+        "t",
+    )
+    assert out == [["z", "double"]]
