@@ -594,13 +594,10 @@ class ParquetUpsertTable:
     def read_internal(self) -> DataFrame | None:
         if not self.exists():
             return None
-        # PLAIN read is safe because merge() maintains the UNIFORM-DIR
-        # invariant: any schema-shape change (new column or changed
-        # type) triggers a full aligned rewrite, so every file in the
-        # directory always carries the same schema — one-file sampling
-        # can never drop an evolved column.  (A per-read mergeSchema
-        # was tried first and cost ~2× on the streaming CDC hot path:
-        # a footer-merge job per read per batch.)
+        # PLAIN read is safe on the FLAT table: every merge is a whole-
+        # directory rewrite, so the files are always schema-uniform.
+        # (The bucketed subclass rewrites only touched buckets and
+        # reads through its schema manifest instead.)
         return self.spark.read.parquet(self.path)
 
     def merge(self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq") -> None:
@@ -640,8 +637,9 @@ class ParquetUpsertTable:
         applied to the local store, so historical rows keep their data
         under the new name (a unionByName merge alone would strand the
         old column and null the new one — the DROP+ADD failure).  One
-        full aligned rewrite (the schema-shape rule this table already
-        charges for MODIFY/ADD; the uniform-dir invariant holds).  Key
+        full aligned rewrite (the rule MODIFY already charges — parquet
+        column names are physical, so unlike ADD there is no
+        metadata-only rename for a plain parquet dir).  Key
         columns may be renamed — ``keys`` follows, and the bucketed
         subclass's placement hashes VALUES, so no row moves.  Idempotent
         under replay: an entry whose old name is gone and new name
