@@ -408,3 +408,52 @@ def test_pending_ddl_lost_falls_back_to_diff(spark, tmp_path):
     # movement as ADD `w` + DROP `v` (lossy but never silent)
     assert "ADD COLUMN `w`" in sql and "DROP COLUMN `v`" in sql
     assert "RENAME" not in sql
+
+
+def test_change_column_rename_plus_retype_chain(spark, tmp_path):
+    """CHANGE COLUMN = rename + retype in ONE upstream statement: the
+    store renames value-preservingly, the retype rides the aligned
+    merge, the wire forwards the CHANGE verbatim, and the consumer
+    lands on the producer's exact schema with history intact."""
+    schema0 = spark.createDataFrame(
+        [(1, "10")], "k long, v string"
+    ).schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    b1 = spark.createDataFrame(
+        [("insert", 1, 1, "10"), ("insert", 2, 2, "20")],
+        "op string, seq long, k long, v string",
+    )
+    route_a.apply_batch(envelope_from_typed(b1, db="src", table="t"), batch_id=0)
+    change_sql = "ALTER TABLE `src`.`t` CHANGE COLUMN `v` `w` bigint"
+    b2 = spark.createDataFrame(
+        [("update", 4, 1, 11)], "op string, seq long, k long, w long"
+    )
+    env2 = _ddl_env(spark, 3, change_sql).unionByName(
+        envelope_from_typed(b2, db="src", table="t")
+    )
+    route_a.apply_batch_with_ddl(env2, batch_id=1)
+    # producer: renamed AND retyped, values intact ("20" cast to 20)
+    got = {(r.k): r.w for r in route_a.bind_target().read().collect()}
+    assert got == {1: 11, 2: 20}
+    assert dict((f.name, f.dataType.simpleString()) for f in route_a.schema.fields) == {
+        "k": "bigint", "w": "bigint"
+    }
+    # the wire carries the CHANGE verbatim
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1 and "CHANGE COLUMN `v` `w` bigint" in ddl[0]["data"]["sql"]
+    # consumer chain: seeded pre-DDL, ends on the producer's schema
+    route_b = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_egress
+
+    route_b.apply_batch_with_ddl(envelope_from_egress(route_a.read_egress()), batch_id=0)
+    got_b = {(r.k): r.w for r in route_b.bind_target().read().collect()}
+    assert got_b == {1: 11, 2: 20}
+    assert route_b.bind_target().read().schema["w"].dataType.simpleString() == "bigint"
