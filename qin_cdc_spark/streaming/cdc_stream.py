@@ -632,7 +632,9 @@ class ParquetUpsertTable:
             return
         self._swap_write(full.filter(~(F.col("_deleted") & (F.col("_seq") < min_live_seq))))
 
-    def rename_columns(self, mapping: dict[str, str]) -> None:
+    def rename_columns(
+        self, mapping: dict[str, str], *, missing_ok: bool = False
+    ) -> None:
         """Value-preserving column rename: the upstream RENAME COLUMN
         applied to the local store, so historical rows keep their data
         under the new name (a unionByName merge alone would strand the
@@ -643,29 +645,22 @@ class ParquetUpsertTable:
         columns may be renamed — ``keys`` follows, and the bucketed
         subclass's placement hashes VALUES, so no row moves.  Idempotent
         under replay: an entry whose old name is gone and new name
-        present is skipped."""
+        present is skipped.  Entries validate SEQUENTIALLY against an
+        evolving column set (rename_plan.py — ADVICE r9: identity
+        retypes no-op, freed-name chains like ``a→b; c→a`` apply, and
+        with ``missing_ok=True`` a column added-then-renamed before
+        ever materializing skips instead of raising)."""
+        from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+
         full = self.read_internal()
         if full is None:
             self.keys = [mapping.get(k, k) for k in self.keys]
             return
-        cols = set(full.columns)
-        effective = {}
-        for old, new in mapping.items():
-            if old in cols:
-                if new in cols:
-                    raise ValueError(
-                        f"rename_columns: target column {new!r} already exists"
-                    )
-                effective[old] = new
-            elif new not in cols:
-                raise ValueError(
-                    f"rename_columns: column {old!r} not found (and {new!r} "
-                    "absent — not an already-applied replay)"
-                )
+        steps = plan_rename_steps(full.columns, mapping, missing_ok=missing_ok)
         self.keys = [mapping.get(k, k) for k in self.keys]
-        if not effective:
+        if not steps:
             return
-        for old, new in effective.items():
+        for old, new in steps:
             full = full.withColumnRenamed(old, new)
         self._swap_write(full)
 
@@ -1115,7 +1110,11 @@ class CdcStreamRoute:
                         "rename-column", "change-column")
                 ]
                 for op in col_ops:
-                    if op.new_name:
+                    # identity skip (ADVICE r9): a retype-only
+                    # `CHANGE COLUMN a a bigint` (MySQL's standard
+                    # retype idiom) parses with new_name == column —
+                    # no rename happened, only the type moved
+                    if op.new_name and op.new_name != op.column:
                         # chain-collapse a→b then b→c into a→c
                         src = next(
                             (k for k, t in renames.items() if t == op.column),
@@ -1137,6 +1136,9 @@ class CdcStreamRoute:
                 self.schema = reg.get(self.db, self.table)
             except KeyError:
                 pass  # table-level rename/drop: keep the bound schema
+        # a rename-back chain (a→b then b→a) collapses to identity —
+        # nothing moved end to end
+        renames = {o: n for o, n in renames.items() if o != n}
         if renames:
             if self.sink is None:
                 # local targets rename in place; a REMOTE sink route has
@@ -1150,13 +1152,18 @@ class CdcStreamRoute:
                         "not supported"
                     )
                 if tgt.exists():
-                    tgt.rename_columns(dict(renames))
+                    # missing_ok: a column ADDed and renamed within this
+                    # same publication never materialized in the store —
+                    # the evolved decode schema lands it under the new
+                    # name, so the store-side rename legitimately no-ops
+                    # (ADVICE r9)
+                    tgt.rename_columns(dict(renames), missing_ok=True)
                 else:
                     tgt.keys = [renames.get(k, k) for k in tgt.keys]
             if self.history_path is not None:
                 h = self.bind_history()
                 if h.store.exists():
-                    h.rename_columns(dict(renames))
+                    h.rename_columns(dict(renames), missing_ok=True)
                 else:
                     h.keys = [renames.get(k, k) for k in h.keys]
             self.keys = [renames.get(k, k) for k in self.keys]

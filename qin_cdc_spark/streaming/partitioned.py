@@ -246,7 +246,9 @@ class PartitionedVersionedTable:
 
     # -- schema evolution --------------------------------------------------------
 
-    def rename_columns(self, mapping: dict[str, str]) -> int:
+    def rename_columns(
+        self, mapping: dict[str, str], *, missing_ok: bool = False
+    ) -> int:
         """Value-preserving column rename over every live partition
         (the upstream RENAME COLUMN applied to a partitioned target):
         each partition's current-generation sub-store renames in place
@@ -276,7 +278,7 @@ class PartitionedVersionedTable:
         new_man = {}
         for pstr, ent in cur_man.items():
             sub = self._sub(pstr, ent["gen"])
-            sv = sub.rename_columns(dict(mapping))
+            sv = sub.rename_columns(dict(mapping), missing_ok=missing_ok)
             new_man[pstr] = {"gen": ent["gen"], "v": sv}
         self.keys = [mapping.get(k, k) for k in self.keys]
         new_v = meta["current"] + 1

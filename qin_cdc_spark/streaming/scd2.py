@@ -163,7 +163,9 @@ class ScdType2Table:
             bucket_cols=self.keys,
         )
 
-    def rename_columns(self, mapping: dict[str, str]) -> int:
+    def rename_columns(
+        self, mapping: dict[str, str], *, missing_ok: bool = False
+    ) -> int:
         """Upstream RENAME COLUMN applied to the history store —
         historical versions keep their values under the new name (the
         same value-preserving contract as the target tables; the route
@@ -176,7 +178,7 @@ class ScdType2Table:
                 "rename_columns: valid_from/valid_to are engine interval "
                 "columns, not renameable upstream columns"
             )
-        v = self.store.rename_columns(mapping)
+        v = self.store.rename_columns(mapping, missing_ok=missing_ok)
         self.keys = [mapping.get(k, k) for k in self.keys]
         return v
 

@@ -839,7 +839,9 @@ class VersionedBucketedTable:
                     out[old] = new
         return out
 
-    def rename_columns(self, mapping: dict[str, str]) -> int:
+    def rename_columns(
+        self, mapping: dict[str, str], *, missing_ok: bool = False
+    ) -> int:
         """Column rename as a NEW version: the current snapshot
         rewrites under the new names (parquet matches columns by name,
         so a metadata-only rename would split old/new dirs into two
@@ -852,31 +854,24 @@ class VersionedBucketedTable:
 
         Idempotent under at-least-once replay: entries whose old name
         is already gone AND whose new name is present are skipped; if
-        nothing is left to do, no version is minted.  Cost: O(current
-        snapshot) — ONE full rewrite, the same class as rebucket; on a
-        production Delta/Iceberg target a rename is metadata-only
-        (column IDs) and this rewrite disappears.  Reference analog:
-        DDL mutates the Table struct, never data
-        (metas/mysql_ddl_parse.go:99-376)."""
+        nothing is left to do, no version is minted.  Entries validate
+        SEQUENTIALLY against an evolving column set (rename_plan.py —
+        ADVICE r9: identity retypes no-op, freed-name chains like
+        ``a→b; c→a`` apply, and with ``missing_ok=True`` a column
+        added-then-renamed before ever materializing skips instead of
+        raising).  Cost: O(current snapshot) — ONE full rewrite, the
+        same class as rebucket; on a production Delta/Iceberg target a
+        rename is metadata-only (column IDs) and this rewrite
+        disappears.  Reference analog: DDL mutates the Table struct,
+        never data (metas/mysql_ddl_parse.go:99-376)."""
+        from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+
         meta = self._meta()
         full = self.read_internal()
         if full is None:
             raise ValueError(f"rename_columns: no current snapshot at {self.path}")
-        cols = set(full.columns)
-        effective = {}
-        for old, new in mapping.items():
-            if old in cols:
-                if new in cols:
-                    raise ValueError(
-                        f"rename_columns: target column {new!r} already exists"
-                    )
-                effective[old] = new
-            elif new not in cols:
-                raise ValueError(
-                    f"rename_columns: column {old!r} not found (and {new!r} "
-                    "absent — not an already-applied replay)"
-                )
-            # old absent + new present: already applied (replay) — skip
+        steps = plan_rename_steps(full.columns, mapping, missing_ok=missing_ok)
+        effective = dict(steps)
         self.keys = [mapping.get(k, k) for k in self.keys]
         self.bucket_cols = [mapping.get(k, k) for k in self.bucket_cols]
         self.sort_cols = [mapping.get(k, k) for k in self.sort_cols]

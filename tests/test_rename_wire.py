@@ -457,3 +457,144 @@ def test_change_column_rename_plus_retype_chain(spark, tmp_path):
     got_b = {(r.k): r.w for r in route_b.bind_target().read().collect()}
     assert got_b == {1: 11, 2: 20}
     assert route_b.bind_target().read().schema["w"].dataType.simpleString() == "bigint"
+
+
+# -- ADVICE r9: legal upstream DDL sequences the snapshot validation
+# -- rejected (retype-only CHANGE, rename-before-materialize, freed-name
+# -- chains) ------------------------------------------------------------
+
+
+def test_retype_only_change_column_is_not_a_rename(spark, tmp_path):
+    """`CHANGE COLUMN v v bigint` — MySQL's standard retype idiom —
+    parses with new_name == column.  The identity entry must NOT reach
+    the store as a {v: v} rename (round-9 code raised 'target column
+    already exists' and killed the route); the retype itself rides the
+    aligned merge."""
+    schema0 = spark.createDataFrame([(1, "10")], "k long, v string").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [("insert", 1, 1, "10"), ("insert", 2, 2, "20")],
+        "op string, seq long, k long, v string",
+    )
+    route.apply_batch(envelope_from_typed(b1, db="src", table="t"), batch_id=0)
+    retype_sql = "ALTER TABLE `src`.`t` CHANGE COLUMN `v` `v` bigint"
+    b2 = spark.createDataFrame(
+        [("update", 4, 1, 11)], "op string, seq long, k long, v long"
+    )
+    env2 = _ddl_env(spark, 3, retype_sql).unionByName(
+        envelope_from_typed(b2, db="src", table="t")
+    )
+    route.apply_batch_with_ddl(env2, batch_id=1)
+    got = {r.k: r.v for r in route.bind_target().read().collect()}
+    assert got == {1: 11, 2: 20}
+    assert route.schema["v"].dataType.simpleString() == "bigint"
+    # the retype forwards verbatim; no rename was recorded
+    assert route.apply_ddl_statements([retype_sql]) == {}
+
+
+def test_add_then_rename_before_any_merge_materializes(spark, tmp_path):
+    """ADD COLUMN x then RENAME x TO y inside the same publication,
+    before any merge materialized x: the store holds NEITHER name, the
+    decode schema already evolved, so the store-side rename must skip
+    (round-9 code raised \"column 'x' not found\") and the merge lands
+    the data under the new name."""
+    schema0 = spark.createDataFrame([(1, "a")], "k long, v string").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4,
+    )
+    route.apply_batch(
+        envelope_from_typed(_old(spark, B1), db="src", table="t"), batch_id=0
+    )
+    b2 = spark.createDataFrame(
+        [("update", 6, 1, "a2", 7), ("insert", 7, 3, "c", 9)],
+        "op string, seq long, k long, v string, y long",
+    )
+    env2 = (
+        _ddl_env(spark, 3, "ALTER TABLE `src`.`t` ADD COLUMN `x` bigint")
+        .unionByName(
+            _ddl_env(spark, 4, "ALTER TABLE `src`.`t` RENAME COLUMN `x` TO `y`")
+        )
+        .unionByName(envelope_from_typed(b2, db="src", table="t"))
+    )
+    route.apply_batch_with_ddl(env2, batch_id=1)
+    got = {(r.k, r.v, r.y) for r in route.bind_target().read().collect()}
+    assert got == {(1, "a2", 7), (2, "b", None), (3, "c", 9)}
+    assert [f.name for f in route.schema.fields] == ["k", "v", "y"]
+
+
+def test_add_then_rename_one_joined_statement(spark, tmp_path):
+    """The same sequence as ONE ;-joined control message (a single
+    egress DDL row can span both statements): the cumulative rename map
+    sees a column the store never held — skip, not crash."""
+    schema0 = spark.createDataFrame([(1, "a")], "k long, v string").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4,
+    )
+    route.apply_batch(
+        envelope_from_typed(_old(spark, B1), db="src", table="t"), batch_id=0
+    )
+    joined = (
+        "ALTER TABLE `src`.`t` ADD COLUMN `x` bigint; "
+        "ALTER TABLE `src`.`t` RENAME COLUMN `x` TO `y`"
+    )
+    b2 = spark.createDataFrame(
+        [("insert", 5, 3, "c", 9)], "op string, seq long, k long, v string, y long"
+    )
+    env2 = _ddl_env(spark, 3, joined).unionByName(
+        envelope_from_typed(b2, db="src", table="t")
+    )
+    route.apply_batch_with_ddl(env2, batch_id=1)
+    got = {(r.k, r.y) for r in route.bind_target().read().collect()}
+    assert got == {(1, None), (2, None), (3, 9)}
+    assert [f.name for f in route.schema.fields] == ["k", "v", "y"]
+
+
+def test_freed_name_chain_applies_and_replays(spark, tmp_path):
+    """RENAME a TO b then RENAME c TO a in one mapping — sequentially
+    legal upstream (the second statement reuses the freed name) but
+    rejected by round-9's pre-rename-snapshot validation.  Both store
+    shapes apply it in order, and a full replay of the same mapping
+    no-ops instead of raising."""
+    flat = ParquetUpsertTable(spark, str(tmp_path / "flat"), ["k"])
+    ver = VersionedBucketedTable(spark, str(tmp_path / "ver"), ["k"], n_buckets=4)
+    rows = spark.createDataFrame(
+        [("insert", 1, 1, "A", "C")], "op string, seq long, k long, a string, c string"
+    )
+    for tbl in (flat, ver):
+        tbl.merge(rows)
+        tbl.rename_columns({"a": "b", "c": "a"})
+        got = tbl.read().collect()[0]
+        assert (got.b, got.a) == ("A", "C")
+        # replay of the full chain: freed-name reuse means the naive
+        # first-entry check sees `b` occupied — must detect the replay
+        tbl.rename_columns({"a": "b", "c": "a"})
+        got = tbl.read().collect()[0]
+        assert (got.b, got.a) == ("A", "C")
+    # a TRUE collision still raises: `b` exists and nothing frees it
+    with pytest.raises(ValueError, match="already exists"):
+        flat.rename_columns({"b": "a"})
+
+
+def test_plan_rename_steps_unit():
+    from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+
+    cols = {"k", "v"}
+    assert plan_rename_steps(cols, {"v": "v"}) == []  # identity retype
+    assert plan_rename_steps(cols, {"v": "w"}) == [("v", "w")]
+    assert plan_rename_steps({"k", "w"}, {"v": "w"}) == []  # replay
+    # missing both names: loud by default, skipped when the route vouches
+    with pytest.raises(ValueError, match="not found"):
+        plan_rename_steps(cols, {"x": "y"})
+    assert plan_rename_steps(cols, {"x": "y"}, missing_ok=True) == []
+    # freed-name chain fresh vs replayed vs true conflict
+    assert plan_rename_steps({"k", "a", "c"}, {"a": "b", "c": "a"}) == [
+        ("a", "b"), ("c", "a")
+    ]
+    assert plan_rename_steps({"k", "b", "a"}, {"a": "b", "c": "a"}) == []
+    with pytest.raises(ValueError, match="already exists"):
+        plan_rename_steps({"k", "a", "b"}, {"a": "b"})
