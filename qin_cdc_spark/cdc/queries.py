@@ -2608,6 +2608,109 @@ QUERIES["cdc_rename_relay_chain"] = cdc_rename_relay_chain
 ORACLES["cdc_rename_relay_chain"] = CDC_RENAME_RELAY_CHAIN_ORACLE
 
 
+def cdc_mv_rename_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED-MV STATE FOLLOWS A WIRE-RELAYED RENAME (VERDICT r9 #2):
+    a per-customer keyed aggregate declared over a CDC route keeps its
+    incrementally-maintained state correct when the upstream renames
+    the MV's GROUP column mid-stream.  Round 9 renamed the route's
+    target and history but left declared MV state stale — the view
+    broke at its next refresh until an operator ran
+    ``mv.store.rename_columns`` by hand; now the route's rename
+    listeners (registered per declared view by the compiled pipeline,
+    plans/pipeline.py) fold the mapping into the view's spec AND state
+    before the next refresh.  Reference analog: transforms rewrite the
+    router's column list so downstream consumers follow renames
+    (transforms/transforms.go:22-32).
+
+    Chain: batch 0 (lower half) lands under ``o_custkey`` and the MV
+    bootstraps; batch 1 carries the in-band ``RENAME COLUMN o_custkey
+    TO customer_id`` DDL row plus the upper half under the new name —
+    the versioned target renames value-preservingly, the LISTENER
+    renames the MV (spec + bucketed state store), and the post-rename
+    refresh folds a CDF that CROSSES the rename boundary (preimages
+    aligned forward) into the renamed state.  The oracle recomputes
+    the aggregate from scratch over the full-stream LWW
+    materialization grouped by the renamed key — hash-equal means
+    incremental-across-a-rename == recompute, on exactly the state a
+    stale spec would have crashed or nulled."""
+    from qin_cdc_spark.streaming.cdc_stream import CdcStreamRoute
+    from qin_cdc_spark.streaming.derived import DerivedKeyedAggTable
+
+    decoded, s = _decoded_orders_halved(
+        spark,
+        sf_dir,
+        post=lambda d: d.withColumn(
+            "price_c", F.floor(F.col("o_totalprice") * 100).cast("long")
+        ),
+        land_key="orders_price_c",
+    )
+    base = gate_tmp("mv_rename_gate_")
+    schema0 = decoded.drop("op", "seq").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="orders", schema=schema0,
+        keys=["o_orderkey"], target_path=base + "/t", n_buckets=8,
+        versioned=True,
+    )
+    mv = DerivedKeyedAggTable(
+        spark, base + "/mv", group_cols=["o_custkey"],
+        sum_cols=["price_c"], n_buckets=8,
+    )
+    # what compile_pipeline does for every declared [[materialized-views]]
+    route.rename_listeners.append(mv.rename_columns)
+    route.apply_batch(
+        envelope_from_typed(
+            decoded.filter(F.col("seq") <= s), db="src", table="orders"
+        ),
+        batch_id=0,
+    )
+    mv.refresh(route.target)
+    from qin_cdc_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    ddl_row = spark.createDataFrame(
+        [(
+            "src", "orders", "ddl", int(s), None, None,
+            "ALTER TABLE `src`.`orders` RENAME COLUMN `o_custkey` TO `customer_id`",
+            None,
+        )],
+        ENVELOPE_SCHEMA,
+    )
+    upper = decoded.filter(F.col("seq") > s).withColumnRenamed(
+        "o_custkey", "customer_id"
+    )
+    route.apply_batch_with_ddl(
+        ddl_row.unionByName(
+            envelope_from_typed(upper, db="src", table="orders")
+        ),
+        batch_id=1,
+    )
+    mv.refresh(route.target)
+    return mv.read().select(
+        "customer_id",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_price_c").alias("sum_cents"),
+    )
+
+
+CDC_MV_RENAME_FOLLOW_ORACLE = f"""
+WITH {ORDERS_STREAM_SQL},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT o_custkey AS customer_id,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT customer_id, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(price_c) AS BIGINT) AS sum_cents
+FROM live GROUP BY 1
+"""
+
+QUERIES["cdc_mv_rename_follow"] = cdc_mv_rename_follow
+ORACLES["cdc_mv_rename_follow"] = CDC_MV_RENAME_FOLLOW_ORACLE
+
+
 def cdc_scd2_dwell_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 HISTORY'S FIRST DERIVED CONSUMER (VERDICT r7 #4): per-key
     version-count / dwell-time stats maintained INCREMENTALLY from the

@@ -181,6 +181,13 @@ class Pipeline:
                     m.config,
                 )
             self.mviews[m.name] = (route, mv)
+            # wire-relayed column renames on the route propagate to the
+            # declared view's spec AND state before its next refresh
+            # (VERDICT r9 #2) — without this, a RENAME COLUMN of a
+            # group column broke the MV at its next refresh until an
+            # operator ran mv.store.rename_columns by hand
+            if hasattr(mv, "rename_columns"):
+                route.rename_listeners.append(mv.rename_columns)
 
         # [coordinator] (engine extension): cross-table consistent
         # snapshots stamped per micro-batch across every route — plus

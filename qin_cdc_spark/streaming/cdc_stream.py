@@ -1023,6 +1023,11 @@ class CdcStreamRoute:
         # schema vintages as the first attempt
         self._pending_ddl: list[str] = []
         self._ddl_batches: dict[int, tuple] = {}
+        # rename listeners: callables invoked with the old→new column
+        # mapping AFTER the route's own stores renamed — the pipeline
+        # registers one per declared materialized view so derived state
+        # follows wire-relayed renames automatically (VERDICT r9 #2)
+        self.rename_listeners: list = []
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -1167,6 +1172,12 @@ class CdcStreamRoute:
                 else:
                     h.keys = [renames.get(k, k) for k in h.keys]
             self.keys = [renames.get(k, k) for k in self.keys]
+            # declared MVs (and any other registered consumer of this
+            # route's column names) follow the rename before their next
+            # refresh — each listener is idempotent under replay (the
+            # store-level rename planners skip already-applied entries)
+            for listener in self.rename_listeners:
+                listener(dict(renames))
         return renames
 
     def apply_batch_with_ddl(

@@ -42,6 +42,29 @@ from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 META_NAME = "_derived_meta.json"
 
 
+def _rename_pointer_state(mv, state_map: dict[str, str], prefix: str) -> None:
+    """Rewrite a snapshot-pointer MV's published state dir under renamed
+    column names (shared by the Agg/Extrema/Quantile/TopK maintainers).
+    The state is view-sized (per-group aggregates), so the rewrite is
+    O(|view|), not O(source).  Idempotent under replay: already-renamed
+    state plans zero steps and publishes nothing (rename_plan.py)."""
+    from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+
+    meta = mv._meta()
+    if meta.get("data") is None or not state_map:
+        return
+    df = mv.spark.read.parquet(os.path.join(mv.path, meta["data"]))
+    steps = plan_rename_steps(df.columns, state_map, missing_ok=True)
+    if not steps:
+        return
+    for old, new in steps:
+        df = df.withColumnRenamed(old, new)
+    dname = f"{prefix}-{uuid.uuid4().hex[:12]}"
+    df.write.parquet(os.path.join(mv.path, dname))
+    meta["data"] = dname
+    mv._publish(meta)
+
+
 class DerivedAggTable:
     """(group_cols → cnt, sum_<col>…) maintained from a CDF."""
 
@@ -85,6 +108,28 @@ class DerivedAggTable:
         if meta["data"] is None:
             return None
         return self.spark.read.parquet(os.path.join(self.path, meta["data"]))
+
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream column rename on the SOURCE table: the
+        view's column spec re-binds and its persisted state rewrites
+        under the new names (state group columns carry the source name
+        raw; sum columns as ``sum_<col>``), so the next refresh's CDF —
+        already aligned to the new names by the source store — folds
+        into matching state.  Declared-MV routes call this from the
+        pipeline's rename listener (VERDICT r9 #2); reference analog:
+        transforms rewrite the router's column list so downstream
+        consumers follow renames (transforms/transforms.go:22-32)."""
+        state_map = {o: n for o, n in mapping.items() if o in self.group_cols}
+        state_map.update(
+            {
+                f"sum_{o}": f"sum_{n}"
+                for o, n in mapping.items()
+                if o in self.sum_cols
+            }
+        )
+        self.group_cols = [mapping.get(c, c) for c in self.group_cols]
+        self.sum_cols = [mapping.get(c, c) for c in self.sum_cols]
+        _rename_pointer_state(self, state_map, "agg")
 
     # -- refresh -----------------------------------------------------------
 
@@ -444,6 +489,19 @@ class DerivedExtremaTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, meta["data"]))
 
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream source-column rename (see
+        DerivedAggTable.rename_columns): state carries group names raw
+        and extrema as ``min_<col>``/``max_<col>``."""
+        state_map = {o: n for o, n in mapping.items() if o in self.group_cols}
+        for o, n in mapping.items():
+            if o in self.minmax_cols:
+                state_map[f"min_{o}"] = f"min_{n}"
+                state_map[f"max_{o}"] = f"max_{n}"
+        self.group_cols = [mapping.get(c, c) for c in self.group_cols]
+        self.minmax_cols = [mapping.get(c, c) for c in self.minmax_cols]
+        _rename_pointer_state(self, state_map, "ext")
+
     # -- refresh -----------------------------------------------------------
 
     def _full_agg(self, rows: DataFrame) -> DataFrame:
@@ -678,6 +736,15 @@ class DerivedQuantileTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, meta["data"]))
 
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream source-column rename: state rows are
+        (group…, bin, cnt) — only group names appear; the value column
+        re-binds in the spec alone."""
+        state_map = {o: n for o, n in mapping.items() if o in self.group_cols}
+        self.group_cols = [mapping.get(c, c) for c in self.group_cols]
+        self.value_col = mapping.get(self.value_col, self.value_col)
+        _rename_pointer_state(self, state_map, "qb")
+
     def _bin(self, col) -> F.Column:
         # exact floor division for any sign and any int64 magnitude:
         # the numerator is an exact multiple of the width, so SQL's
@@ -879,6 +946,54 @@ class DerivedDistinctTable:
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream source-column rename: refcount state rows
+        are (group…, value, refs) with source names raw, the rollup is
+        (group…, n_distinct).  Each live state bucket rewrites under
+        the new names (bucket placement hashes VALUES, so no row
+        moves); ONE meta publish flips buckets + rollup together.
+        O(|state|) — the same boundary as the parquet stores' rename
+        (physical column names); renames are rare by construction."""
+        from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+
+        state_map = {o: n for o, n in mapping.items() if o in self.group_cols}
+        if self.value_col in mapping:
+            state_map[self.value_col] = mapping[self.value_col]
+        group_renamed = any(o in self.group_cols for o in mapping)
+        self.group_cols = [mapping.get(c, c) for c in self.group_cols]
+        self.value_col = mapping.get(self.value_col, self.value_col)
+        if not state_map:
+            return
+        meta = self._meta()
+        changed = False
+        new_buckets: dict[str, str] = {}
+        for b, dname in meta["buckets"].items():
+            df = self.spark.read.parquet(os.path.join(self.path, dname))
+            steps = plan_rename_steps(df.columns, state_map, missing_ok=True)
+            if not steps:
+                new_buckets[b] = dname
+                continue
+            for old, new in steps:
+                df = df.withColumnRenamed(old, new)
+            nd = f"st-{uuid.uuid4().hex[:12]}"
+            df.write.parquet(os.path.join(self.path, nd))
+            new_buckets[b] = nd
+            changed = True
+        new_rollup = meta["rollup"]
+        if group_renamed and meta["rollup"] is not None:
+            df = self.spark.read.parquet(os.path.join(self.path, meta["rollup"]))
+            steps = plan_rename_steps(df.columns, state_map, missing_ok=True)
+            if steps:
+                for old, new in steps:
+                    df = df.withColumnRenamed(old, new)
+                new_rollup = f"ru-{uuid.uuid4().hex[:12]}"
+                df.write.parquet(os.path.join(self.path, new_rollup))
+                changed = True
+        if changed:
+            meta["buckets"] = new_buckets
+            meta["rollup"] = new_rollup
+            self._publish(meta)
 
     # -- refresh -----------------------------------------------------------
 
@@ -1148,6 +1263,16 @@ class DerivedTopKTable:
             .filter(F.col("rank") <= self.k)
             .select(*self.group_cols, "rank", *self.key_cols, self.value_col)
         )
+
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream source-column rename: buffer state rows
+        are (group…, key…, value, cnt) with source names raw."""
+        spec = {*self.group_cols, *self.key_cols, self.value_col}
+        state_map = {o: n for o, n in mapping.items() if o in spec}
+        self.group_cols = [mapping.get(c, c) for c in self.group_cols]
+        self.key_cols = [mapping.get(c, c) for c in self.key_cols]
+        self.value_col = mapping.get(self.value_col, self.value_col)
+        _rename_pointer_state(self, state_map, "tk")
 
     # -- ordering helpers ----------------------------------------------------
 
@@ -1436,6 +1561,32 @@ class DerivedKeyedAggTable:
     def read(self) -> DataFrame | None:
         """(group_cols…, cnt, sum_<c>…) live rows."""
         return self.store.read()
+
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream source-column rename: the state is a
+        VersionedBucketedTable keyed by the group columns (sums as
+        ``sum_<col>``) — delegate to its value-preserving rename, which
+        also re-binds its keys/bucket_cols (placement hashes VALUES,
+        no row moves).  A never-refreshed store just re-binds keys."""
+        state_map = {o: n for o, n in mapping.items() if o in self.group_cols}
+        state_map.update(
+            {
+                f"sum_{o}": f"sum_{n}"
+                for o, n in mapping.items()
+                if o in self.sum_cols
+            }
+        )
+        self.group_cols = [mapping.get(c, c) for c in self.group_cols]
+        self.sum_cols = [mapping.get(c, c) for c in self.sum_cols]
+        if not state_map:
+            return
+        if self.store.current_version() > 0:
+            self.store.rename_columns(state_map, missing_ok=True)
+        else:
+            self.store.keys = [state_map.get(k, k) for k in self.store.keys]
+            self.store.bucket_cols = [
+                state_map.get(k, k) for k in self.store.bucket_cols
+            ]
 
     # -- refresh -----------------------------------------------------------
 

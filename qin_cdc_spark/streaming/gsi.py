@@ -71,6 +71,27 @@ class GlobalSecondaryIndex:
         """The whole projection (diagnostics; serving goes via lookup)."""
         return self.store.read()
 
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream source-column rename: the index
+        projection stores source names raw (index col, PKs, covered
+        columns) — delegate to the state store's value-preserving
+        rename (bucket placement hashes the index VALUE, no row
+        moves); a never-refreshed store just re-binds keys."""
+        spec = {self.index_col, *self.pk_cols, *self.include_cols}
+        state_map = {o: n for o, n in mapping.items() if o in spec}
+        self.index_col = mapping.get(self.index_col, self.index_col)
+        self.pk_cols = [mapping.get(c, c) for c in self.pk_cols]
+        self.include_cols = [mapping.get(c, c) for c in self.include_cols]
+        if not state_map:
+            return
+        if self.store.current_version() > 0:
+            self.store.rename_columns(state_map, missing_ok=True)
+        else:
+            self.store.keys = [state_map.get(k, k) for k in self.store.keys]
+            self.store.bucket_cols = [
+                state_map.get(k, k) for k in self.store.bucket_cols
+            ]
+
     # -- maintenance -----------------------------------------------------------
 
     def _events(self, rows: DataFrame, op: str, v: int, *, pre: bool) -> DataFrame:

@@ -918,6 +918,14 @@ class ScdHistoryStatsMV:
             self.mv.store.set_prop("history_floor", int(fl))
         return self.mv.refresh(self._source)
 
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream BUSINESS-KEY rename on the route (the
+        history store itself renames via ScdType2Table.rename_columns;
+        this re-binds the stats state, whose group columns are the
+        business keys — the stat columns closed/dwell/is_open are
+        engine names, never upstream columns)."""
+        self.mv.rename_columns(mapping)
+
     def floor(self) -> int:
         """The retention floor the stats were built over (0 = full
         history): versions closing at-or-below it were expired at the

@@ -95,6 +95,17 @@ class IncrementalColumnStats:
             self.hist.applied_version(),
         )
 
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """Follow an upstream source-column rename: every component MV
+        re-binds its spec and rewrites its state (each is idempotent,
+        so a crash between components heals on the replayed call)."""
+        self.group_cols = [mapping.get(c, c) for c in self.group_cols]
+        self.value_col = mapping.get(self.value_col, self.value_col)
+        self.agg.rename_columns(mapping)
+        self.ext.rename_columns(mapping)
+        self.ndv.rename_columns(mapping)
+        self.hist.rename_columns(mapping)
+
     def read(self) -> DataFrame | None:
         """(group_cols…, n_rows, n_nulls, n_distinct, min, max,
         p50_ub, p90_ub) — the row a planner or catalog ingests."""
