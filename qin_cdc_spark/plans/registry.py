@@ -28,19 +28,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r07), so the cross-round ledger "every registry query has
 # ≥1 green driver row" stays intact by construction.
 #
-# Round-9 layout: slot 9 is the round's new gate
-# (cdc_rename_relay_chain — an upstream RENAME COLUMN round-trips
-# store → wire → store with historical values intact, VERDICT r8 #1);
-# slots 10-17 refresh the 8 deferred r1-vintage names the round-8
-# rotation ran out of room for (agg_cube … subquery_in); slots 18-48
-# are the entire r2-vintage block (latest green = r2); slots 49-50
-# start the r3 block alphabetically.  `python3 tools/vintage.py`
+# Round-10 layout: slot 9 is the round's new gate
+# (cdc_mv_rename_follow — declared-MV state follows a wire-relayed
+# RENAME COLUMN of its group column, VERDICT r9 #2); slots 10-48 are
+# the ENTIRE remaining r3-vintage block (agg_mode_median …
+# win_time_range) — this rotation FINISHES the freshness ledger: after
+# it, no registry name's newest driver-green row predates round 8;
+# slots 49-50 start the r4 block alphabetically.  From round 11 on the
+# rotation is pure oldest-green maintenance.  `python3 tools/vintage.py`
 # prints the live ledger.
 #
-# Round-10 refresh queue (oldest-green names NOT in this prefix): the
-# remaining 39 r3-vintage names (agg_mode_median … win_time_range) —
-# one more rotation finishes the ledger: no name's newest driver-green
-# row will predate round 8.
+# Round-11 refresh queue (oldest-green names NOT in this prefix): the
+# remaining r4-vintage names (asof_join_next_purchase …), then r5.
 _HEAD = [
     # -- family representatives (1-8) --
     "cdc_apply_orders",  # CDC apply/merge
@@ -51,52 +50,51 @@ _HEAD = [
     "mm_decode_meta",  # multimodal
     "udf_apply_in_pandas",  # UDF surface
     "neardup_store_two_batch",  # streaming near-dup store
-    # -- round-9 addition (9) --
-    "cdc_rename_relay_chain",
-    # -- deferred r1-vintage refresh (10-17) --
-    "agg_cube",
-    "agg_having",
-    "join_cross",
-    "join_full_outer",
-    "q18_large_orders",
-    "setop_intersect",
-    "setop_union_all",
-    "subquery_in",
-    # -- r2-vintage refresh block (18-48) --
-    "agg_decimal_exact",
-    "agg_rollup",
-    "asof_join_last_purchase",
-    "cdc_apply_lineitem_multipk",
-    "cdc_pk_move",
-    "corpus_stats_by_lang",
-    "curation_source_cap",
-    "decontaminate_ngram",
-    "dedup_cluster_cc",
-    "dedup_cluster_keep_best",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ev_cohort_retention",
-    "ev_funnel_conversion",
-    "ev_session_window",
-    "ev_sessionize_gap",
-    "ev_watermark_late_drop",
-    "join_bucketed_colocated",
-    "mm_payload_stats",
-    "pack_sequences_bins",
-    "q12_shipmode_priority",
-    "sim_cosine_topk",
-    "sim_knn_label_vote",
-    "text_language_id",
-    "text_tfidf_topk",
-    "text_token_count",
-    "topk_per_group",
-    "udf_pandas_scalar",
-    # -- r3-vintage refresh starts (49-50) --
-    "agg_collect_sorted",
-    "agg_grouping_id",
+    # -- round-10 addition (9) --
+    "cdc_mv_rename_follow",
+    # -- r3-vintage refresh block (10-48, the whole remainder) --
+    "agg_mode_median",
+    "cdc_derived_rollup",
+    "cdc_time_travel",
+    "corpus_overlap_matrix",
+    "date_spine_zerofill",
+    "dedup_containment",
+    "emb_quantize_int8",
+    "fn_agg_extras",
+    "fn_array_setops",
+    "fn_bitwise",
+    "fn_date_extras",
+    "fn_map_ops",
+    "fn_regexp",
+    "fn_string_extras",
+    "join_null_safe_eq",
+    "join_salted_skew",
+    "mm_audio_rms",
+    "mm_byte_histogram",
+    "pack_sequences_concat",
+    "q4_order_priority",
+    "rollup_continuous_agg",
+    "sample_hash_bernoulli",
+    "sample_split_3way",
+    "sample_weighted_pps",
+    "scan_csv",
+    "scan_orc",
+    "scan_partitioned_pruned",
+    "scan_sorted_zonemap",
+    "setop_union_missing",
+    "sim_ann_lsh",
+    "sql_hint_broadcast",
+    "subquery_not_in_null",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_quality_score",
+    "unpivot_metrics",
+    "win_ignore_nulls",
+    "win_nth_value",
+    "win_time_range",
+    # -- r4-vintage refresh starts (49-50) --
+    "agg_stats_exact",
+    "asof_join_nearest_purchase",
 ]
 
 

@@ -23,6 +23,7 @@ per-batch cost scales with touched files, not table size.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -105,6 +106,11 @@ def _write_egress_schema(pub_dir: str, columns: list) -> None:
         json.dump({"columns": columns}, f)
 
 
+_RENAME_TABLE_RE = re.compile(
+    r"^RENAME TABLE `[^`]*`\.`(?P<a>[^`]*)` TO `[^`]*`\.`(?P<b>[^`]*)`$"
+)
+
+
 def emit_store_egress(
     store,
     egress_dir: str,
@@ -181,17 +187,39 @@ def emit_store_egress(
         # statements, and any remaining movement (a transform change, a
         # statement lost to a pre-attach crash) still emits, so the
         # consumer's registry can never silently diverge.
-        stmts = [
-            requalify_alter(s, database, table_name)
-            for s in (
-                store.ddl_between(hwm, v_cur)
-                if hasattr(store, "ddl_between")
-                else []
-            )
-        ]
+        #
+        # RENAME TABLE (VERDICT r9 #3): a window spanning a table
+        # rename requalifies each statement under the name the feed had
+        # AT THAT STATEMENT — ALTERs ledgered before the rename carry
+        # the old table, the rename itself forwards with the egress
+        # database on both sides, later ALTERs carry the new table.
+        # The start name unwinds from the emission-time name through
+        # the window's rename statements.
+        raw = (
+            store.ddl_between(hwm, v_cur)
+            if hasattr(store, "ddl_between")
+            else []
+        )
+        rt = [(_RENAME_TABLE_RE.match(s), s) for s in raw]
+        start_name = table_name
+        for m, _s in reversed(rt):
+            if m and m.group("b") == start_name:
+                start_name = m.group("a")
+        stmts = []
         evolved = prev_cols
-        for s in stmts:
-            evolved = evolve_simple_cols(evolved, s, database, table_name)
+        cur_name = start_name
+        for m, s in rt:
+            if m:
+                if m.group("a") == cur_name:
+                    stmts.append(
+                        f"RENAME TABLE `{database}`.`{cur_name}` "
+                        f"TO `{database}`.`{m.group('b')}`"
+                    )
+                    cur_name = m.group("b")
+                continue
+            q = requalify_alter(s, database, cur_name)
+            stmts.append(q)
+            evolved = evolve_simple_cols(evolved, q, database, cur_name)
         residual = schema_change_ddl(database, table_name, evolved, cur_cols)
         if residual is not None:
             stmts.append(residual)
@@ -1074,6 +1102,26 @@ class CdcStreamRoute:
             env_batch, self.schema, db=self.db, table=self.table, keys=self.keys
         )
 
+    def _ddl_row_matches(self, r) -> bool:
+        """Does an ``op='ddl'`` envelope row belong to this route?
+        Primary match is the row's (db, table) naming; the fallback
+        parses the statement's OWN table qualifiers — an egress
+        publication whose window spans a ``RENAME TABLE`` names its
+        control message for the NEW table at emission time, while the
+        consumer is still bound to the OLD name until it applies that
+        very statement."""
+        if r["db"] == self.db and r["table"] == self.table:
+            return True
+        from qin_cdc_spark.cdc.ddl_parse import parse_ddl
+
+        try:
+            return any(
+                (p.db, p.table) == (self.db, self.table)
+                for p in parse_ddl(r["data"], self.db)
+            )
+        except ValueError:
+            return False
+
     def apply_ddl_statements(
         self, stmts: list[str], *, evolve_schema: bool = True
     ) -> dict[str, str]:
@@ -1091,21 +1139,30 @@ class CdcStreamRoute:
           owns the schema);
         * each statement's COLUMN ops re-render canonically
           (``render_alter_ops``) and queue for verbatim egress
-          forwarding, so the rename intent crosses the wire.
+          forwarding, so the rename intent crosses the wire;
+        * ``RENAME TABLE`` RE-BINDS the route (VERDICT r9 #3): the
+          route keeps applying to the SAME local store while its
+          (db, table) routing follows the upstream name — pre-rename
+          keys still LWW-resolve against post-rename events — and the
+          statement queues for verbatim egress forwarding unless the
+          route publishes under a fixed ``egress_table`` override
+          (fixed naming makes the upstream rename invisible
+          downstream, by declaration).  The reference re-keys its
+          registry the same way (inputs/mysql/mysql_meta.go:108-133).
 
-        Table-level ops (rename/drop/truncate table) are schema-registry
-        concerns, not column mutations — they are skipped here (the
-        stream-level registry handles routing).  Returns the cumulative
-        old→new rename mapping the caller must fold over any frames
-        decoded under the PRE-DDL schema."""
+        DROP/TRUNCATE TABLE remain schema-registry concerns and are
+        skipped here.  Returns the cumulative old→new COLUMN rename
+        mapping the caller must fold over any frames decoded under the
+        PRE-DDL schema."""
         from qin_cdc_spark.cdc.ddl_parse import apply_raw_ddl, parse_ddl
         from qin_cdc_spark.cdc.registry import SchemaRegistry
         from qin_cdc_spark.sinks.kafka import render_alter_ops
 
         renames: dict[str, str] = {}
+        new_table = self.table
         for sql in stmts:
             for parsed in parse_ddl(sql, self.db):
-                if (parsed.db, parsed.table) != (self.db, self.table):
+                if (parsed.db, parsed.table) != (self.db, new_table):
                     continue
                 col_ops = [
                     op
@@ -1129,18 +1186,29 @@ class CdcStreamRoute:
                             renames[src] = op.new_name
                         else:
                             renames[op.column] = op.new_name
-                canonical = render_alter_ops(self.db, self.table, col_ops)
+                canonical = render_alter_ops(self.db, parsed.table, col_ops)
                 if canonical is not None:
                     self._pending_ddl.append(canonical)
+                for op in parsed.ops:
+                    if op.action == "rename-table" and op.new_table:
+                        if self.egress_table is None:
+                            self._pending_ddl.append(
+                                f"RENAME TABLE `{self.db}`.`{new_table}` "
+                                f"TO `{self.db}`.`{op.new_table}`"
+                            )
+                        new_table = op.new_table
         if evolve_schema:
             reg = SchemaRegistry()
             reg.add(self.db, self.table, self.schema)
             for sql in stmts:
                 apply_raw_ddl(reg, sql, self.db)
             try:
-                self.schema = reg.get(self.db, self.table)
+                # after a RENAME TABLE the registry holds the schema
+                # under the NEW key
+                self.schema = reg.get(self.db, new_table)
             except KeyError:
-                pass  # table-level rename/drop: keep the bound schema
+                pass  # table-level drop/truncate: keep the bound schema
+        self.table = new_table
         # a rename-back chain (a→b then b→a) collapses to identity —
         # nothing moved end to end
         renames = {o: n for o, n in renames.items() if o != n}
@@ -1208,25 +1276,31 @@ class CdcStreamRoute:
         schema and the batch still lands in ONE merge.
 
         Replay safety: a redelivered batch rewinds the route's
-        schema/keys to their pre-batch values first (``_ddl_batches``),
-        so segment decode sees the same vintages as the first attempt;
-        store-side renames skip already-applied entries."""
-        mine = [
-            r
-            for r in ddl_rows
-            if r["db"] == self.db and r["table"] == self.table
-        ]
-        if not mine:
+        schema/keys/table binding to their pre-batch values first
+        (``_ddl_batches``), so segment decode sees the same vintages as
+        the first attempt; store-side renames skip already-applied
+        entries.
+
+        Row matching is DYNAMIC (re-evaluated per row in seq order):
+        a ``RENAME TABLE`` re-binds ``self.table`` mid-batch, so later
+        DDL rows arriving under the NEW name still belong to this
+        route."""
+        if not any(self._ddl_row_matches(r) for r in ddl_rows):
             return self._decode_slice(env_batch)
         if batch_id is not None:
             seen = self._ddl_batches.get(batch_id)
             if seen is not None:
                 self.schema, self.keys = seen[0], list(seen[1])
+                self.db, self.table = seen[2], seen[3]
             else:
-                self._ddl_batches[batch_id] = (self.schema, list(self.keys))
+                self._ddl_batches[batch_id] = (
+                    self.schema, list(self.keys), self.db, self.table
+                )
         parts: list[DataFrame] = []
         prev_seq = None
-        for r in sorted(mine, key=lambda x: x["seq"]):
+        for r in sorted(ddl_rows, key=lambda x: x["seq"]):
+            if not self._ddl_row_matches(r):
+                continue
             s = r["seq"]
             if prev_seq is None:
                 sl = env_batch.filter(F.col("seq") < F.lit(s))
@@ -1538,10 +1612,7 @@ def start_cdc_stream(
                 _apply_ddl_rows_to_registry(ddl_rows, registry, batch_id=batch_id)
                 batch_df = batch_df.filter(F.col("op") != "ddl")
             for route in routes:
-                if any(
-                    r["db"] == route.db and r["table"] == route.table
-                    for r in ddl_rows
-                ):
+                if any(route._ddl_row_matches(r) for r in ddl_rows):
                     # this route owns in-band DDL this batch: apply_batch
                     # segments the batch at the DDL seq (pre-DDL rows
                     # decode under the pre-DDL schema — a RENAME must not

@@ -598,3 +598,131 @@ def test_plan_rename_steps_unit():
     assert plan_rename_steps({"k", "b", "a"}, {"a": "b", "c": "a"}) == []
     with pytest.raises(ValueError, match="already exists"):
         plan_rename_steps({"k", "a", "b"}, {"a": "b"})
+
+
+# -- RENAME TABLE forwarding (VERDICT r9 #3): a routing change, not a
+# -- schema one — the route re-binds, the wire forwards verbatim -------
+
+
+def test_rename_table_rebinds_route_mid_batch(spark, tmp_path):
+    """An in-band RENAME TABLE re-binds the route to the new upstream
+    name while it keeps applying to the SAME store: pre-rename keys
+    still LWW-resolve against post-rename events, and a replayed batch
+    converges (the rewind restores the pre-batch binding)."""
+    schema0 = _old(spark, B1).drop("op", "seq").schema
+    route = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "t"), n_buckets=4,
+    )
+    route.apply_batch(
+        envelope_from_typed(_old(spark, B1), db="src", table="t"), batch_id=0
+    )
+    env2 = _ddl_env(
+        spark, 3, "RENAME TABLE `src`.`t` TO `src`.`t2`"
+    ).unionByName(
+        envelope_from_typed(_old(spark, B2), db="src", table="t2")
+    )
+    route.apply_batch_with_ddl(env2, batch_id=1)
+    assert route.table == "t2"
+    got = {(r.k, r.v) for r in route.bind_target().read().collect()}
+    # k=1 updated under the NEW table name resolves over its old row;
+    # k=2 (pre-rename only) survives untouched
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+    # redelivery: binding rewinds, segments re-decode, state converges
+    route.apply_batch_with_ddl(env2, batch_id=1)
+    assert route.table == "t2"
+    assert {(r.k, r.v) for r in route.bind_target().read().collect()} == got
+
+
+def test_rename_table_forwards_over_the_wire(spark, tmp_path):
+    """Producer ledgers the RENAME TABLE and forwards it verbatim in
+    the egress control message; a relay consumer bound to the OLD name
+    re-binds from the wire alone and its pre-rename keys LWW-resolve
+    post-rename — the reference parses RENAME TABLE and re-keys its
+    registry (metas/mysql_ddl_parse.go:378-505,
+    inputs/mysql/mysql_meta.go:108-133) but its kafka output drops DDL
+    entirely (outputs/kafka/kafka_utils.go:112); this closes the loop."""
+    schema0 = _old(spark, B1).drop("op", "seq").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    route_a.apply_batch(
+        envelope_from_typed(_old(spark, B1), db="src", table="t"), batch_id=0
+    )
+    env2 = _ddl_env(
+        spark, 3, "RENAME TABLE `src`.`t` TO `src`.`t2`"
+    ).unionByName(
+        envelope_from_typed(_old(spark, B2), db="src", table="t2")
+    )
+    route_a.apply_batch_with_ddl(env2, batch_id=1)
+    assert route_a.table == "t2"
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1
+    assert ddl[0]["data"]["sql"] == "RENAME TABLE `src`.`t` TO `src`.`t2`"
+    # post-rename DML messages publish under the new name
+    assert {m["table"] for m in msgs if m["type"] != "ddl"} >= {"t", "t2"}
+
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_egress
+
+    route_b = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    route_b.apply_batch_with_ddl(
+        envelope_from_egress(route_a.read_egress()), batch_id=0
+    )
+    assert route_b.table == "t2"
+    got = {(r.k, r.v) for r in route_b.bind_target().read().collect()}
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+
+
+def test_rename_table_composes_with_column_ddl_in_one_window(spark, tmp_path):
+    """ALTER ADD COLUMN, then RENAME TABLE, then post-rename DML — one
+    emission window: the forwarded statements requalify under the name
+    the feed had AT EACH STATEMENT (the ALTER under the old table, the
+    rename bridging old→new), the residual diff stays empty, and the
+    consumer lands on the producer's schema AND binding."""
+    schema0 = _old(spark, B1).drop("op", "seq").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    route_a.apply_batch(
+        envelope_from_typed(_old(spark, B1), db="src", table="t"), batch_id=0
+    )
+    b2 = spark.createDataFrame(
+        [("update", 6, 1, "a2", 7), ("insert", 7, 3, "c", 9)],
+        "op string, seq long, k long, v string, x long",
+    )
+    env2 = (
+        _ddl_env(spark, 3, "ALTER TABLE `src`.`t` ADD COLUMN `x` bigint")
+        .unionByName(_ddl_env(spark, 4, "RENAME TABLE `src`.`t` TO `src`.`t2`"))
+        .unionByName(envelope_from_typed(b2, db="src", table="t2"))
+    )
+    route_a.apply_batch_with_ddl(env2, batch_id=1)
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1
+    sql = ddl[0]["data"]["sql"]
+    assert "ALTER TABLE `src`.`t` ADD COLUMN `x` bigint" in sql
+    assert "RENAME TABLE `src`.`t` TO `src`.`t2`" in sql
+    assert sql.index("ADD COLUMN") < sql.index("RENAME TABLE")
+    assert "DROP COLUMN" not in sql  # residual stayed empty
+
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_egress
+
+    route_b = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    route_b.apply_batch_with_ddl(
+        envelope_from_egress(route_a.read_egress()), batch_id=0
+    )
+    assert route_b.table == "t2"
+    assert [f.name for f in route_b.schema.fields] == ["k", "v", "x"]
+    got = {(r.k, r.v, r.x) for r in route_b.bind_target().read().collect()}
+    assert got == {(1, "a2", 7), (2, "b", None), (3, "c", 9)}
