@@ -61,11 +61,11 @@ def _align_to_incoming(current: DataFrame, incoming: DataFrame) -> DataFrame:
 def _rename_forward(df: DataFrame, renames: dict[str, str]) -> DataFrame:
     """Rename a decoded segment's columns forward through a later
     rename, so every segment of a DDL-split batch presents the FINAL
-    column names to the single merge."""
-    for old, new in renames.items():
-        if old in df.columns:
-            df = df.withColumnRenamed(old, new)
-    return df
+    column names to the single merge.  Simultaneous application — a
+    SWAP mapping must not collide mid-way."""
+    from qin_cdc_spark.streaming.rename_plan import rename_frame
+
+    return rename_frame(df, renames)
 
 
 def egress_hwm(egress_dir: str) -> int:
@@ -660,8 +660,25 @@ class ParquetUpsertTable:
             return
         self._swap_write(full.filter(~(F.col("_deleted") & (F.col("_seq") < min_live_seq))))
 
+    RENAME_MARKER = "_last_rename.json"
+
+    def _rename_already_applied(self, stmt_id) -> bool:
+        import json
+
+        if stmt_id is None:
+            return False
+        p = os.path.join(self.path, self.RENAME_MARKER)
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return json.load(f).get("stmt_id") == stmt_id
+
     def rename_columns(
-        self, mapping: dict[str, str], *, missing_ok: bool = False
+        self,
+        mapping: dict[str, str],
+        *,
+        missing_ok: bool = False,
+        stmt_id=None,
     ) -> None:
         """Value-preserving column rename: the upstream RENAME COLUMN
         applied to the local store, so historical rows keep their data
@@ -671,30 +688,46 @@ class ParquetUpsertTable:
         column names are physical, so unlike ADD there is no
         metadata-only rename for a plain parquet dir).  Key
         columns may be renamed — ``keys`` follows, and the bucketed
-        subclass's placement hashes VALUES, so no row moves.  Idempotent
-        under replay: an entry whose old name is gone and new name
-        present is skipped.  Entries validate SEQUENTIALLY against an
-        evolving column set (rename_plan.py — ADVICE r9: identity
-        retypes no-op, freed-name chains like ``a→b; c→a`` apply, and
-        with ``missing_ok=True`` a column added-then-renamed before
-        ever materializing skips instead of raising)."""
-        from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+        subclass's placement hashes VALUES, so no row moves.
 
+        The mapping applies SIMULTANEOUSLY (rename_plan.py — ADVICE r9
+        + the round-10 swap finding): identity retypes no-op,
+        freed-name chains like ``a→b; c→a`` apply, column SWAPS
+        ({a: b, b: a} from a legal 3-op ALTER) work, and with
+        ``missing_ok=True`` a column added-then-renamed before ever
+        materializing skips instead of raising.  Replay idempotence:
+        acyclic mappings are detected from the column set; a SWAP's
+        replay is not set-detectable, so ``stmt_id`` (the upstream DDL
+        row's seq) persists in a marker file STAGED with the rewrite
+        (atomic) and a matching replay returns untouched."""
+        from qin_cdc_spark.streaming.rename_plan import (
+            plan_renames,
+            rename_frame,
+        )
+
+        if self._rename_already_applied(stmt_id):
+            return
         full = self.read_internal()
         if full is None:
             self.keys = [mapping.get(k, k) for k in self.keys]
             return
-        steps = plan_rename_steps(full.columns, mapping, missing_ok=missing_ok)
+        applied = plan_renames(full.columns, mapping, missing_ok=missing_ok)
         self.keys = [mapping.get(k, k) for k in self.keys]
-        if not steps:
+        if not applied:
             return
-        for old, new in steps:
-            full = full.withColumnRenamed(old, new)
-        self._swap_write(full)
+        import json
 
-    def _swap_write(self, df: DataFrame) -> None:
+        marker = None
+        if stmt_id is not None:
+            marker = {self.RENAME_MARKER: json.dumps({"stmt_id": stmt_id})}
+        self._swap_write(rename_frame(full, applied), stage_files=marker)
+
+    def _swap_write(self, df: DataFrame, *, stage_files: dict | None = None) -> None:
         stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(stage)
+        for name, content in (stage_files or {}).items():
+            with open(os.path.join(stage, name), "w") as f:
+                f.write(content)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
         # os.path.exists, not self.exists(): a dataless directory (empty
         # first batch) must still be renamed away or the stage rename fails
@@ -914,12 +947,15 @@ class BucketedUpsertTable(ParquetUpsertTable):
         finally:
             incoming.unpersist()
 
-    def _swap_write(self, df: DataFrame) -> None:
+    def _swap_write(self, df: DataFrame, *, stage_files: dict | None = None) -> None:
         # keep the bucket layout on full rewrites (gc_tombstones path)
         if self.BUCKET_COL not in df.columns:
             df = df.withColumn(self.BUCKET_COL, self._bucket_expr())
         stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
         df.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(stage)
+        for name, content in (stage_files or {}).items():
+            with open(os.path.join(stage, name), "w") as f:
+                f.write(content)
         # schema manifest STAGED with the data: the directory rename
         # below publishes both atomically (no stale-manifest window on
         # any full-rewrite path — bootstrap, MODIFY, rename, GC)
@@ -1056,6 +1092,10 @@ class CdcStreamRoute:
         # registers one per declared materialized view so derived state
         # follows wire-relayed renames automatically (VERDICT r9 #2)
         self.rename_listeners: list = []
+        # in-session DDL-statement dedup (keyed by the DDL row's seq):
+        # fences store/listener re-mutation on replayed batches — a
+        # SWAP rename's replay is not detectable from the column set
+        self._applied_rename_stmts: set = set()
 
     def _malformed_pred(self):
         """Rows whose ``data`` cannot decode to a keyed row under the
@@ -1123,7 +1163,11 @@ class CdcStreamRoute:
             return False
 
     def apply_ddl_statements(
-        self, stmts: list[str], *, evolve_schema: bool = True
+        self,
+        stmts: list[str],
+        *,
+        evolve_schema: bool = True,
+        stmt_id=None,
     ) -> dict[str, str]:
         """Apply upstream DDL statements (``op='ddl'`` envelope rows
         routed to this table) at a segment boundary — the reference
@@ -1213,7 +1257,15 @@ class CdcStreamRoute:
         # nothing moved end to end
         renames = {o: n for o, n in renames.items() if o != n}
         if renames:
-            if self.sink is None:
+            # in-session statement dedup: a replayed DDL row must not
+            # re-mutate stores/listeners (a SWAP mapping would swap
+            # back — set-inspection cannot detect its replay); the
+            # stores carry their own DURABLE stmt markers for the
+            # cross-restart case
+            already = (
+                stmt_id is not None and stmt_id in self._applied_rename_stmts
+            )
+            if not already and self.sink is None:
                 # local targets rename in place; a REMOTE sink route has
                 # no local store — the remote table's ALTER is the
                 # operator's (or the downstream relay's) job, exactly as
@@ -1230,22 +1282,31 @@ class CdcStreamRoute:
                     # the evolved decode schema lands it under the new
                     # name, so the store-side rename legitimately no-ops
                     # (ADVICE r9)
-                    tgt.rename_columns(dict(renames), missing_ok=True)
+                    tgt.rename_columns(
+                        dict(renames), missing_ok=True, stmt_id=stmt_id
+                    )
                 else:
                     tgt.keys = [renames.get(k, k) for k in tgt.keys]
-            if self.history_path is not None:
+            if not already and self.history_path is not None:
                 h = self.bind_history()
                 if h.store.exists():
-                    h.rename_columns(dict(renames), missing_ok=True)
+                    h.rename_columns(
+                        dict(renames), missing_ok=True, stmt_id=stmt_id
+                    )
                 else:
                     h.keys = [renames.get(k, k) for k in h.keys]
             self.keys = [renames.get(k, k) for k in self.keys]
-            # declared MVs (and any other registered consumer of this
-            # route's column names) follow the rename before their next
-            # refresh — each listener is idempotent under replay (the
-            # store-level rename planners skip already-applied entries)
-            for listener in self.rename_listeners:
-                listener(dict(renames))
+            if not already:
+                # declared MVs (and any other registered consumer of
+                # this route's column names) follow the rename before
+                # their next refresh — each listener is idempotent
+                # under acyclic replay (the rename planner skips
+                # already-applied entries); cyclic replay is fenced by
+                # the stmt dedup above
+                for listener in self.rename_listeners:
+                    listener(dict(renames))
+                if stmt_id is not None:
+                    self._applied_rename_stmts.add(stmt_id)
         return renames
 
     def apply_batch_with_ddl(
@@ -1309,7 +1370,7 @@ class CdcStreamRoute:
                     (F.col("seq") >= F.lit(prev_seq)) & (F.col("seq") < F.lit(s))
                 )
             parts.append(self._decode_slice(sl))
-            renames = self.apply_ddl_statements([r["data"]])
+            renames = self.apply_ddl_statements([r["data"]], stmt_id=r["seq"])
             if renames:
                 parts = [
                     _rename_forward(p, renames) for p in parts

@@ -48,17 +48,16 @@ def _rename_pointer_state(mv, state_map: dict[str, str], prefix: str) -> None:
     The state is view-sized (per-group aggregates), so the rewrite is
     O(|view|), not O(source).  Idempotent under replay: already-renamed
     state plans zero steps and publishes nothing (rename_plan.py)."""
-    from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+    from qin_cdc_spark.streaming.rename_plan import plan_renames, rename_frame
 
     meta = mv._meta()
     if meta.get("data") is None or not state_map:
         return
     df = mv.spark.read.parquet(os.path.join(mv.path, meta["data"]))
-    steps = plan_rename_steps(df.columns, state_map, missing_ok=True)
-    if not steps:
+    applied = plan_renames(df.columns, state_map, missing_ok=True)
+    if not applied:
         return
-    for old, new in steps:
-        df = df.withColumnRenamed(old, new)
+    df = rename_frame(df, applied)
     dname = f"{prefix}-{uuid.uuid4().hex[:12]}"
     df.write.parquet(os.path.join(mv.path, dname))
     meta["data"] = dname
@@ -955,7 +954,10 @@ class DerivedDistinctTable:
         moves); ONE meta publish flips buckets + rollup together.
         O(|state|) — the same boundary as the parquet stores' rename
         (physical column names); renames are rare by construction."""
-        from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+        from qin_cdc_spark.streaming.rename_plan import (
+            plan_renames,
+            rename_frame,
+        )
 
         state_map = {o: n for o, n in mapping.items() if o in self.group_cols}
         if self.value_col in mapping:
@@ -970,25 +972,23 @@ class DerivedDistinctTable:
         new_buckets: dict[str, str] = {}
         for b, dname in meta["buckets"].items():
             df = self.spark.read.parquet(os.path.join(self.path, dname))
-            steps = plan_rename_steps(df.columns, state_map, missing_ok=True)
-            if not steps:
+            applied = plan_renames(df.columns, state_map, missing_ok=True)
+            if not applied:
                 new_buckets[b] = dname
                 continue
-            for old, new in steps:
-                df = df.withColumnRenamed(old, new)
             nd = f"st-{uuid.uuid4().hex[:12]}"
-            df.write.parquet(os.path.join(self.path, nd))
+            rename_frame(df, applied).write.parquet(os.path.join(self.path, nd))
             new_buckets[b] = nd
             changed = True
         new_rollup = meta["rollup"]
         if group_renamed and meta["rollup"] is not None:
             df = self.spark.read.parquet(os.path.join(self.path, meta["rollup"]))
-            steps = plan_rename_steps(df.columns, state_map, missing_ok=True)
-            if steps:
-                for old, new in steps:
-                    df = df.withColumnRenamed(old, new)
+            applied = plan_renames(df.columns, state_map, missing_ok=True)
+            if applied:
                 new_rollup = f"ru-{uuid.uuid4().hex[:12]}"
-                df.write.parquet(os.path.join(self.path, new_rollup))
+                rename_frame(df, applied).write.parquet(
+                    os.path.join(self.path, new_rollup)
+                )
                 changed = True
         if changed:
             meta["buckets"] = new_buckets

@@ -247,7 +247,11 @@ class PartitionedVersionedTable:
     # -- schema evolution --------------------------------------------------------
 
     def rename_columns(
-        self, mapping: dict[str, str], *, missing_ok: bool = False
+        self,
+        mapping: dict[str, str],
+        *,
+        missing_ok: bool = False,
+        stmt_id=None,
     ) -> int:
         """Value-preserving column rename over every live partition
         (the upstream RENAME COLUMN applied to a partitioned target):
@@ -271,6 +275,8 @@ class PartitionedVersionedTable:
                 "column — partition identity is not renameable"
             )
         meta = self._meta()
+        if stmt_id is not None and stmt_id in meta.get("rename_stmts", []):
+            return meta["current"]
         cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
         if not cur_man:
             self.keys = [mapping.get(k, k) for k in self.keys]
@@ -278,27 +284,28 @@ class PartitionedVersionedTable:
         new_man = {}
         for pstr, ent in cur_man.items():
             sub = self._sub(pstr, ent["gen"])
-            sv = sub.rename_columns(dict(mapping), missing_ok=missing_ok)
+            sv = sub.rename_columns(
+                dict(mapping), missing_ok=missing_ok, stmt_id=stmt_id
+            )
             new_man[pstr] = {"gen": ent["gen"], "v": sv}
         self.keys = [mapping.get(k, k) for k in self.keys]
         new_v = meta["current"] + 1
         meta["versions"][str(new_v)] = new_man
         meta["current"] = new_v
         meta.setdefault("renames", []).append([new_v, dict(mapping)])
+        if stmt_id is not None:
+            meta.setdefault("rename_stmts", []).append(stmt_id)
         self._publish(meta)
         return new_v
 
     def _renames_between(self, v_from: int, v_to: int) -> dict[str, str]:
+        from qin_cdc_spark.streaming.rename_plan import compose_renames
+
         out: dict[str, str] = {}
         for v, ren in self._meta().get("renames", []):
             if not (v_from < v <= v_to):
                 continue
-            for old, new in ren.items():
-                src = next((k for k, t in out.items() if t == old), None)
-                if src is not None:
-                    out[src] = new
-                else:
-                    out[old] = new
+            out = compose_renames(out, dict(ren))
         return out
 
     # -- verbatim-DDL ledger (rename fidelity over the wire) ----------------------
@@ -605,11 +612,14 @@ class PartitionedVersionedTable:
                 old = self._sub(pstr, a["gen"]).read_at(a["v"])
                 if old is not None:
                     # a pre-rename generation renders its deletes under
-                    # the OLD names — align forward so the union (and
+                    # the OLD names — align forward (simultaneously:
+                    # swaps must not collide) so the union (and
                     # self.keys) stay well-formed across the boundary
-                    for o, n in renames.items():
-                        if o in old.columns:
-                            old = old.withColumnRenamed(o, n)
+                    from qin_cdc_spark.streaming.rename_plan import (
+                        rename_frame,
+                    )
+
+                    old = rename_frame(old, renames)
                     parts.append(self._as_deletes(old, include_preimage))
             if b is not None:  # born (or generation replaced)
                 new = self._sub(pstr, b["gen"]).read_at(b["v"])

@@ -164,7 +164,11 @@ class ScdType2Table:
         )
 
     def rename_columns(
-        self, mapping: dict[str, str], *, missing_ok: bool = False
+        self,
+        mapping: dict[str, str],
+        *,
+        missing_ok: bool = False,
+        stmt_id=None,
     ) -> int:
         """Upstream RENAME COLUMN applied to the history store —
         historical versions keep their values under the new name (the
@@ -178,7 +182,9 @@ class ScdType2Table:
                 "rename_columns: valid_from/valid_to are engine interval "
                 "columns, not renameable upstream columns"
             )
-        v = self.store.rename_columns(mapping, missing_ok=missing_ok)
+        v = self.store.rename_columns(
+            mapping, missing_ok=missing_ok, stmt_id=stmt_id
+        )
         self.keys = [mapping.get(k, k) for k in self.keys]
         return v
 

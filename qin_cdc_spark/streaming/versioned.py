@@ -663,10 +663,12 @@ class VersionedBucketedTable:
             # (v_from, v_to]: the key join stays well-formed when a KEY
             # was renamed, and preimages land under the POST names
             # (_pre_<new>) so update messages keep their old values
-            # instead of nulling the renamed column
-            for old, new in self.renames_between(v_from, v_to).items():
-                if old in a.columns:
-                    a = a.withColumnRenamed(old, new)
+            # instead of nulling the renamed column.  Simultaneous
+            # application (rename_frame) — a recorded swap aligns
+            # correctly where sequential withColumnRenamed collides.
+            from qin_cdc_spark.streaming.rename_plan import rename_frame
+
+            a = rename_frame(a, self.renames_between(v_from, v_to))
         b_live = b.filter(~F.col("_deleted")).select(
             *[F.col(c) for c in b.columns if c != "_deleted"]
         ).withColumnRenamed("_seq", "_seq_to")
@@ -823,24 +825,27 @@ class VersionedBucketedTable:
 
     def renames_between(self, v_from: int, v_to: int) -> dict[str, str]:
         """Cumulative old→new column mapping applied by rename versions
-        in ``(v_from, v_to]`` (chains collapse: a→b then b→c gives
-        a→c).  Recorded top-level in the manifest (``renames``) so gc()
-        of the intermediate versions cannot lose the alignment a CDF
-        across the boundary needs."""
+        in ``(v_from, v_to]`` (function composition: a→b then b→c gives
+        a→c, and a recorded SWAP composes correctly — the old
+        entry-by-entry fold silently dropped half of one).  Recorded
+        top-level in the manifest (``renames``) so gc() of the
+        intermediate versions cannot lose the alignment a CDF across
+        the boundary needs."""
+        from qin_cdc_spark.streaming.rename_plan import compose_renames
+
         out: dict[str, str] = {}
         for v, ren in self._meta().get("renames", []):
             if not (v_from < v <= v_to):
                 continue
-            for old, new in ren.items():
-                src = next((k for k, t in out.items() if t == old), None)
-                if src is not None:
-                    out[src] = new
-                else:
-                    out[old] = new
+            out = compose_renames(out, dict(ren))
         return out
 
     def rename_columns(
-        self, mapping: dict[str, str], *, missing_ok: bool = False
+        self,
+        mapping: dict[str, str],
+        *,
+        missing_ok: bool = False,
+        stmt_id=None,
     ) -> int:
         """Column rename as a NEW version: the current snapshot
         rewrites under the new names (parquet matches columns by name,
@@ -852,26 +857,32 @@ class VersionedBucketedTable:
         — ``keys``/``bucket_cols``/``sort_cols``/``bloom_cols`` follow,
         and bucket placement is value-hashed so no row moves.
 
-        Idempotent under at-least-once replay: entries whose old name
-        is already gone AND whose new name is present are skipped; if
-        nothing is left to do, no version is minted.  Entries validate
-        SEQUENTIALLY against an evolving column set (rename_plan.py —
-        ADVICE r9: identity retypes no-op, freed-name chains like
-        ``a→b; c→a`` apply, and with ``missing_ok=True`` a column
-        added-then-renamed before ever materializing skips instead of
-        raising).  Cost: O(current snapshot) — ONE full rewrite, the
-        same class as rebucket; on a production Delta/Iceberg target a
-        rename is metadata-only (column IDs) and this rewrite
-        disappears.  Reference analog: DDL mutates the Table struct,
-        never data (metas/mysql_ddl_parse.go:99-376)."""
-        from qin_cdc_spark.streaming.rename_plan import plan_rename_steps
+        The mapping applies SIMULTANEOUSLY (rename_plan.py — ADVICE r9
+        + the round-10 swap finding: identity retypes no-op, freed-name
+        chains apply, column SWAPS work, ``missing_ok=True`` skips a
+        column added-then-renamed before ever materializing).  Replay
+        idempotence: acyclic mappings are detected from the column set
+        (no version minted); a SWAP's replay is not set-detectable, so
+        ``stmt_id`` (the upstream DDL row's seq) is recorded in the
+        manifest ATOMICALLY with the rename version and a matching
+        replay returns the current version untouched.  Cost: O(current
+        snapshot) — ONE full rewrite, the same class as rebucket; on a
+        production Delta/Iceberg target a rename is metadata-only
+        (column IDs) and this rewrite disappears.  Reference analog:
+        DDL mutates the Table struct, never data
+        (metas/mysql_ddl_parse.go:99-376)."""
+        from qin_cdc_spark.streaming.rename_plan import (
+            plan_renames,
+            rename_frame,
+        )
 
         meta = self._meta()
+        if stmt_id is not None and stmt_id in meta.get("rename_stmts", []):
+            return meta["current"]
         full = self.read_internal()
         if full is None:
             raise ValueError(f"rename_columns: no current snapshot at {self.path}")
-        steps = plan_rename_steps(full.columns, mapping, missing_ok=missing_ok)
-        effective = dict(steps)
+        effective = plan_renames(full.columns, mapping, missing_ok=missing_ok)
         self.keys = [mapping.get(k, k) for k in self.keys]
         self.bucket_cols = [mapping.get(k, k) for k in self.bucket_cols]
         self.sort_cols = [mapping.get(k, k) for k in self.sort_cols]
@@ -880,9 +891,7 @@ class VersionedBucketedTable:
             return meta["current"]
         man = meta["versions"][str(meta["current"])]
         nb = self._manifest_n_buckets(man)
-        rows = full
-        for old, new in effective.items():
-            rows = rows.withColumnRenamed(old, new)
+        rows = rename_frame(full, effective)
         rows = rows.withColumn("_bucket", self._bucket_expr(nb))
         rows = self._cluster(rows.repartition(nb, F.col("_bucket")))
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
@@ -906,6 +915,8 @@ class VersionedBucketedTable:
         }
         meta["current"] = new_v
         meta.setdefault("renames", []).append([new_v, effective])
+        if stmt_id is not None:
+            meta.setdefault("rename_stmts", []).append(stmt_id)
         # a rename invalidates the memoized merge-shape probe
         self._merge_sig = None
         self._publish(meta)

@@ -64,3 +64,65 @@ def test_modify_column_parses_under_any_attribute_order(attrs, col):
     assert op.action == "modify-column"
     assert op.column == col.strip("`")
     assert isinstance(op.dtype, StringType)
+
+
+# -- rename planner properties (round 10: streaming/rename_plan.py) ----
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_plan_renames_matches_sequential_semantics(data):
+    """For ANY legal sequential rename chain over a column set
+    (including chains that free-and-reuse names, and full CYCLES —
+    column swaps), the route's chain-collapse produces a net mapping
+    whose SIMULTANEOUS application (the planner's contract) lands on
+    exactly the state the true sequential chain produces.  Replay of
+    an ACYCLIC mapping against the post-state is a no-op; identity
+    entries never surface."""
+    from qin_cdc_spark.streaming.rename_plan import plan_renames
+
+    pool = [f"c{i}" for i in range(6)]
+    cols = set(
+        data.draw(st.lists(st.sampled_from(pool), min_size=1, max_size=5,
+                           unique=True))
+    )
+    # build a legal sequential chain: each step renames a live column
+    # to a name not currently live (or itself — a retype no-op)
+    n_steps = data.draw(st.integers(min_value=0, max_value=4))
+    state = set(cols)
+    mapping: dict = {}
+    for _ in range(n_steps):
+        old = data.draw(st.sampled_from(sorted(state)))
+        free = sorted((set(pool) - state) | {old})
+        new = data.draw(st.sampled_from(free))
+        # fold the way apply_ddl_statements does: identity ops are
+        # skipped, multi-hop chains collapse into the origin's slot
+        if new != old:
+            src = next((k for k, t in mapping.items() if t == old), None)
+            if src is not None:
+                mapping[src] = new
+            else:
+                mapping[old] = new
+            state.discard(old)
+            state.add(new)
+    mapping = {o: n for o, n in mapping.items() if o != n}
+
+    applied = plan_renames(cols, mapping)
+    got = (set(cols) - set(applied)) | set(applied.values())
+    assert got == state  # simultaneous net == exact sequential chain
+    assert all(o != n for o, n in applied.items())
+    # replay detection is only promised for ACYCLIC mappings (a swap's
+    # replay is fenced by stmt-id markers at the store layer instead)
+    def _has_cycle(m):
+        for start in m:
+            seen = {start}
+            cur = m[start]
+            while cur in m:
+                if cur in seen:
+                    return True
+                seen.add(cur)
+                cur = m[cur]
+        return False
+
+    if not _has_cycle(mapping):
+        assert plan_renames(state, mapping) == {}

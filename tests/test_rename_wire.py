@@ -726,3 +726,103 @@ def test_rename_table_composes_with_column_ddl_in_one_window(spark, tmp_path):
     assert [f.name for f in route_b.schema.fields] == ["k", "v", "x"]
     got = {(r.k, r.v, r.x) for r in route_b.bind_target().read().collect()}
     assert got == {(1, "a2", 7), (2, "b", None), (3, "c", 9)}
+
+
+def test_column_swap_single_alter_statement(spark, tmp_path):
+    """A column SWAP via one legal ALTER (`RENAME a TO zz, b TO a,
+    zz TO b`) chain-collapses to the CYCLIC net mapping {a: b, b: a} —
+    no ordered one-at-a-time application can realize it (round-10
+    property-test finding).  The store applies it SIMULTANEOUSLY, the
+    wire forwards the three ops verbatim, a relay consumer lands the
+    swap, and a replayed batch does NOT swap back (statement-id dedup:
+    in-session set + durable store marker — a swap's replay is
+    invisible to column-set inspection)."""
+    swap_sql = (
+        "ALTER TABLE `src`.`t` RENAME COLUMN `a` TO `zz`, "
+        "RENAME COLUMN `b` TO `a`, RENAME COLUMN `zz` TO `b`"
+    )
+    schema0 = spark.createDataFrame([(1, "A", "B")], "k long, a string, b string").schema
+    route_a = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    b1 = spark.createDataFrame(
+        [("insert", 1, 1, "A1", "B1"), ("insert", 2, 2, "A2", "B2")],
+        "op string, seq long, k long, a string, b string",
+    )
+    route_a.apply_batch(envelope_from_typed(b1, db="src", table="t"), batch_id=0)
+    # post-swap DML: column `a` now carries what was `b` and vice versa
+    b2 = spark.createDataFrame(
+        [("update", 4, 1, "B1x", "A1")],
+        "op string, seq long, k long, a string, b string",
+    )
+    env2 = _ddl_env(spark, 3, swap_sql).unionByName(
+        envelope_from_typed(b2, db="src", table="t")
+    )
+    route_a.apply_batch_with_ddl(env2, batch_id=1)
+    got = {(r.k, r.a, r.b) for r in route_a.bind_target().read().collect()}
+    # k=2 (pre-swap only): values must have SWAPPED columns; k=1 updated
+    assert got == {(1, "B1x", "A1"), (2, "B2", "A2")}
+    # replay: the swap must NOT re-apply (in-session stmt dedup +
+    # rewind) — state identical
+    route_a.apply_batch_with_ddl(env2, batch_id=1)
+    assert {(r.k, r.a, r.b) for r in route_a.bind_target().read().collect()} == got
+    # durable marker: a FRESH route object over the same store (restart
+    # analog, in-memory dedup gone) skips the store swap too
+    route_fresh = CdcStreamRoute(
+        spark, db="src", table="t", schema=route_a.schema, keys=["k"],
+        target_path=str(tmp_path / "a"), n_buckets=4, versioned=True,
+        egress_format="default",
+    )
+    tgt = route_fresh.bind_target()
+    v_before = tgt.current_version()
+    assert tgt.rename_columns({"a": "b", "b": "a"}, stmt_id=3) == v_before
+    assert {(r.k, r.a, r.b) for r in tgt.read().collect()} == got
+
+    # the wire carries the three RENAMEs verbatim; a relay consumer
+    # lands the swap with values intact
+    msgs = [json.loads(r.value) for r in route_a.read_egress().collect()]
+    ddl = [m for m in msgs if m["type"] == "ddl"]
+    assert len(ddl) == 1
+    assert "RENAME COLUMN `a` TO `zz`" in ddl[0]["data"]["sql"]
+    from qin_cdc_spark.streaming.cdc_stream import envelope_from_egress
+
+    route_b = CdcStreamRoute(
+        spark, db="src", table="t", schema=schema0, keys=["k"],
+        target_path=str(tmp_path / "b"), n_buckets=4,
+    )
+    route_b.apply_batch_with_ddl(
+        envelope_from_egress(route_a.read_egress()), batch_id=0
+    )
+    got_b = {(r.k, r.a, r.b) for r in route_b.bind_target().read().collect()}
+    assert got_b == got
+
+
+def test_versioned_swap_cdf_alignment(spark, tmp_path):
+    """CDF spanning a recorded SWAP aligns the pre side correctly —
+    the old entry-by-entry rename fold silently dropped half of a
+    recorded swap, mis-joining preimages."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    v1 = tbl.merge(
+        spark.createDataFrame(
+            [("insert", 1, 1, "A", "B")],
+            "op string, seq long, k long, a string, b string",
+        )
+    )
+    tbl.rename_columns({"a": "b", "b": "a"})
+    assert tbl.renames_between(v1, tbl.current_version()) == {"a": "b", "b": "a"}
+    v3 = tbl.merge(
+        spark.createDataFrame(
+            [("update", 4, 1, "Bx", "Ax")],
+            "op string, seq long, k long, a string, b string",
+        )
+    )
+    cdf = {
+        r.k: r
+        for r in tbl.changes_between(v1, v3, include_preimage=True).collect()
+    }
+    # preimages land under the POST-swap names: _pre_a was column b's
+    # value ("B"), _pre_b was column a's ("A")
+    assert cdf[1]._pre_a == "B" and cdf[1]._pre_b == "A"
+    assert cdf[1].a == "Bx" and cdf[1].b == "Ax"
