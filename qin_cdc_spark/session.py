@@ -87,6 +87,26 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # NOTE (OPTIMIZATION_r10): a session-wide scan-parallelism
+        # floor (spark.sql.files.minPartitionNum = cpus) was measured
+        # and REJECTED — it parallelized the two big landed-stream
+        # scans but floored every tiny bucket-dir read to per-file
+        # splits, and the store-read-heavy chains regressed ~2×
+        # (cdc_partitioned_mv_chain 14 s → 26 s).  Wide decode
+        # parallelism comes from an explicit repartition at the landed-
+        # stream read instead (cdc/queries.py::landed_stream).
+        # Commit protocol (OPTIMIZATION_r10, guide §6): the engine's
+        # store writes land in a stage directory that the STORE layer
+        # publishes atomically (dir rename / manifest flip), so the
+        # committer's job-level rename pass (v1) and _SUCCESS markers
+        # buy nothing here — v2 commits task files directly and skips
+        # the driver-side second rename of every file.  Measured ~0.1 s
+        # per store write on the r10 host; at cluster scale v2 is the
+        # standard choice when the layer above provides atomicity
+        # (table-format stores do exactly that).  Nothing in the engine
+        # or its tools reads _SUCCESS (grep-verified).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Long-lived sessions (the 550-test pytest run, the 225-query

@@ -367,8 +367,15 @@ def replay_egress_state(
     the same LWW fold every reference consumer applies.  ``data_schema``
     may be a SUBSET of the emitted columns (project what you need; the
     JSON parse ignores the rest) but must include ``keys``.  One shuffle
-    on the keys; scale is O(messages)."""
-    from pyspark.sql import Window
+    on the keys; scale is O(messages).
+
+    Latest-per-key is ``max_by`` over ``_v_to`` (OPTIMIZATION_r10), not
+    a window ``row_number``: partial (map-side) aggregation means the
+    key shuffle carries at most one row per key per input partition and
+    there is no per-partition sort — the repo-wide ``latest_by_key``
+    doctrine (cdc/apply.py) applied to the consumer fold.  Ties cannot
+    happen: each publication carries at most one diff per key, so
+    (key, _v_to) is unique by construction."""
     from pyspark.sql.types import StringType, StructField
 
     parse_schema = StructType(
@@ -381,11 +388,20 @@ def replay_egress_state(
     # without this filter a feed carrying one would fold a spurious
     # null-key row into the state
     parsed = parsed.filter(F.col("type") != "ddl")
-    w = Window.partitionBy(*keys).orderBy(F.col("_v_to").desc())
-    return (
-        parsed.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("type") != "delete"))
-        .drop("_rn", "_v_to", "type")
+    payload = [c for c in parsed.columns if c not in {*keys, "_v_to"}]
+    last = parsed.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]), F.col("_v_to")
+        ).alias("_last")
+    )
+    # reassemble in the parsed column order (minus type/_v_to), so the
+    # output schema is identical to the window formulation's
+    out_cols = [c for c in parsed.columns if c not in {"type", "_v_to"}]
+    return last.filter(F.col("_last.type") != "delete").select(
+        *[
+            F.col(c) if c in keys else F.col(f"_last.{c}").alias(c)
+            for c in out_cols
+        ]
     )
 
 
@@ -412,19 +428,30 @@ def envelope_from_egress(
     in ``data`` — exactly what ``handle_ddl_rows`` applies to a
     registry, so a relay consumer evolves its schema mid-chain from
     the wire alone."""
-    v = F.col("value")
-    op = F.get_json_object(v, "$.type")
-    return msgs.select(
-        (F.lit(db) if db else F.get_json_object(v, "$.database")).alias("db"),
-        (F.lit(table) if table else F.get_json_object(v, "$.table")).alias("table"),
+    # ONE json_tuple parse per message (OPTIMIZATION_r10): the previous
+    # form ran a get_json_object per extracted field — each a full parse
+    # of the message — and the envelope is consumed lazily by several
+    # downstream jobs, so every job re-paid all of them.  json_tuple
+    # parses once and emits all fields; only the (much smaller) data
+    # subtree pays a second parse, for the DDL sql unwrap.
+    t = msgs.select(
+        F.col("_v_to"),
+        F.json_tuple(
+            F.col("value"), "database", "table", "type", "data", "old"
+        ).alias("_db", "_tbl", "_type", "_data", "_old"),
+    )
+    op = F.col("_type")
+    return t.select(
+        (F.lit(db) if db else F.col("_db")).alias("db"),
+        (F.lit(table) if table else F.col("_tbl")).alias("table"),
         op.alias("op"),
         F.col("_v_to").cast("long").alias("seq"),
         F.lit(None).cast("timestamp").alias("ts"),
         F.lit(None).cast("int").alias("schema_version"),
-        F.when(op == "ddl", F.get_json_object(v, "$.data.sql"))
-        .otherwise(F.get_json_object(v, "$.data"))
+        F.when(op == "ddl", F.get_json_object(F.col("_data"), "$.sql"))
+        .otherwise(F.col("_data"))
         .alias("data"),
-        F.get_json_object(v, "$.old").alias("old"),
+        F.col("_old").alias("old"),
     )
 
 
@@ -445,21 +472,34 @@ def envelope_from_canal_egress(
     statement from the wire's ``sql`` field (the canal DDL convention),
     feeding the same ``handle_ddl_rows`` → registry path as a live
     canal source."""
-    v = F.col("value")
-    is_ddl = F.get_json_object(v, "$.isDdl") == F.lit("true")
-    return msgs.select(
-        (F.lit(db) if db else F.get_json_object(v, "$.database")).alias("db"),
-        (F.lit(table) if table else F.get_json_object(v, "$.table")).alias("table"),
+    # ONE json_tuple parse per message (OPTIMIZATION_r10) — canal
+    # messages are the big ones (per-message sqlType/mysqlType maps),
+    # and the previous 8 get_json_object calls each re-parsed the full
+    # message in EVERY job that consumed the lazy envelope (measured:
+    # the relay consumer's DDL scan alone burned 300 s of executor CPU
+    # at sf0.1; ~40 s after).  Only the 1-element data/old arrays pay a
+    # second parse, on their own (small) subtree, for the [0] unwrap.
+    t = msgs.select(
+        F.col("_v_to"),
+        F.json_tuple(
+            F.col("value"), "database", "table", "type", "isDdl", "sql",
+            "data", "old",
+        ).alias("_db", "_tbl", "_type", "_isddl", "_sql", "_data", "_old"),
+    )
+    is_ddl = F.col("_isddl") == F.lit("true")
+    return t.select(
+        (F.lit(db) if db else F.col("_db")).alias("db"),
+        (F.lit(table) if table else F.col("_tbl")).alias("table"),
         F.when(is_ddl, F.lit("ddl"))
-        .otherwise(F.lower(F.get_json_object(v, "$.type")))
+        .otherwise(F.lower(F.col("_type")))
         .alias("op"),
         F.col("_v_to").cast("long").alias("seq"),
         F.lit(None).cast("timestamp").alias("ts"),
         F.lit(None).cast("int").alias("schema_version"),
-        F.when(is_ddl, F.get_json_object(v, "$.sql"))
-        .otherwise(F.get_json_object(v, "$.data[0]"))
+        F.when(is_ddl, F.col("_sql"))
+        .otherwise(F.get_json_object(F.col("_data"), "$[0]"))
         .alias("data"),
-        F.get_json_object(v, "$.old[0]").alias("old"),
+        F.get_json_object(F.col("_old"), "$[0]").alias("old"),
     )
 
 
@@ -1315,14 +1355,24 @@ class CdcStreamRoute:
         """Direct (non-stream) apply that honors in-band ``op='ddl'``
         envelope rows for this route's table — the one-call form of the
         stream's registry-plus-segmentation path (one driver collect of
-        the control rows; DML cost unchanged)."""
-        ddl_rows = (
-            env_batch.filter(F.col("op") == "ddl")
-            .select("db", "table", "seq", "data")
-            .orderBy("seq")
-            .collect()
-        )
-        self.apply_batch(env_batch, batch_id=batch_id, ddl_rows=ddl_rows or None)
+        the control rows; DML cost unchanged).
+
+        The envelope persists across the control-row scan and the
+        segmented apply (OPTIMIZATION_r10): it is typically a lazy
+        extraction over wire messages (envelope_from_*_egress), and
+        without the persist every segment slice, DLQ append and merge
+        re-ran the whole message parse."""
+        env_batch = env_batch.persist()
+        try:
+            ddl_rows = (
+                env_batch.filter(F.col("op") == "ddl")
+                .select("db", "table", "seq", "data")
+                .orderBy("seq")
+                .collect()
+            )
+            self.apply_batch(env_batch, batch_id=batch_id, ddl_rows=ddl_rows or None)
+        finally:
+            env_batch.unpersist()
 
     def _decode_evolving(
         self, env_batch: DataFrame, ddl_rows: list, batch_id: int | None

@@ -1660,6 +1660,7 @@ class DerivedKeyedAggTable:
             ]
             if not touched:
                 # CDF nets out to nothing: advance the applied version
+                # (touched=[] — provably empty, no probe job at all)
                 self.store.merge(
                     self._events(delta.limit(0).select(
                         *self.group_cols,
@@ -1670,6 +1671,7 @@ class DerivedKeyedAggTable:
                         ],
                     ), v1),
                     batch_id=v1,
+                    touched=[],
                 )
                 return v1
             old = self.store.read_buckets(touched)
@@ -1701,7 +1703,10 @@ class DerivedKeyedAggTable:
                     ],
                 )
             )
-            self.store.merge(self._events(totals, v1), batch_id=v1)
+            # the probe above already named the touched buckets (totals
+            # carries exactly the delta's groups) — the state merge
+            # skips its own probe job + persist (OPTIMIZATION_r10)
+            self.store.merge(self._events(totals, v1), batch_id=v1, touched=touched)
             return v1
         finally:
             delta.unpersist()

@@ -184,58 +184,96 @@ class PartitionedVersionedTable:
         meta = self._meta()
         if batch_id is not None and batch_id <= meta["last_batch_id"]:
             return meta["current"]
-        pvals = [
-            r[0]
-            for r in changes.select(self.partition_col).distinct().collect()
-        ]
-        if any(v is None for v in pvals):
-            raise ValueError(
-                f"merge: NULL {self.partition_col} — the partition column "
-                "must be present on every change row"
-            )
-        if not pvals:
-            # empty batch: advance the replay guard, mint no snapshot
-            if batch_id is not None:
-                meta["last_batch_id"] = batch_id
-                self._publish(meta)
-            return meta["current"]
-        cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
-        new_man = dict(cur_man)
+        # ONE probe job computes the (partition, bucket) pairs for the
+        # whole batch (OPTIMIZATION_r10): each slice's touched-bucket
+        # set ships into its sub-merge, which then skips its own probe
+        # job AND its persist — the per-batch action count drops from
+        # 1 + 3·|partitions| (probe, sub-probe, sub-write each) to
+        # 1 + |partitions|.  The batch is persisted here instead, so
+        # the |partitions| write jobs re-read cached blocks rather than
+        # re-scanning (and re-decoding) the source once per slice.
+        from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-        def _merge_one(pv):
-            pstr = self._pstr(pv)
-            ent = cur_man.get(pstr)
-            if ent is None:
-                # new partition — or one dropped earlier: a FRESH
-                # generation (resurrecting the old store would un-delete
-                # every dropped row).  Deterministic name ⇒ a replayed
-                # batch re-enters the same generation and no-ops on its
-                # sub batch guard.
-                gen = f"g{batch_id}" if batch_id is not None else f"g-{uuid.uuid4().hex[:8]}"
+        proto = VersionedBucketedTable(
+            self.spark, self.path, self.keys,
+            n_buckets=self.n_buckets, **self.table_opts,
+        )
+        changes = changes.persist()
+        try:
+            pairs = [
+                (r[0], r[1])
+                for r in changes.select(
+                    F.col(self.partition_col),
+                    proto._bucket_expr(self.n_buckets).alias("_b"),
+                ).distinct().collect()
+            ]
+            pvals = sorted({p for p, _ in pairs}, key=str)
+            if any(v is None for v in pvals):
+                raise ValueError(
+                    f"merge: NULL {self.partition_col} — the partition column "
+                    "must be present on every change row"
+                )
+            if not pvals:
+                # empty batch: advance the replay guard, mint no snapshot
+                if batch_id is not None:
+                    meta["last_batch_id"] = batch_id
+                    self._publish(meta)
+                return meta["current"]
+            buckets_of: dict = {}
+            for p, b in pairs:
+                buckets_of.setdefault(p, []).append(b)
+            cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
+            new_man = dict(cur_man)
+
+            def _merge_one(pv):
+                pstr = self._pstr(pv)
+                ent = cur_man.get(pstr)
+                if ent is None:
+                    # new partition — or one dropped earlier: a FRESH
+                    # generation (resurrecting the old store would un-delete
+                    # every dropped row).  Deterministic name ⇒ a replayed
+                    # batch re-enters the same generation and no-ops on its
+                    # sub batch guard.
+                    gen = f"g{batch_id}" if batch_id is not None else f"g-{uuid.uuid4().hex[:8]}"
+                else:
+                    gen = ent["gen"]
+                sub = self._sub(pstr, gen)
+                # the parent probe hashed in the PARENT's bucket space;
+                # a sub-store whose manifest was rebucketed away from it
+                # must re-probe itself (touched=None)
+                sub_man = sub._meta()["versions"].get(
+                    str(sub.current_version()), {"buckets": {}}
+                )
+                tb = (
+                    buckets_of[pv]
+                    if sub._manifest_n_buckets(sub_man) == self.n_buckets
+                    else None
+                )
+                sv = sub.merge(
+                    changes.filter(F.col(self.partition_col) == F.lit(pv)),
+                    op_col=op_col,
+                    seq_col=seq_col,
+                    batch_id=batch_id,
+                    touched=tb,
+                )
+                return pstr, {"gen": gen, "v": sv}
+
+            # sub-stores are independent (disjoint dirs + manifests), so
+            # their merges run CONCURRENTLY from driver threads — Spark
+            # interleaves the jobs across the cluster instead of leaving it
+            # idle while small per-partition merges run back to back.  A
+            # failure in any slice aborts the batch before the parent
+            # publish (landed slices replay as sub-guard no-ops).
+            from concurrent.futures import ThreadPoolExecutor
+
+            if len(pvals) == 1:
+                results = [_merge_one(pvals[0])]
             else:
-                gen = ent["gen"]
-            sv = self._sub(pstr, gen).merge(
-                changes.filter(F.col(self.partition_col) == F.lit(pv)),
-                op_col=op_col,
-                seq_col=seq_col,
-                batch_id=batch_id,
-            )
-            return pstr, {"gen": gen, "v": sv}
-
-        # sub-stores are independent (disjoint dirs + manifests), so
-        # their merges run CONCURRENTLY from driver threads — Spark
-        # interleaves the jobs across the cluster instead of leaving it
-        # idle while small per-partition merges run back to back.  A
-        # failure in any slice aborts the batch before the parent
-        # publish (landed slices replay as sub-guard no-ops).
-        from concurrent.futures import ThreadPoolExecutor
-
-        if len(pvals) == 1:
-            results = [_merge_one(pvals[0])]
-        else:
-            with ThreadPoolExecutor(max_workers=min(8, len(pvals))) as ex:
-                results = list(ex.map(_merge_one, sorted(pvals, key=str)))
-        new_man.update(dict(results))
+                with ThreadPoolExecutor(max_workers=min(8, len(pvals))) as ex:
+                    results = list(ex.map(_merge_one, pvals))
+            new_man.update(dict(results))
+        finally:
+            changes.unpersist()
         new_v = meta["current"] + 1
         meta["versions"][str(new_v)] = new_man
         meta["current"] = new_v

@@ -514,7 +514,19 @@ class ScdType2Table:
                 *value_cols,
                 "valid_to",
             )
-            return self.store.merge(events, batch_id=batch_id)
+            # bootstrap-shaped batch (no stored rows for these keys):
+            # every ev key lands in events (first event per key is a
+            # new row or a zero-width tombstone), so the probed bucket
+            # set transfers exactly and the store merge skips its own
+            # probe job + persist (OPTIMIZATION_r10).  With stored rows
+            # the hwm filter may drop whole keys (redeliveries) — a
+            # fully-dropped batch must keep minting NO version, so the
+            # store re-probes the events frame itself.
+            return self.store.merge(
+                events,
+                batch_id=batch_id,
+                touched=touched if old_k is None else None,
+            )
         finally:
             ev.unpersist()
 

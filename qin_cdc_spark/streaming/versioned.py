@@ -293,11 +293,23 @@ class VersionedBucketedTable:
 
     def merge(
         self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq",
-        batch_id: int | None = None,
+        batch_id: int | None = None, touched: list | None = None,
     ) -> int:
         """LWW-merge a change batch as a NEW snapshot; returns its
         version.  With ``batch_id`` (foreachBatch wiring) a replayed
-        batch no-ops instead of minting a duplicate version."""
+        batch no-ops instead of minting a duplicate version.
+
+        ``touched`` (OPTIMIZATION_r10): the bucket ids the batch's keys
+        hash into, when the CALLER already computed them — in the
+        CURRENT manifest's bucket space (``_bucket_expr`` over
+        ``_manifest_n_buckets``) and with at least one batch row per
+        listed bucket.  Skips this merge's probe job AND the persist
+        the probe forced (the batch is then consumed exactly once, by
+        the write) — one Spark action per merge instead of two.  A
+        partitioned parent derives every slice's set from one
+        (partition, bucket) pair scan; an incremental MV's refresh
+        derives it from the delta probe it already runs.  Pass ``[]``
+        for a provably empty batch (guard advance, no snapshot)."""
         meta = self._meta()
         if batch_id is not None and batch_id <= meta["last_batch_id"]:
             return meta["current"]
@@ -310,11 +322,17 @@ class VersionedBucketedTable:
             F.col(seq_col).cast("long").alias("_seq"),
             (F.col(op_col) == "delete").alias("_deleted"),
         ).withColumn("_bucket", self._bucket_expr(nb))
-        incoming = incoming.persist()
+        precomputed = touched is not None
+        if not precomputed:
+            incoming = incoming.persist()
         try:
-            touched = [
-                str(r[0]) for r in incoming.select("_bucket").distinct().collect()
-            ]
+            if precomputed:
+                touched = sorted({str(int(b)) for b in touched}, key=int)
+            else:
+                touched = [
+                    str(r[0])
+                    for r in incoming.select("_bucket").distinct().collect()
+                ]
             # MODIFY-column evolution is TABLE-WIDE (the flat table's
             # rule, cdc_stream.py): parquet files are physically typed,
             # so a touched-buckets-only rewrite would mint a manifest
@@ -422,7 +440,8 @@ class VersionedBucketedTable:
             self._publish(meta)
             return new_v
         finally:
-            incoming.unpersist()
+            if not precomputed:
+                incoming.unpersist()
 
     # -- audit / maintenance metadata ---------------------------------------
 
