@@ -365,3 +365,45 @@ def test_ivf_apply_cdf_matches_full_reassign(spark, tmp_path):
         for r in ref.corpus(spark).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_word_shingles_zipwith_matches_positional_spec(spark):
+    """The zip_with shingle kernel (OPTIMIZATION_r10: higher-order
+    lambdas run interpreted, so the per-position slice shape paid an
+    array alloc per shingle; zip_with pays k-1 whole-array traversals)
+    must stay byte- and ORDER-identical to the positional definition
+    array_distinct([concat_ws(' ', slice(words, i, k)) for i in
+    1..max(1, n-k+1)]) — including short docs (< k words → one partial
+    shingle), empty/whitespace-only text, and repeated-word dedup."""
+    from qin_cdc_spark.functions.text import word_shingles, words
+
+    def positional(text, k):
+        w = words(text)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - (k - 1))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            )
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, "one two"),
+            (5, "one two three"),
+            (6, "a  b\tc\nd e"),
+            (7, " lead trail "),
+            (8, "a a a a a"),
+            (9, "w1 w2 w3 w4 w5 w6 w7"),
+        ],
+        "id int, text string",
+    )
+    for k in (2, 3, 4):
+        rows = df.select(
+            positional(F.col("text"), k).alias("want"),
+            word_shingles(F.col("text"), k).alias("got"),
+        ).collect()
+        for r in rows:
+            assert r["got"] == r["want"], (k, r)
