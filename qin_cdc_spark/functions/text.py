@@ -41,34 +41,43 @@ def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles, row-local.
-
-    Built by k-1 ``zip_with`` passes over shifted copies of the words
-    array instead of the earlier per-position
-    ``transform(sequence(...), i -> concat_ws(slice(words, i, k)))``:
+def window_joins(w: Column, k: int, keep: Column) -> Column:
+    """Space-joined k-word windows at every start position (stride 1),
+    built by k-1 ``zip_with`` passes over shifted copies of the words
+    array instead of a per-position
+    ``transform(sequence(...), i -> concat_ws(slice(w, i, k)))``:
     higher-order lambdas run INTERPRETED (no whole-stage codegen), so
-    per-element work dominates — the slice shape paid an array
-    allocation + copy per shingle position (~370 µs/shingle measured at
-    sf0.1), while zip_with pays k-1 whole-array traversals with one
-    string concat per element (measured 3× faster end-to-end on the
-    shingle-explode kernel, byte-identical output — OPTIMIZATION_r10,
-    guide §1/§4 "per-task work").
+    per-element work dominates — the slice shape pays an array
+    allocation + copy per window position, while zip_with pays k-1
+    whole-array traversals with one string concat per element (measured
+    3× faster on the shingle-explode kernel at sf0.1, byte-identical
+    output — OPTIMIZATION_r10, guide §1/§4 "per-task work").
 
     ``zip_with`` pads the shorter side with NULL and ``concat_ws``
-    skips NULLs, so the tail entries of the zipped array are the
-    (k-1)-, (k-2)-, … 1-word suffixes; the final ``slice`` keeps the
-    first max(1, n-k+1) entries — exactly the old sequence bounds,
-    including the "document shorter than k words yields its single
-    partial shingle" case.
+    skips NULLs, so entry i (1-based) is the join of
+    w[i .. min(i+k-1, n)] — a PARTIAL window when fewer than k words
+    remain, exactly like ``concat_ws`` over a truncated slice.
+    ``keep`` bounds the output: callers pass the positional count of
+    the sequence-based definition they replace (e.g. n-k+1 for full
+    windows only, max(1, n-k+1) to keep one partial window for short
+    docs).
     """
-    w = words(text)
     n = F.size(w)
     out = w
     for j in range(1, k):
         shifted = F.slice(w, j + 1, F.greatest(F.lit(0), n - j))
         out = F.zip_with(out, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(F.slice(out, 1, F.greatest(F.lit(1), n - (k - 1))))
+    return F.slice(out, 1, keep)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles, row-local — ``window_joins`` with the
+    max(1, n-k+1) bound (a document shorter than k words yields its
+    single partial shingle) and a distinct pass."""
+    w = words(text)
+    return F.array_distinct(
+        window_joins(w, k, F.greatest(F.lit(1), F.size(w) - (k - 1)))
+    )
 
 
 def _perm_params(i: int) -> tuple[int, int]:

@@ -20,7 +20,7 @@ from qin_cdc_spark.testing import gate_tmp
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from qin_cdc_spark.functions.text import hash60, word_shingles, words
+from qin_cdc_spark.functions.text import hash60, window_joins, word_shingles, words
 from qin_cdc_spark.operators.llm_text import HASH60_SQL, SHINGLES_SQL, WORDS_SQL
 from qin_cdc_spark.sources.tables import load_table
 
@@ -65,12 +65,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words(F.col("text"))
     n_win = F.greatest(F.lit(0), F.size(w) - F.lit(SUBSTR_W - 1))
     # filter BEFORE the sequence: sequence(1, 0) would descend, not empty
+    # W-word window strings via the shared zip_with kernel (window_joins
+    # — OPTIMIZATION_r10: per-position slice+array_join ran interpreted
+    # at O(W) per window), then hash60 each; docs are pre-filtered to
+    # n >= W so every kept window is full-width.
     wins = docs.filter(F.size(w) >= SUBSTR_W).select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.size(w) - F.lit(SUBSTR_W - 1)),
-                lambda i: hash60(F.array_join(F.slice(w, i, SUBSTR_W), " ")),
+                window_joins(w, SUBSTR_W, F.size(w) - F.lit(SUBSTR_W - 1)),
+                lambda s: hash60(s),
             )
         ).alias("pos", "h"),
     )
@@ -212,10 +216,7 @@ def score_hashed_linear(df: DataFrame, text_col: str = "text") -> DataFrame:
     w = words(F.col(text_col))
     unigrams = F.array_distinct(w)
     bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-        )
+        window_joins(w, 2, F.greatest(F.lit(1), F.size(w) - 1))
     )
     feats = F.array_union(unigrams, bigrams)
     buckets = F.transform(feats, lambda t: hash60(t) % HASH_BUCKETS)

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from qin_cdc_spark.functions.text import hash60, words
+from qin_cdc_spark.functions.text import hash60, window_joins, words
 from qin_cdc_spark.operators.llm_text import HASH60_SQL
 from qin_cdc_spark.sources.tables import load_table
 
@@ -455,10 +455,7 @@ FROM s WHERE len(grams) > 0
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = words(F.lower(F.col("text")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - 2)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-    )
+    grams = window_joins(w, 3, F.greatest(F.lit(1), F.size(w) - 2))
     out = docs.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
     return out.select(
         "doc_id",

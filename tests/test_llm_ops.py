@@ -407,3 +407,52 @@ def test_word_shingles_zipwith_matches_positional_spec(spark):
         ).collect()
         for r in rows:
             assert r["got"] == r["want"], (k, r)
+
+
+def test_window_joins_matches_positional_spec(spark):
+    """window_joins (the shared zip_with window kernel behind
+    word_shingles, dedup_substring_spans, text_repetition_ratio and the
+    hashed-linear bigram features) must stay ORDER-identical to the
+    positional definition [concat_ws(' ', slice(words, i, k)) for i in
+    1..keep] under BOTH bound conventions: full-windows-only (n-k+1,
+    the substring-span shape, with the n >= k pre-filter) and
+    keep-one-partial (max(1, n-k+1), the shingle/gram shape)."""
+    from qin_cdc_spark.functions.text import window_joins, words
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "one two"),
+            (4, "a b c d e f g h"),
+            (5, "a b c d e f g h i j k l"),
+            (6, "x x x x x x x x x"),
+            (7, " lead  mid\ttrail "),
+        ],
+        "id int, text string",
+    )
+    w = words(F.col("text"))
+    for k in (2, 3, 8):
+        positional_full = F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+        rows = df.filter(F.size(w) >= k).select(
+            positional_full.alias("want"),
+            window_joins(w, k, F.size(w) - F.lit(k - 1)).alias("got"),
+        ).collect()
+        assert rows, k
+        for r in rows:
+            assert r["got"] == r["want"], (k, "full", r)
+
+        keep = F.greatest(F.lit(1), F.size(w) - (k - 1))
+        positional_partial = F.transform(
+            F.sequence(F.lit(1), keep),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+        rows = df.select(
+            positional_partial.alias("want"),
+            window_joins(w, k, keep).alias("got"),
+        ).collect()
+        for r in rows:
+            assert r["got"] == r["want"], (k, "partial", r)
