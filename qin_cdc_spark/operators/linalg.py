@@ -42,20 +42,36 @@ from qin_cdc_spark.sources.tables import load_table
 EPS = 1e-9  # eigenvalue floor: guards near-singular dims
 
 
-def _second_moments(df: DataFrame, col: str, dim: int):
+def _second_moments(df: DataFrame, col: str, dim: int, *, pre=None):
     """One distributed pass → (n, mean[d], cov[d,d]) as numpy.
 
     Per-partition numpy partials (Arrow batches), distributed combine
-    by position, constant-size driver collect."""
+    by position, constant-size driver collect.
+
+    ``pre`` (OPTIMIZATION_r10): optional ``(mean, w)`` applied INSIDE
+    the numpy kernel as ``y = (x − mean) @ wᵀ`` before accumulation —
+    the moments of the whitened corpus measured in one vectorized pass
+    over the RAW column (guide §4.2: hand whole batches to native
+    code), instead of feeding the kernel a 4096-literal interpreted
+    JVM projection of every row.  Same measurement, same data pass;
+    only where the multiply runs changes (numpy dgemm, ~1e-16 from the
+    expression form — far inside the contract tolerances)."""
     import numpy as np
     import pandas as pd
 
+    pre_mean = pre[0].tolist() if pre is not None else None
+    pre_w = pre[1].tolist() if pre is not None else None
+
     def part(batches):
+        m = np.asarray(pre_mean) if pre_mean is not None else None
+        W = np.asarray(pre_w) if pre_w is not None else None
         n, s, ss = 0, None, None
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[col].to_numpy()).astype("float64")
+            if m is not None:
+                x = (x - m) @ W.T
             n += x.shape[0]
             s = x.sum(0) if s is None else s + x.sum(0)
             g = x.T @ x
@@ -122,9 +138,9 @@ def whiten_expr(col: Column, mean, w) -> Column:
 def whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production operator: embeddings → whitened embeddings
     (vec_id, embedding array<double>)."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # scan-split parallelism; the transform is row-local, so a forced
+    # repartition only added a shuffle of the corpus (OPTIMIZATION_r10)
+    emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
     _, mean, w = train_whitening(emb, "embedding", dim)
     return emb.select(
@@ -148,15 +164,19 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_linalg.py."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # No repartition (OPTIMIZATION_r10): the moments kernel needs no
+    # particular partitioning — scan-split parallelism is the
+    # scale-adaptive answer (1 task for the sf0.1 single-file fixture,
+    # thousands of natural splits at 100 TB), and the forced
+    # defaultParallelism exchange cost a full shuffle of the corpus
+    # plus 32 near-empty tasks per pass here.
+    emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
     n, mean, w = train_whitening(emb, "embedding", dim)
-    whitened = emb.select(
-        "vec_id", whiten_expr(F.col("embedding"), mean, w).alias("embedding")
-    )
-    n2, mean2, cov2 = _second_moments(whitened, "embedding", dim)
+    # verification pass: same one-pass distributed measurement, with
+    # the whitening multiply fused into the numpy kernel (guide §4.2)
+    # instead of a 64×64-literal interpreted expression per row
+    n2, mean2, cov2 = _second_moments(emb, "embedding", dim, pre=(mean, w))
     assert n2 == n
     mean_ok = bool(np.abs(mean2).max() < 1e-6)
     cov_ok = bool(np.abs(cov2 - np.eye(dim)).max() < 0.05)

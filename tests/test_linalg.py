@@ -69,6 +69,22 @@ def test_gate_contract_row(spark):
     assert row.mean_near_zero and row.cov_near_identity
 
 
+def test_second_moments_fused_pre_matches_explicit(spark):
+    """The pre=(mean, w) kernel fusion (OPTIMIZATION_r10: the whitened
+    verification moments measured by one numpy pass over the raw
+    column) must equal the moments of the explicitly whitened corpus
+    to float precision."""
+    x, _ = _np_embeddings(spark)
+    dim = x.shape[1]
+    emb = load_table(spark, SF_SMOKE, "embeddings").repartition(4)
+    n, mean, w = train_whitening(emb, "embedding", dim)
+    n2, mean2, cov2 = _second_moments(emb, "embedding", dim, pre=(mean, w))
+    assert n2 == n == x.shape[0]
+    y = (x - mean) @ w.T
+    assert np.abs(mean2 - y.mean(0)).max() < 1e-12
+    assert np.abs(cov2 - np.cov(y.T, bias=True)).max() < 1e-9
+
+
 def test_eps_floors_degenerate_dims(spark):
     """A constant dimension (zero variance) must not blow up the
     solve: its whitened variance lands at ~0 (λ/(λ+EPS)), every other
