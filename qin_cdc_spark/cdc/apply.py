@@ -133,16 +133,46 @@ def decode_envelope(
     if not keys:
         return decoded.select("op", "seq", "_row.*")
 
-    with_old = decoded.withColumn("_old", parse_row(F.col("old"), schema))
+    # PK-move expansion parses each envelope row ONCE (OPTIMIZATION_r10).
+    # The earlier normal.unionByName(moves) shape scanned the source per
+    # branch, so `data` parsed twice and `old` once over EVERY row
+    # (~2.5 full JSON parses; measured 2× slower than this shape on the
+    # sf0.1 orders envelope).  A when()-guarded array would not help:
+    # conditional branches defeat codegen's subexpression elimination
+    # (the parse_row lesson above), re-running the parse per branch.
+    # Instead the parses land in one projection BELOW a constant-array
+    # Generate — computed once per input row, carried as struct columns
+    # through the explode — and the move expansion is a filter/select
+    # over the duplicated rows: copy 0 is the event itself, copy 1
+    # survives only for PK-moving updates and re-emits the old image as
+    # a same-seq delete.
+    dec = routed.select(
+        "op",
+        "seq",
+        parse_row(F.col("data"), schema).alias("_row"),
+        parse_row(F.col("old"), schema).alias("_old"),
+    )
     pk_moved = F.col("_old").isNotNull() & _any_of(
         [F.col(f"_old.{k}") != F.col(f"_row.{k}") for k in keys]
     )
-    normal = with_old.select("op", "seq", "_row.*")
-    moves = (
-        with_old.filter((F.col("op") == "update") & pk_moved)
-        .select(F.lit("delete").alias("op"), F.col("seq"), "_old.*")
+    is_move = (F.col("op") == "update") & pk_moved
+    ex = dec.select(
+        "op", "seq", "_row", "_old",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("_i"),
     )
-    return normal.unionByName(moves)
+    return (
+        ex.filter((F.col("_i") == 0) | is_move)
+        .select(
+            F.when(F.col("_i") == 1, F.lit("delete"))
+            .otherwise(F.col("op"))
+            .alias("op"),
+            "seq",
+            F.when(F.col("_i") == 1, F.col("_old"))
+            .otherwise(F.col("_row"))
+            .alias("_r"),
+        )
+        .select("op", "seq", "_r.*")
+    )
 
 
 def _any_of(conds):
