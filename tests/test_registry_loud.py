@@ -20,7 +20,7 @@ from qin_cdc_spark.plans.registry import _HEAD, all_oracles, all_queries
 # Update BOTH numbers when adding gate queries — that is the point:
 # a silent registry shrink (or an unregistered addition) fails here
 # before the driver ever green-checks the wrong prefix.
-EXPECTED_REGISTRY_SIZE = 239
+EXPECTED_REGISTRY_SIZE = 240  # round 10: + cdc_mv_rename_follow
 EXPECTED_ROWS_ONLY = 0
 
 
