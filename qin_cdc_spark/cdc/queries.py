@@ -323,24 +323,25 @@ def landed_stream(spark: SparkSession, sf_dir: str, key: str, build):
         # session_tmp: atexit-cleaned (and removable mid-run by
         # cleanup_session_tmp — this cache re-lands on the isdir miss)
         dest = session_tmp(f"land_{key}_") + "/stream"
-        # Land pre-split across the cores (OPTIMIZATION_r10): the
-        # streams are ~15 MB at sf0.1, so an as-is write produces ONE
-        # file = ONE input split, and every downstream consumer job
-        # (merge probes, envelope encodes, watermark scans) ran 1-2
-        # tasks wide on a 32-core host (profiled: 2-4 s single-task
-        # jobs throughout the chain queries).  One round-robin shuffle
-        # at land time buys full-width scans for every consumer; at
-        # cluster scale a landed stream is many splits already and
-        # this is a no-op-sized knob.
-        build().repartition(
-            spark.sparkContext.defaultParallelism
-        ).write.parquet(dest)
+        # Land AS-IS — natural source-scan partitioning, no repartition
+        # (OPTIMIZATION_r10, re-measured).  A wave-1 change pre-split
+        # the landing across the cores so the one-time decode and the
+        # downstream scans ran full-width; interleaved same-day A/B at
+        # matching calibration showed the 32-tiny-file layout instead
+        # TAXED every consumer of the chain family (per-task fixed cost
+        # across the dozens of probe/merge jobs that re-read the landed
+        # dir: cdc_partitioned_mv_chain 25.3 s vs 17.1, scd2_history
+        # 12.1 vs 8.8, derived_keyed_agg 8.2 vs 6.6 at sf0.1), so it
+        # was REVERTED.  Natural splits are also the scale-adaptive
+        # shape: at sf0.1 the stream is one ~15 MB file (one task reads
+        # it in milliseconds); at cluster scale the build's own input
+        # is many splits and the landing inherits them — no local-core
+        # constant baked into the layout.  (A read-side
+        # repartition(cores) was likewise measured and REJECTED in
+        # wave 1 — it re-shuffled the landed rows in every consumer
+        # job.)
+        build().write.parquet(dest)
         _LAND_CACHE[k] = dest
-    # (OPTIMIZATION_r10: a read-side repartition(cores) was measured
-    # and REJECTED — it re-shuffled the landed rows in every consumer
-    # job and the store-building chains regressed; the write-side
-    # repartition above already parallelizes the landing itself and
-    # leaves a multi-file dir for split-level parallelism.)
     return spark.read.parquet(dest)
 
 
