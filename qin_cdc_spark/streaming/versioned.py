@@ -672,9 +672,64 @@ class VersionedBucketedTable:
 
         ``v_from = 0`` is the empty pre-state (everything in v_to is an
         insert) — the same contract as the partitioned store, so a CDF
-        consumer can start from "nothing applied yet" uniformly."""
-        a = self.read_internal(v_from) if v_from > 0 else None
-        b = self.read_internal(v_to)
+        consumer can start from "nothing applied yet" uniformly.
+
+        Cost is O(changed buckets), not O(store): data dirs are
+        immutable once published and every mutation mints NEW dir names
+        for exactly the buckets it rewrote, so a bucket whose dir name
+        is identical in both manifests holds identical rows and can
+        contribute no change — the diff reads ONLY buckets whose dir
+        differs between the two versions (driver-side manifest math,
+        same pruning class as ``read_buckets``).  Unchanged rows never
+        appeared in the output anyway (equal ``_seq`` ⇒ no change row),
+        so the result is identical; what changes is that a steady-state
+        incremental consumer stops re-scanning the whole table per
+        refresh.  Falls back to the full two-snapshot diff across a
+        ``rebucket`` boundary (bucket ids aren't comparable between
+        bucket counts)."""
+        a = b = None
+        meta = self._meta()
+        man_a = meta["versions"].get(str(v_from)) if meta["versions"] else None
+        man_b = meta["versions"].get(str(v_to)) if meta["versions"] else None
+        if (
+            v_from > 0
+            and man_a is not None
+            and man_b is not None
+            and man_a["buckets"]
+            and man_b["buckets"]
+            and self._manifest_n_buckets(man_a) == self._manifest_n_buckets(man_b)
+        ):
+            changed = [
+                bk
+                for bk in set(man_a["buckets"]) | set(man_b["buckets"])
+                if man_a["buckets"].get(bk) != man_b["buckets"].get(bk)
+            ]
+            a = self._read_dirs(
+                man_a,
+                [
+                    os.path.join(self.path, man_a["buckets"][bk])
+                    for bk in changed
+                    if bk in man_a["buckets"]
+                ],
+            )
+            if a is None:
+                # no pre-side bucket changed (all changes are new
+                # buckets, or none at all): an EMPTY typed pre-frame —
+                # None would mean "empty pre-state ⇒ all inserts"
+                a = self._read_manifest(man_a).limit(0)
+            b = self._read_dirs(
+                man_b,
+                [
+                    os.path.join(self.path, man_b["buckets"][bk])
+                    for bk in changed
+                    if bk in man_b["buckets"]
+                ],
+            )
+            if b is None:
+                b = self._read_manifest(man_b).limit(0)
+        else:
+            a = self.read_internal(v_from) if v_from > 0 else None
+            b = self.read_internal(v_to)
         if b is None:
             raise ValueError("changes_between: v_to snapshot is empty")
         if a is not None:

@@ -236,6 +236,40 @@ def test_changes_between_versions(spark, tmp_path):
     assert vals == {1: "a2", 4: "d"}
 
 
+def test_changes_between_prunes_unchanged_buckets(spark, tmp_path):
+    """CDF cost is O(changed buckets): a bucket whose dir name is
+    identical in both manifests is never opened (OPTIMIZATION_r10 —
+    dirs are immutable, so same dname ⇒ same rows ⇒ no change).  The
+    second merge touches ONE key; the diff must read only that key's
+    bucket on each side, and its output must equal the unpruned
+    full-snapshot diff semantics (the unchanged keys stay absent)."""
+    tbl = VersionedBucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    v1 = tbl.merge(
+        _changes(
+            spark,
+            [("insert", i, i, "v%d" % i) for i in range(1, 9)],
+        )
+    )
+    v2 = tbl.merge(_changes(spark, [("update", 100, 1, "v1b")]))
+    man1, man2 = _manifest(tbl)["versions"][str(v1)], _manifest(tbl)["versions"][str(v2)]
+    changed_dirs = {
+        d for b, d in man1["buckets"].items() if man2["buckets"].get(b) != d
+    } | {d for b, d in man2["buckets"].items() if man1["buckets"].get(b) != d}
+    assert len(changed_dirs) == 2  # one bucket, two vintages
+
+    cdf = tbl.changes_between(v1, v2, include_preimage=True)
+    opened = {f.rsplit("/", 2)[-2] for f in cdf.inputFiles()}
+    assert opened == changed_dirs  # manifest-level pruning, both sides
+    rows = cdf.collect()
+    assert {(r.id, r._change, r.val, r._pre_val) for r in rows} == {
+        (1, "update", "v1b", "v1")
+    }
+
+    # degenerate range: identical manifests (restore) ⇒ empty CDF, no raise
+    v3 = tbl.restore(v2)
+    assert tbl.changes_between(v2, v3).count() == 0
+
+
 def test_cdf_preimage_incremental_aggregation(spark, tmp_path):
     """The CDF preimage/postimage shape supports RETRACTABLE incremental
     aggregation: maintain per-group (cnt, sum) from the delta alone and
