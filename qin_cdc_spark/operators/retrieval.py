@@ -456,14 +456,18 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qin_cdc_spark.streaming.text_index import IncrementalBm25Index
     from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
 
-    from qin_cdc_spark.cdc.queries import landed_stream
+    from qin_cdc_spark.cdc.queries import _landed_halfpoint, landed_stream
 
     base = gate_tmp("bm25idx_gate_")
     ev = landed_stream(
         spark, sf_dir, "documents",
         lambda: documents_change_stream(spark, sf_dir),
     )
-    s = ev.agg(F.max("seq")).collect()[0][0] // 2
+    # memoized per landed artifact (OPTIMIZATION_r10 item 6's memo,
+    # rolled out here in r11): the watermark is a property of the
+    # deterministic landed file — re-scanning it per invocation was one
+    # full-stream job of pure re-derivation
+    s = _landed_halfpoint(ev, sf_dir, "documents")
     tbl = VersionedBucketedTable(spark, base + "/t", ["doc_id"], n_buckets=8)
     idx = IncrementalBm25Index(spark, base + "/idx")
     tbl.merge(ev.filter(F.col("seq") <= s), batch_id=0)

@@ -112,10 +112,67 @@ class IncrementalClusterStore:
             return None
         return rows.join(nodes, "node", "left_semi")
 
+    # Affected subgraphs above this node count solve with the
+    # distributed propagation loop; at or below it, a driver union-find
+    # (bounded collect, ~16 bytes/node) replaces the loop's ~3 Spark
+    # actions PER ITERATION with two collects (OPTIMIZATION_r11, guide
+    # §1 per-action cost: each tiny action costs ~0.3-0.7 s of
+    # planning/py4j overhead, and the store BOUNDS touched components
+    # by design — "O(size of the touched components), never the graph").
+    DRIVER_CC_MAX_NODES = 100_000
+    DRIVER_CC_MAX_EDGES = 1_000_000
+
+    def _solve_cc(self, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        """Exact min-label connected components over the (small)
+        affected subgraph; ``edges`` is symmetric (node, peer).  Small
+        subgraphs solve driver-side (union-find; identical min-label
+        result — UTF-8 byte order equals code-point order, so Python
+        min on strings matches Spark's); oversized ones fall back to
+        the distributed propagation loop."""
+        head = nodes.limit(self.DRIVER_CC_MAX_NODES + 1).collect()
+        if len(head) <= self.DRIVER_CC_MAX_NODES:
+            erows = edges.select("node", "peer").limit(
+                self.DRIVER_CC_MAX_EDGES + 1
+            ).collect()
+            if len(erows) <= self.DRIVER_CC_MAX_EDGES:
+                parent: dict = {r[0]: r[0] for r in head}
+
+                def find(x):
+                    root = x
+                    while parent[root] != root:
+                        root = parent[root]
+                    while parent[x] != root:
+                        parent[x], x = root, parent[x]
+                    return root
+
+                for a, b in erows:
+                    if a in parent and b in parent:
+                        ra, rb = find(a), find(b)
+                        if ra != rb:
+                            parent[ra] = rb
+                label: dict = {}
+                for n in parent:
+                    r = find(n)
+                    if r not in label or n < label[r]:
+                        label[r] = n
+                from pyspark.sql.types import StructField, StructType
+
+                node_f = nodes.schema["node"]
+                schema = StructType(
+                    [
+                        StructField("node", node_f.dataType),
+                        StructField("label", node_f.dataType),
+                    ]
+                )
+                return self.spark.createDataFrame(
+                    [(n, label[find(n)]) for n in parent], schema
+                )
+        return self._solve_cc_distributed(nodes, edges)
+
     @staticmethod
-    def _solve_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-        """Exact min-label propagation over the (small) affected
-        subgraph; ``edges`` is symmetric (node, peer)."""
+    def _solve_cc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        """Distributed min-label propagation — the at-scale path for
+        components too large to collect."""
         lab = nodes.select("node", F.col("node").alias("label"))
         while True:
             lab = lab.localCheckpoint()  # truncate iteration lineage

@@ -883,6 +883,19 @@ class BucketedUpsertTable(ParquetUpsertTable):
             return None
         return full.filter(~F.col("_deleted")).drop("_seq", "_deleted")
 
+    def _pruned_current(self, evolved, incoming: DataFrame) -> DataFrame:
+        """Stored rows of exactly the batch's buckets, without a driver
+        probe: a broadcast SEMI-JOIN on the bucket partition column that
+        dynamic partition pruning turns into a scan-level
+        PartitionFilter (``dynamicpruning#...`` — plan-pinned in
+        tests/test_opt_internals.py), so only touched bucket dirs are
+        opened.  Declared-schema read under the EVOLVED schema: stored
+        files missing an added column read typed nulls."""
+        bset = incoming.select(self.BUCKET_COL).distinct()
+        return self._read_full(evolved).join(
+            F.broadcast(bset), self.BUCKET_COL, "left_semi"
+        )
+
     def merge(self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq") -> None:
         incoming = changes.select(
             *self.keys,
@@ -933,48 +946,56 @@ class BucketedUpsertTable(ParquetUpsertTable):
         # under the new manifest forever.
         evolved = StructType([*stored.fields, *added]) if added else stored
 
-        # The batch is consumed twice (touched-bucket probe + merge
-        # union); persist so the envelope decode runs once per batch.
-        incoming = incoming.persist()
+        # ONE Spark action per merge (OPTIMIZATION_r11, guide §1
+        # per-action cost; VERDICT r10 #6): the stored side is pruned to
+        # the batch's buckets by a BROADCAST SEMI-JOIN on the bucket
+        # partition column instead of a driver-side probe collect —
+        # dynamic partition pruning pushes the broadcast bucket set into
+        # the scan (a `dynamicpruning` PartitionFilter, plan-asserted in
+        # tests), so only touched bucket dirs are opened, exactly like
+        # the old isin(touched) literal but without the extra action.
+        # The touched set itself is recovered AFTER the write from the
+        # stage listing: merged holds at least one row per touched
+        # bucket by construction (latest_by_key keeps every key's last
+        # row, tombstones included, and each touched bucket has ≥1
+        # incoming row), so the staged dirs ARE the touched set.  This
+        # is safe for the FLAT store only — the versioned store must
+        # know its touched set before minting (and a fully-redelivered
+        # batch must mint NO version), which is why it keeps the probe
+        # (see versioned.merge).
+        incoming = incoming.persist()  # decode once: DPP build + union
         try:
-            touched = [
-                r[0] for r in incoming.select(self.BUCKET_COL).distinct().collect()
-            ]
-            current = (
-                # declared-schema read under the EVOLVED schema: stored
-                # files missing an added column read typed nulls, and
-                # partition pruning still scans only touched bucket dirs
-                self._read_full(evolved)
-                .filter(F.col(self.BUCKET_COL).isin(touched))
-            )
+            current = self._pruned_current(evolved, incoming)
             # allowMissingColumns: an incoming batch missing a STORED
             # column keeps it (new rows read null); retyped columns
             # never reach this path (type_changed full rewrite above)
             union = _align_to_incoming(current, incoming).unionByName(
-                incoming.filter(F.col(self.BUCKET_COL).isin(touched)),
-                allowMissingColumns=True,
+                incoming, allowMissingColumns=True
             )
             merged = latest_by_key(union, [*self.keys, self.BUCKET_COL], seq_col="_seq")
             # co-locate each bucket into one output file (otherwise every
             # shuffle partition writes a sliver of every bucket — 32×32
             # small files per batch and metadata blowup over time)
-            merged = merged.repartition(max(1, len(touched)), F.col(self.BUCKET_COL))
+            merged = merged.repartition(self.n_buckets, F.col(self.BUCKET_COL))
             # one job: write merged buckets to a staging dir (target untouched,
             # so the lazy read of `current` is safe), then swap only the
             # touched bucket directories in — no persist/count materialization
             # pass and no in-place dynamic overwrite hazard
             stage = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
             merged.write.partitionBy(self.BUCKET_COL).parquet(stage)
+            prefix = f"{self.BUCKET_COL}="
+            touched = [
+                d[len(prefix):]
+                for d in os.listdir(stage)
+                if d.startswith(prefix)
+            ]
             for b in touched:
                 src = os.path.join(stage, f"{self.BUCKET_COL}={b}")
                 dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
                 old = f"{dst}.old-{uuid.uuid4().hex[:6]}"
                 if os.path.exists(dst):
                     os.rename(dst, old)
-                if os.path.exists(src):
-                    os.rename(src, dst)
-                else:
-                    os.makedirs(dst, exist_ok=True)  # bucket emptied by the merge
+                os.rename(src, dst)
                 if os.path.exists(old):
                     shutil.rmtree(old)
             shutil.rmtree(stage, ignore_errors=True)

@@ -187,12 +187,19 @@ class PartitionedVersionedTable:
         # ONE probe job computes the (partition, bucket) pairs for the
         # whole batch (OPTIMIZATION_r10): each slice's touched-bucket
         # set ships into its sub-merge, which then skips its own probe
-        # job AND its persist — the per-batch action count drops from
-        # 1 + 3·|partitions| (probe, sub-probe, sub-write each) to
-        # 1 + |partitions|.  The batch is persisted here instead, so
-        # the |partitions| write jobs re-read cached blocks rather than
-        # re-scanning (and re-decoding) the source once per slice.
-        from qin_cdc_spark.streaming.versioned import VersionedBucketedTable
+        # job.  The slices themselves land as ONE Spark action
+        # (OPTIMIZATION_r11, guide §1 per-action cost): every slice's
+        # merged frame is tagged with its partition value and the union
+        # writes once, partitioned by (_part, _bucket); each sub-store
+        # then adopts its staged bucket dirs by manifest math.  The
+        # per-batch action count drops from 1 + |partitions| to 2 —
+        # at sf0.1 each extra action costs ~0.3-0.7 s of planning/
+        # commit/py4j fixed overhead, and on a cluster the driver stops
+        # serializing |partitions| commits per refresh tick.
+        from qin_cdc_spark.streaming.versioned import (
+            VersionedBucketedTable,
+            _nullable_schema,
+        )
 
         proto = VersionedBucketedTable(
             self.spark, self.path, self.keys,
@@ -225,18 +232,28 @@ class PartitionedVersionedTable:
             cur_man = dict(meta["versions"].get(str(meta["current"]), {}))
             new_man = dict(cur_man)
 
+            def _slice_gen(pv):
+                ent = cur_man.get(self._pstr(pv))
+                if ent is not None:
+                    return ent["gen"]
+                # new partition — or one dropped earlier: a FRESH
+                # generation (resurrecting the old store would un-delete
+                # every dropped row).  Deterministic name ⇒ a replayed
+                # batch re-enters the same generation and no-ops on its
+                # sub batch guard.
+                return (
+                    f"g{batch_id}"
+                    if batch_id is not None
+                    else f"g-{uuid.uuid4().hex[:8]}"
+                )
+
             def _merge_one(pv):
+                """Per-slice fallback: the sub-store runs its own merge
+                action (used for rebucketed subs, whose bucket space the
+                parent probe can't see, and for schema-heterogeneous
+                batches)."""
                 pstr = self._pstr(pv)
-                ent = cur_man.get(pstr)
-                if ent is None:
-                    # new partition — or one dropped earlier: a FRESH
-                    # generation (resurrecting the old store would un-delete
-                    # every dropped row).  Deterministic name ⇒ a replayed
-                    # batch re-enters the same generation and no-ops on its
-                    # sub batch guard.
-                    gen = f"g{batch_id}" if batch_id is not None else f"g-{uuid.uuid4().hex[:8]}"
-                else:
-                    gen = ent["gen"]
+                gen = _slice_gen(pv)
                 sub = self._sub(pstr, gen)
                 # the parent probe hashed in the PARENT's bucket space;
                 # a sub-store whose manifest was rebucketed away from it
@@ -258,20 +275,121 @@ class PartitionedVersionedTable:
                 )
                 return pstr, {"gen": gen, "v": sv}
 
-            # sub-stores are independent (disjoint dirs + manifests), so
-            # their merges run CONCURRENTLY from driver threads — Spark
-            # interleaves the jobs across the cluster instead of leaving it
-            # idle while small per-partition merges run back to back.  A
-            # failure in any slice aborts the batch before the parent
-            # publish (landed slices replay as sub-guard no-ops).
-            from concurrent.futures import ThreadPoolExecutor
+            # Build every slice's merged frame LAZILY (no action), then
+            # land them all in one write.  Slices that can't join the
+            # shared write (rebucketed bucket space, replayed sub guard,
+            # divergent merged schema) peel off to the per-slice path.
+            plans: list[dict] = []
+            fallback: list = []
+            done: list[tuple] = []
+            for pv in pvals:
+                pstr = self._pstr(pv)
+                gen = _slice_gen(pv)
+                sub = self._sub(pstr, gen)
+                sub_meta = sub._meta()
+                if batch_id is not None and batch_id <= sub_meta["last_batch_id"]:
+                    # slice already landed by a crashed earlier attempt:
+                    # keep its current version, recompute nothing
+                    done.append((pstr, {"gen": gen, "v": sub_meta["current"]}))
+                    continue
+                scur = sub_meta["versions"].get(
+                    str(sub_meta["current"]), {"buckets": {}}
+                )
+                snb = sub._manifest_n_buckets(scur)
+                if snb != self.n_buckets:
+                    fallback.append(pv)
+                    continue
+                incoming = sub._incoming_frame(
+                    changes.filter(F.col(self.partition_col) == F.lit(pv)),
+                    op_col, seq_col, snb,
+                )
+                tb = sorted({str(int(b)) for b in buckets_of[pv]}, key=int)
+                tb = sub._widen_touched_for_retype(incoming, scur, tb)
+                merged = sub._merged_frame(incoming, scur, snb, tb)
+                plans.append(
+                    {
+                        "pstr": pstr, "gen": gen, "sub": sub,
+                        "sub_meta": sub_meta, "scur": scur, "nb": snb,
+                        "touched": tb, "merged": merged,
+                        "sig": tuple(
+                            sorted((f.name, str(f.dataType))
+                                   for f in merged.schema.fields)
+                        ),
+                    }
+                )
+            if len(plans) == 1 or (
+                plans and len({p["sig"] for p in plans}) > 1
+            ):
+                # a single slice writes just as cheaply through its own
+                # merge; schema-divergent slices (partitions born under
+                # different column vintages) must not union — widening
+                # would write columns a sub-store never had
+                for p in plans:
+                    # the planning pass memoized the retype probe on the
+                    # sub (p["touched"] is the widened set) — the
+                    # abandoned plan's sub.merge must re-probe, not skip
+                    # the widening off a memo its own merge never acted on
+                    p["sub"]._merge_sig = None
+                fallback.extend(
+                    pv for pv in pvals
+                    if self._pstr(pv) in {p["pstr"] for p in plans}
+                )
+                plans = []
+            if plans:
+                tagged = [
+                    p["merged"].withColumn("_part", F.lit(p["pstr"]))
+                    for p in plans
+                ]
+                union = tagged[0]
+                for t in tagged[1:]:
+                    union = union.unionByName(t)
+                total = sum(len(p["touched"]) for p in plans)
+                union = union.repartition(
+                    max(1, total), F.col("_part"), F.col("_bucket")
+                )
+                # within-file clustering (the sub-stores' _cluster
+                # contract), with the dynamic-partition writer's
+                # required (_part, _bucket) prefix so our ordering
+                # survives into the files
+                sort_cols = [
+                    c
+                    for c in (self.table_opts.get("sort_cols") or [])
+                    if c in union.columns
+                ]
+                if sort_cols:
+                    union = union.sortWithinPartitions(
+                        "_part", "_bucket", *sort_cols
+                    )
+                stage = os.path.join(
+                    self.path, f".stage-{uuid.uuid4().hex[:8]}"
+                )
+                union.write.partitionBy("_part", "_bucket").parquet(stage)
+                for p in plans:
+                    pdir = os.path.join(stage, f"_part={p['pstr']}")
+                    sv = p["sub"]._mint_version(
+                        p["sub_meta"], p["scur"], p["nb"], p["touched"],
+                        lambda b, d=pdir: os.path.join(d, f"_bucket={b}"),
+                        _nullable_schema(p["merged"].schema).jsonValue(),
+                        batch_id,
+                    )
+                    done.append((p["pstr"], {"gen": p["gen"], "v": sv}))
+                shutil.rmtree(stage, ignore_errors=True)
+            if fallback:
+                # sub-stores are independent (disjoint dirs + manifests),
+                # so fallback merges run CONCURRENTLY from driver threads.
+                # A failure in any slice aborts the batch before the
+                # parent publish (landed slices replay as sub-guard
+                # no-ops).
+                from concurrent.futures import ThreadPoolExecutor
 
-            if len(pvals) == 1:
-                results = [_merge_one(pvals[0])]
-            else:
-                with ThreadPoolExecutor(max_workers=min(8, len(pvals))) as ex:
-                    results = list(ex.map(_merge_one, pvals))
-            new_man.update(dict(results))
+                if len(fallback) == 1:
+                    done.append(_merge_one(fallback[0]))
+                else:
+                    with ThreadPoolExecutor(
+                        max_workers=min(8, len(fallback))
+                    ) as ex:
+                        done.extend(ex.map(_merge_one, fallback))
+            new_man.update(dict(done))
         finally:
             changes.unpersist()
         new_v = meta["current"] + 1

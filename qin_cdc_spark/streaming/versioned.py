@@ -77,6 +77,7 @@ class VersionedBucketedTable:
         bloom_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
         bucket_cols: list[str] | None = None,
+        auto_rebucket_bytes: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -99,6 +100,17 @@ class VersionedBucketedTable:
         # bitsets maintained incrementally (touched dirs only) at merge
         # time — see read_where()
         self.bloom_cols = list(bloom_cols or [])
+        # auto-rebucket policy (OPTIMIZATION_r11, VERDICT r10 #4): when
+        # set, every merge checks the CURRENT snapshot's mean bucket
+        # bytes (driver-side os.stat over the manifest's dirs — zero
+        # Spark jobs) and doubles the bucket count once it crosses this
+        # threshold, so touched-bucket merge cost and the CDF's pruned
+        # read stay O(delta·bucket_bytes) as the table grows instead of
+        # degrading with bucket size at fixed n_buckets.  Off (None) by
+        # default: the rebucket is one full-table rewrite, a latency
+        # spike the operator must opt into (Iceberg's bucket-spec
+        # evolution has the same cost and the same opt-in shape).
+        self.auto_rebucket_bytes = auto_rebucket_bytes
         # within-bucket clustering: every merged/rebucketed bucket file
         # is written sorted by these columns, so parquet row-group
         # min/max stats become tight and RANGE predicates on them skip
@@ -291,6 +303,136 @@ class VersionedBucketedTable:
         constructor value (the only count that existed then)."""
         return int(man.get("n_buckets", self.n_buckets))
 
+    def _incoming_frame(
+        self, changes: DataFrame, op_col: str, seq_col: str, nb: int
+    ) -> DataFrame:
+        """The merge's normalized input: value columns + LWW coordinates
+        (``_seq``/``_deleted``) + the bucket assignment under ``nb``."""
+        return changes.select(
+            *self.keys,
+            *[c for c in changes.columns if c not in {op_col, seq_col, *self.keys}],
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == "delete").alias("_deleted"),
+        ).withColumn("_bucket", self._bucket_expr(nb))
+
+    def _widen_touched_for_retype(
+        self, incoming: DataFrame, cur_man: dict, touched: list[str]
+    ) -> list[str]:
+        """MODIFY-column evolution is TABLE-WIDE (the flat table's
+        rule, cdc_stream.py): parquet files are physically typed,
+        so a touched-buckets-only rewrite would mint a manifest
+        mixing e.g. string and double files for one column — and
+        every mergeSchema read of it throws CANNOT_MERGE_SCHEMAS.
+        When any shared column's type changed, this version
+        rewrites EVERY current bucket (aligned to the incoming
+        types); older versions keep their own uniform files, and
+        CDF across the boundary reads each side separately.  The
+        probe (one dir's schema) is MEMOIZED per incoming
+        signature: a steady-state stream merging the same shape
+        pays it once per table object, not once per batch (a
+        partitioned store merges one sub-store per partition —
+        an unmemoized probe measurably taxed drop-egress)."""
+        inc_sig = tuple(
+            (f.name, str(f.dataType))
+            for f in incoming.schema.fields
+            if f.name != "_bucket"
+        )
+        if (
+            touched
+            and cur_man["buckets"]
+            and inc_sig != getattr(self, "_merge_sig", None)
+        ):
+            probe_dir = next(iter(set(cur_man["buckets"].values())))
+            stored_types = {
+                f.name: f.dataType
+                for f in self.spark.read.parquet(
+                    os.path.join(self.path, probe_dir)
+                ).schema.fields
+            }
+            if any(
+                f.name in stored_types and stored_types[f.name] != f.dataType
+                for f in incoming.schema.fields
+                if f.name != "_bucket"
+            ):
+                touched = sorted(set(touched) | set(cur_man["buckets"]), key=int)
+            # after this merge the store's types match the incoming
+            # signature (aligned rewrite or already-equal) — probe
+            # again only when a DIFFERENT shape arrives
+            self._merge_sig = inc_sig
+        return touched
+
+    def _merged_frame(
+        self, incoming: DataFrame, cur_man: dict, nb: int, touched: list[str]
+    ) -> DataFrame:
+        """The new snapshot's rows for the ``touched`` buckets (lazy —
+        no action): stored rows of those buckets unioned with the batch,
+        reduced last-event-per-key."""
+        cur_dirs = [
+            os.path.join(self.path, cur_man["buckets"][b])
+            for b in touched
+            if b in cur_man["buckets"]
+        ]
+        if cur_dirs:
+            # declared-schema read (recorded-manifest fallback to
+            # mergeSchema): after an ADD COLUMN, dirs written before
+            # the evolution legitimately lack the new column —
+            # sampling one file's schema here could silently drop
+            # it from the merge (the cdc_stream.py read contract)
+            current = self._read_dirs(cur_man, cur_dirs)
+            union = _align_to_incoming(
+                current.withColumn("_bucket", self._bucket_expr(nb)), incoming
+            ).unionByName(incoming, allowMissingColumns=True)
+        else:
+            union = incoming
+        return latest_by_key(union, [*self.keys, "_bucket"], seq_col="_seq")
+
+    def _mint_version(
+        self,
+        meta: dict,
+        cur_man: dict,
+        nb: int,
+        touched: list[str],
+        src_of,
+        schema_json: dict,
+        batch_id: int | None,
+    ) -> int:
+        """Adopt staged bucket dirs (``src_of(b)`` → written dir for
+        bucket ``b``) into the table layout and mint the new version —
+        the publish half of ``merge``, shared with the partitioned
+        parent's one-write-per-batch path (whose stage dir lives under
+        the PARENT, so this store's own dir may not exist yet)."""
+        os.makedirs(self.path, exist_ok=True)
+        new_buckets = dict(cur_man["buckets"])
+        new_dnames = []
+        for b in touched:
+            src = src_of(b)
+            dname = f"d-{uuid.uuid4().hex[:12]}"
+            if os.path.isdir(src):
+                os.rename(src, os.path.join(self.path, dname))
+                new_buckets[b] = dname
+                new_dnames.append(dname)
+            else:
+                # merge emptied the bucket (pure-tombstone GC etc.)
+                new_buckets.pop(b, None)
+        self._write_blooms(new_dnames)
+        new_v = meta["current"] + 1
+        meta["versions"][str(new_v)] = {
+            "buckets": new_buckets,
+            "n_buckets": nb,
+            # the version's logical schema: declared-schema reads
+            # resolve mixed-vintage dirs (typed nulls for columns
+            # added since a dir was written) with no footer merging
+            # all-nullable copy: an old dir missing a later-added
+            # column must read as nulls even where the writing
+            # plan inferred a non-nullable field
+            "schema": schema_json,
+        }
+        meta["current"] = new_v
+        if batch_id is not None:
+            meta["last_batch_id"] = batch_id
+        self._publish(meta)
+        return new_v
+
     def merge(
         self, changes: DataFrame, *, op_col: str = "op", seq_col: str = "seq",
         batch_id: int | None = None, touched: list | None = None,
@@ -316,12 +458,7 @@ class VersionedBucketedTable:
 
         cur_man = meta["versions"].get(str(meta["current"]), {"buckets": {}})
         nb = self._manifest_n_buckets(cur_man)
-        incoming = changes.select(
-            *self.keys,
-            *[c for c in changes.columns if c not in {op_col, seq_col, *self.keys}],
-            F.col(seq_col).cast("long").alias("_seq"),
-            (F.col(op_col) == "delete").alias("_deleted"),
-        ).withColumn("_bucket", self._bucket_expr(nb))
+        incoming = self._incoming_frame(changes, op_col, seq_col, nb)
         precomputed = touched is not None
         if not precomputed:
             incoming = incoming.persist()
@@ -333,111 +470,34 @@ class VersionedBucketedTable:
                     str(r[0])
                     for r in incoming.select("_bucket").distinct().collect()
                 ]
-            # MODIFY-column evolution is TABLE-WIDE (the flat table's
-            # rule, cdc_stream.py): parquet files are physically typed,
-            # so a touched-buckets-only rewrite would mint a manifest
-            # mixing e.g. string and double files for one column — and
-            # every mergeSchema read of it throws CANNOT_MERGE_SCHEMAS.
-            # When any shared column's type changed, this version
-            # rewrites EVERY current bucket (aligned to the incoming
-            # types); older versions keep their own uniform files, and
-            # CDF across the boundary reads each side separately.  The
-            # probe (one dir's schema) is MEMOIZED per incoming
-            # signature: a steady-state stream merging the same shape
-            # pays it once per table object, not once per batch (a
-            # partitioned store merges one sub-store per partition —
-            # an unmemoized probe measurably taxed drop-egress).
-            inc_sig = tuple(
-                (f.name, str(f.dataType))
-                for f in incoming.schema.fields
-                if f.name != "_bucket"
-            )
-            if (
-                touched
-                and cur_man["buckets"]
-                and inc_sig != getattr(self, "_merge_sig", None)
-            ):
-                probe_dir = next(iter(set(cur_man["buckets"].values())))
-                stored_types = {
-                    f.name: f.dataType
-                    for f in self.spark.read.parquet(
-                        os.path.join(self.path, probe_dir)
-                    ).schema.fields
-                }
-                if any(
-                    f.name in stored_types and stored_types[f.name] != f.dataType
-                    for f in incoming.schema.fields
-                    if f.name != "_bucket"
-                ):
-                    touched = sorted(
-                        set(touched) | set(cur_man["buckets"]), key=int
-                    )
-                # after this merge the store's types match the incoming
-                # signature (aligned rewrite or already-equal) — probe
-                # again only when a DIFFERENT shape arrives
-                self._merge_sig = inc_sig
+            touched = self._widen_touched_for_retype(incoming, cur_man, touched)
             if not touched:
                 # empty batch: advance the replay guard, mint no snapshot
                 if batch_id is not None:
                     meta["last_batch_id"] = batch_id
                     self._publish(meta)
                 return meta["current"]
-            cur_dirs = [
-                os.path.join(self.path, cur_man["buckets"][b])
-                for b in touched
-                if b in cur_man["buckets"]
-            ]
-            if cur_dirs:
-                # declared-schema read (recorded-manifest fallback to
-                # mergeSchema): after an ADD COLUMN, dirs written before
-                # the evolution legitimately lack the new column —
-                # sampling one file's schema here could silently drop
-                # it from the merge (the cdc_stream.py read contract)
-                current = self._read_dirs(cur_man, cur_dirs)
-                union = _align_to_incoming(
-                    current.withColumn("_bucket", self._bucket_expr(nb)), incoming
-                ).unionByName(incoming, allowMissingColumns=True)
-            else:
-                union = incoming
-            merged = latest_by_key(union, [*self.keys, "_bucket"], seq_col="_seq")
+            merged = self._merged_frame(incoming, cur_man, nb, touched)
             # one file per touched bucket (same small-files discipline as
             # BucketedUpsertTable)
             merged = merged.repartition(max(1, len(touched)), F.col("_bucket"))
             merged = self._cluster(merged)
             stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
             merged.write.partitionBy("_bucket").parquet(stage)
-
-            new_buckets = dict(cur_man["buckets"])
-            new_dnames = []
-            for b in touched:
-                src = os.path.join(stage, f"_bucket={b}")
-                dname = f"d-{uuid.uuid4().hex[:12]}"
-                if os.path.isdir(src):
-                    os.rename(src, os.path.join(self.path, dname))
-                    new_buckets[b] = dname
-                    new_dnames.append(dname)
-                else:
-                    # merge emptied the bucket (pure-tombstone GC etc.)
-                    new_buckets.pop(b, None)
+            new_v = self._mint_version(
+                meta,
+                cur_man,
+                nb,
+                touched,
+                lambda b: os.path.join(stage, f"_bucket={b}"),
+                _nullable_schema(merged.schema).jsonValue(),
+                batch_id,
+            )
             shutil.rmtree(stage, ignore_errors=True)
-            self._write_blooms(new_dnames)
-
-            new_v = meta["current"] + 1
-            meta["versions"][str(new_v)] = {
-                "buckets": new_buckets,
-                "n_buckets": nb,
-                # the version's logical schema: declared-schema reads
-                # resolve mixed-vintage dirs (typed nulls for columns
-                # added since a dir was written) with no footer merging
-                # all-nullable copy: an old dir missing a later-added
-                # column must read as nulls even where the writing
-                # plan inferred a non-nullable field
-                "schema": _nullable_schema(merged.schema).jsonValue(),
-            }
-            meta["current"] = new_v
-            if batch_id is not None:
-                meta["last_batch_id"] = batch_id
-            self._publish(meta)
+            if self.auto_rebucket_bytes:
+                # may mint a FURTHER version (the rebucketed layout);
+                # the returned version stays the merge's own snapshot
+                self.maybe_rebucket()
             return new_v
         finally:
             if not precomputed:
@@ -1019,6 +1079,53 @@ class VersionedBucketedTable:
         meta["current"] = new_v
         self._publish(meta)
         return new_v
+
+    def maybe_rebucket(
+        self,
+        *,
+        target_bucket_bytes: int | None = None,
+        max_n_buckets: int = 4096,
+    ) -> int | None:
+        """Auto-rebucket policy (VERDICT r10 #4): rewrite to the
+        smallest power-of-two bucket-count multiple that brings mean
+        bucket bytes back under ``target_bucket_bytes`` (default: the
+        constructor's ``auto_rebucket_bytes``), capped at
+        ``max_n_buckets``.  The DECISION is driver-side os.stat over
+        the current manifest's data dirs — zero Spark jobs below the
+        threshold, so calling this after every merge is free until the
+        day it fires.  Returns the rebucketed version, or None when the
+        layout is already within target.
+
+        Why: bucket count is fixed at creation while the table grows —
+        at 100 TB a 32-bucket layout makes every touched-bucket merge
+        rewrite ~3 TB and every CDF-pruned read open multi-TB dirs.
+        Doubling keeps the rewrite count logarithmic in growth; the CDF
+        falls back to one full diff across the boundary (bucket ids
+        aren't comparable between counts — tested), then prunes again
+        at the new granularity."""
+        target = target_bucket_bytes or self.auto_rebucket_bytes
+        if not target:
+            return None
+        meta = self._meta()
+        if not meta["versions"]:
+            return None
+        man = meta["versions"][str(meta["current"])]
+        nb = self._manifest_n_buckets(man)
+        if nb >= max_n_buckets or not man["buckets"]:
+            return None
+        total = 0
+        for d in set(man["buckets"].values()):
+            full = os.path.join(self.path, d)
+            if os.path.isdir(full):
+                for f in os.listdir(full):
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(full, f))
+        if total <= target * nb:
+            return None
+        new_nb = nb
+        while new_nb < max_n_buckets and total > target * new_nb:
+            new_nb *= 2
+        return self.rebucket(new_nb)
 
     def rebucket(self, new_n_buckets: int) -> int:
         """Bucket-count evolution: rewrite the CURRENT snapshot under a

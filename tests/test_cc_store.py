@@ -290,3 +290,46 @@ def test_members_probe_opens_only_affected_label_buckets(spark, tmp_path):
     assert calls, "degrade path never probed the members index"
     assert calls[0] == expected
     assert _labels(st) == _cc_py(e1 + [(1, 2), (2, 3)])
+
+
+def test_driver_solve_matches_distributed_loop(spark, tmp_path):
+    """The bounded driver union-find (OPTIMIZATION_r11) must return
+    exactly the distributed propagation loop's min-label assignment —
+    on long ids and on string ids (UTF-8 byte order == code-point
+    order, so the min agrees) — and the oversized path must still route
+    to the loop."""
+    import random
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(40)}
+    edges = [(a, b) for a, b in edges if a != b]
+    st = IncrementalClusterStore(spark, str(tmp_path / "cc"), n_buckets=4)
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "node long, peer long",
+    )
+    nodes = sym.select("node").distinct()
+    got = {(r.node, r.label) for r in st._solve_cc(nodes, sym).collect()}
+    want = {
+        (r.node, r.label)
+        for r in st._solve_cc_distributed(nodes, sym).collect()
+    }
+    assert got == want
+
+    s_sym = sym.select(
+        F.concat(F.lit("d"), F.col("node").cast("string")).alias("node"),
+        F.concat(F.lit("d"), F.col("peer").cast("string")).alias("peer"),
+    )
+    s_nodes = s_sym.select("node").distinct()
+    got_s = {(r.node, r.label) for r in st._solve_cc(s_nodes, s_sym).collect()}
+    want_s = {
+        (r.node, r.label)
+        for r in st._solve_cc_distributed(s_nodes, s_sym).collect()
+    }
+    assert got_s == want_s
+
+    # oversized guard: shrink the bound and confirm the fallback path
+    # still solves correctly
+    st.DRIVER_CC_MAX_NODES = 3
+    got_big = {(r.node, r.label) for r in st._solve_cc(nodes, sym).collect()}
+    assert got_big == want

@@ -65,28 +65,44 @@ def test_candidates_match_inline_lsh_banding(spark, tmp_path):
     16×4 bands) — the index is a materialization, not a new algorithm."""
     from qin_cdc_spark.functions.text import (
         lsh_band_keys,
-        minhash_signature,
+        minhash_from_hashes,
+        shingle_hashes,
         word_shingles,
     )
 
-    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    # pre-split the one-file fixture so the index build's md5/minhash
+    # stage runs on every core instead of one task (test-side: at real
+    # scale the corpus arrives in many splits already)
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     idx = LshBandIndex(spark, str(tmp_path / "idx"))
     idx.build(docs)
     got = {(r.doc_a, r.doc_b) for r in idx.candidate_pairs().collect()}
 
-    # materialization barrier + parallelism, the PLANS.md hazard pair:
+    # materialization barriers + parallelism, the PLANS.md hazard pair:
     # without persist, CollapseProject inlines the 64-hash signature
     # into both sides of the self-join (each exploded band row
     # re-evaluates the interpreted ArrayTransform chain), and the
-    # one-file fixture scans as a single partition — together this
-    # turned the reference side into a ~15-minute single-thread stage
-    banded = docs.repartition(spark.sparkContext.defaultParallelism).select(
+    # one-file fixture scans as a single partition.  The barrier between
+    # shingle_hashes and the permutation family matters just as much —
+    # the inline form re-ran every md5 64× and made this REFERENCE side
+    # a ~100 s stage (OPTIMIZATION_r11; same math either way, so the
+    # reference is unweakened).
+    hashed = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", shingle_hashes(word_shingles(F.col("text"))).alias("h")
+    ).persist()
+    sig = hashed.select(
+        "doc_id", minhash_from_hashes(F.col("h"), 64).alias("sig")
+    ).persist()
+    banded = sig.select(
         "doc_id",
-        F.explode(
-            lsh_band_keys(minhash_signature(word_shingles(F.col("text")), 64), 16, 4)
-        ).alias("band"),
+        F.explode(lsh_band_keys(F.col("sig"), 16, 4)).alias("band"),
     ).persist()
     try:
+        banded.count()  # materialize through the barriers
         want = {
             (r.doc_a, r.doc_b)
             for r in banded.alias("x")
@@ -98,4 +114,6 @@ def test_candidates_match_inline_lsh_banding(spark, tmp_path):
         }
     finally:
         banded.unpersist()
+        sig.unpersist()
+        hashed.unpersist()
     assert got == want

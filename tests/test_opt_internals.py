@@ -252,3 +252,143 @@ def test_pk_move_expansion_rowset_and_single_parse(spark):
     )
     plan = got._jdf.queryExecution().explainString(mode)
     assert plan.count("from_json") == 2, plan
+
+
+# -- round-11 optimization internals ------------------------------------------
+
+
+def test_partitioned_merge_single_write_matches_lww(spark, tmp_path):
+    """The one-write-per-batch partitioned merge (OPTIMIZATION_r11) must
+    produce exactly the per-slice result: per-partition LWW over the
+    full stream, one sub-version per touched partition per batch, and
+    bucket placement under the parent's bucket expression."""
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    rows0 = [("insert", i, i, 1990 + (i % 3), f"v{i}") for i in range(1, 25)]
+    rows1 = (
+        [("update", 100 + i, i, 1990 + (i % 3), f"w{i}") for i in range(1, 9)]
+        + [("delete", 200, 9, 1990, "v9")]
+        # a partition born in batch 1
+        + [("insert", 201, 99, 1999, "new")]
+    )
+    sch = "op string, seq long, k long, yr int, val string"
+    tbl = PartitionedVersionedTable(
+        spark, str(tmp_path / "t"), ["k"], partition_col="yr", n_buckets=4
+    )
+    tbl.merge(spark.createDataFrame(rows0, sch), batch_id=0)
+    tbl.merge(spark.createDataFrame(rows1, sch), batch_id=1)
+
+    from qin_cdc_spark.cdc.apply import latest_by_key
+
+    ev = spark.createDataFrame(rows0 + rows1, sch)
+    want = {
+        (r.k, r.yr, r.val)
+        for r in latest_by_key(ev, ["k"], seq_col="seq")
+        .filter(F.col("op") != "delete")
+        .collect()
+    }
+    got = {(r.k, r.yr, r.val) for r in tbl.read().collect()}
+    assert got == want
+    # every touched partition minted exactly one sub-version per batch
+    man = tbl._manifest()
+    for pstr, ent in man.items():
+        sub = tbl._sub(pstr, ent["gen"])
+        expect = 1 if pstr == "1999" else 2
+        assert len(sub.versions()) == expect, (pstr, sub.versions())
+        # batch guard advanced atomically with the sub publish
+        assert sub.last_batch_id() == 1
+    # replay of the whole batch is a parent-guard no-op
+    v = tbl.current_version()
+    tbl.merge(spark.createDataFrame(rows1, sch), batch_id=1)
+    assert tbl.current_version() == v
+
+
+def test_partitioned_merge_divergent_schemas_fall_back(spark, tmp_path):
+    """Slices whose stored schemas diverged (a partition born under a
+    later column vintage) must NOT share one union write — the
+    per-slice fallback keeps each sub-store's column set its own."""
+    from qin_cdc_spark.streaming.partitioned import PartitionedVersionedTable
+
+    tbl = PartitionedVersionedTable(
+        spark, str(tmp_path / "t"), ["k"], partition_col="yr", n_buckets=2
+    )
+    # batch 0: partition 1990 under (k, yr, val)
+    tbl.merge(
+        spark.createDataFrame(
+            [("insert", 1, 1, 1990, "a")],
+            "op string, seq long, k long, yr int, val string",
+        ),
+        batch_id=0,
+    )
+    # batch 1: partition 1991 born with an extra column v2
+    tbl.merge(
+        spark.createDataFrame(
+            [("insert", 2, 2, 1991, "b", "x")],
+            "op string, seq long, k long, yr int, val string, v2 string",
+        ),
+        batch_id=1,
+    )
+    # batch 2 (NO v2 column) touches both partitions: 1990's merged
+    # schema lacks v2, 1991's keeps it (allowMissingColumns) — divergent
+    tbl.merge(
+        spark.createDataFrame(
+            [("update", 3, 1, 1990, "a2"), ("update", 4, 2, 1991, "b2")],
+            "op string, seq long, k long, yr int, val string",
+        ),
+        batch_id=2,
+    )
+    got = {
+        (r.k, r.yr, r.val, r.v2)
+        for r in tbl.read().select("k", "yr", "val", "v2").collect()
+    }
+    assert got == {(1, 1990, "a2", None), (2, 1991, "b2", None)}
+    # 1990's sub-store must NOT have gained a v2 column
+    man = tbl._manifest()
+    sub90 = tbl._sub("1990", man["1990"]["gen"])
+    assert "v2" not in sub90.read().columns
+    sub91 = tbl._sub("1991", man["1991"]["gen"])
+    assert "v2" in sub91.read().columns
+
+
+def test_bucketed_merge_current_side_prunes_via_dpp(spark, tmp_path):
+    """The flat store's single-action merge (OPTIMIZATION_r11, VERDICT
+    r10 #6) prunes the stored side with dynamic partition pruning: the
+    broadcast semi-join on the bucket partition column must plan a
+    ``dynamicpruning`` PartitionFilter at the scan when the batch
+    lineage carries the route's selective filter (the real stream path
+    always does — decode filters on db/table)."""
+    from qin_cdc_spark.streaming.cdc_stream import BucketedUpsertTable
+
+    t = BucketedUpsertTable(spark, str(tmp_path / "t"), ["k"], n_buckets=8)
+    seed = spark.createDataFrame(
+        [("insert", i, i, f"v{i}") for i in range(64)],
+        "op string, seq long, k long, val string",
+    )
+    t.merge(seed)
+    raw = spark.createDataFrame(
+        [("src", "update", 100, 3, "x"), ("oth", "insert", 101, 7, "z")],
+        "db string, op string, seq long, k long, val string",
+    )
+    ch = raw.filter(F.col("db") == "src").drop("db")
+    inc = ch.select(
+        "k", "val",
+        F.col("seq").cast("long").alias("_seq"),
+        (F.col("op") == "delete").alias("_deleted"),
+    ).withColumn("_bucket", t._bucket_expr())
+    cur = t._pruned_current(t._stored_schema(), inc)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = cur._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan, plan
+
+    # behavior: the merge still converges LWW with deletes and updates
+    t.merge(
+        spark.createDataFrame(
+            [("update", 100, 3, "x"), ("delete", 101, 11, "gone")],
+            "op string, seq long, k long, val string",
+        )
+    )
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert (3, "x") in got and not any(k == 11 for k, _ in got)
+    assert len(got) == 63

@@ -270,6 +270,61 @@ def test_changes_between_prunes_unchanged_buckets(spark, tmp_path):
     assert tbl.changes_between(v2, v3).count() == 0
 
 
+def test_auto_rebucket_policy(spark, tmp_path):
+    """maybe_rebucket (OPTIMIZATION_r11, VERDICT r10 #4): when mean
+    bucket bytes crosses the threshold, the next merge doubles the
+    bucket count (to the smallest power-of-two multiple that restores
+    the target); rows are preserved, read_key hashes with the new
+    count, and the CDF across the rebucket boundary falls back to the
+    full diff exactly once (bucket ids aren't comparable across
+    counts), then prunes again at the new granularity."""
+    tbl = VersionedBucketedTable(
+        spark, str(tmp_path / "t"), ["id"], n_buckets=2,
+        auto_rebucket_bytes=1,  # any real file crosses 1 byte/bucket
+    )
+    v1 = tbl.merge(_changes(spark, [("insert", i, i, "v%d" % i) for i in range(1, 9)]))
+    # the merge minted v1, then the policy fired and minted the
+    # rebucketed layout as a further version
+    assert tbl.current_version() > v1
+    man = _manifest(tbl)["versions"][str(tbl.current_version())]
+    assert tbl._manifest_n_buckets(man) > 2
+    assert {(r.id, r.val) for r in tbl.read().collect()} == {
+        (i, "v%d" % i) for i in range(1, 9)
+    }
+    assert [(r.id, r.val) for r in tbl.read_key([5]).collect()] == [(5, "v5")]
+
+    # CDF across the boundary: full-diff fallback (every live dir of
+    # both manifests opened), result still exactly the per-key net
+    v2 = tbl.current_version()
+    cdf = tbl.changes_between(v1, v2)
+    assert cdf.count() == 0  # rebucket moves rows, changes nothing
+    opened = {f.rsplit("/", 2)[-2] for f in cdf.inputFiles()}
+    man1 = _manifest(tbl)["versions"][str(v1)]
+    assert opened == set(man1["buckets"].values()) | set(man["buckets"].values())
+
+    # …and the NEXT delta prunes again at the new granularity
+    v3 = tbl.merge(_changes(spark, [("update", 100, 1, "v1b")]))
+    cdf2 = tbl.changes_between(v2, v3)
+    man3 = _manifest(tbl)["versions"][str(v3)]
+    changed = {
+        d for b, d in man["buckets"].items() if man3["buckets"].get(b) != d
+    } | {d for b, d in man3["buckets"].items() if man["buckets"].get(b) != d}
+    opened2 = {f.rsplit("/", 2)[-2] for f in cdf2.inputFiles()}
+    assert opened2 == changed and len(changed) == 2
+    assert {(r.id, r._change) for r in cdf2.collect()} == {(1, "update")}
+
+    # below-threshold store: the policy is a driver-side no-op
+    quiet = VersionedBucketedTable(
+        spark, str(tmp_path / "q"), ["id"], n_buckets=2,
+        auto_rebucket_bytes=1 << 40,
+    )
+    quiet.merge(_changes(spark, [("insert", 1, 1, "a")]))
+    assert quiet.maybe_rebucket() is None
+    assert quiet._manifest_n_buckets(
+        _manifest(quiet)["versions"][str(quiet.current_version())]
+    ) == 2
+
+
 def test_cdf_preimage_incremental_aggregation(spark, tmp_path):
     """The CDF preimage/postimage shape supports RETRACTABLE incremental
     aggregation: maintain per-group (cnt, sum) from the delta alone and
