@@ -196,6 +196,8 @@ class PartitionedVersionedTable:
         # at sf0.1 each extra action costs ~0.3-0.7 s of planning/
         # commit/py4j fixed overhead, and on a cluster the driver stops
         # serializing |partitions| commits per refresh tick.
+        from qin_cdc_spark.cdc.apply import latest_by_key
+        from qin_cdc_spark.streaming.cdc_stream import _align_to_incoming
         from qin_cdc_spark.streaming.versioned import (
             VersionedBucketedTable,
             _nullable_schema,
@@ -275,13 +277,29 @@ class PartitionedVersionedTable:
                 )
                 return pstr, {"gen": gen, "v": sv}
 
-            # Build every slice's merged frame LAZILY (no action), then
-            # land them all in one write.  Slices that can't join the
-            # shared write (rebucketed bucket space, replayed sub guard,
-            # divergent merged schema) peel off to the per-slice path.
+            # Plan every slice DRIVER-side (no Spark plan building per
+            # slice), then land them all through ONE scan + ONE
+            # aggregation + ONE write: the partition column is immutable
+            # per key, so all slices' (current ∪ incoming) rows reduce
+            # in a single latest_by_key over (keys, _part, _bucket) —
+            # the union write's plan stays the size of one slice's, not
+            # |partitions|× (a first cut that unioned per-slice merge
+            # subtrees was measured SLOWER than the old threaded
+            # per-slice merges: the big plan's analysis/AQE cost on one
+            # driver thread ate the action savings).  Slices that can't
+            # join the shared write (rebucketed bucket space, replayed
+            # sub guard, divergent stored schema) peel off to the
+            # per-slice path.
             plans: list[dict] = []
             fallback: list = []
             done: list[tuple] = []
+            shared_schema_json: list = []  # distinct stored-schema jsons
+            merged_colsets: set = set()
+            proto_nb = self.n_buckets
+            incoming_all = proto._incoming_frame(
+                changes, op_col, seq_col, proto_nb
+            )
+            inc_cols = {f.name for f in incoming_all.schema.fields}
             for pv in pvals:
                 pstr = self._pstr(pv)
                 gen = _slice_gen(pv)
@@ -299,52 +317,92 @@ class PartitionedVersionedTable:
                 if snb != self.n_buckets:
                     fallback.append(pv)
                     continue
-                incoming = sub._incoming_frame(
-                    changes.filter(F.col(self.partition_col) == F.lit(pv)),
-                    op_col, seq_col, snb,
-                )
+                if scur["buckets"] and scur.get("schema") is None:
+                    # legacy manifest without a recorded schema: its read
+                    # needs mergeSchema — per-slice path handles it
+                    fallback.append(pv)
+                    continue
                 tb = sorted({str(int(b)) for b in buckets_of[pv]}, key=int)
-                tb = sub._widen_touched_for_retype(incoming, scur, tb)
-                merged = sub._merged_frame(incoming, scur, snb, tb)
+                tb = sub._widen_touched_for_retype(incoming_all, scur, tb)
+                stored_cols = (
+                    {f["name"] for f in scur["schema"]["fields"]}
+                    if scur["buckets"]
+                    else set()
+                )
+                if scur["buckets"]:
+                    sj = json.dumps(scur["schema"], sort_keys=True)
+                    if sj not in shared_schema_json:
+                        shared_schema_json.append(sj)
+                merged_colsets.add(frozenset(inc_cols | stored_cols))
                 plans.append(
                     {
-                        "pstr": pstr, "gen": gen, "sub": sub,
+                        "pstr": pstr, "pv": pv, "gen": gen, "sub": sub,
                         "sub_meta": sub_meta, "scur": scur, "nb": snb,
-                        "touched": tb, "merged": merged,
-                        "sig": tuple(
-                            sorted((f.name, str(f.dataType))
-                                   for f in merged.schema.fields)
-                        ),
+                        "touched": tb,
                     }
                 )
-            if len(plans) == 1 or (
-                plans and len({p["sig"] for p in plans}) > 1
+            if plans and (
+                len(plans) == 1
+                or len(shared_schema_json) > 1
+                or len(merged_colsets) > 1
             ):
                 # a single slice writes just as cheaply through its own
                 # merge; schema-divergent slices (partitions born under
-                # different column vintages) must not union — widening
-                # would write columns a sub-store never had
+                # different column vintages) must not share one write —
+                # widening would write columns a sub-store never had
                 for p in plans:
                     # the planning pass memoized the retype probe on the
                     # sub (p["touched"] is the widened set) — the
                     # abandoned plan's sub.merge must re-probe, not skip
                     # the widening off a memo its own merge never acted on
                     p["sub"]._merge_sig = None
-                fallback.extend(
-                    pv for pv in pvals
-                    if self._pstr(pv) in {p["pstr"] for p in plans}
-                )
+                fallback.extend(p["pv"] for p in plans)
                 plans = []
             if plans:
-                tagged = [
-                    p["merged"].withColumn("_part", F.lit(p["pstr"]))
+                from pyspark.sql.types import StructType
+
+                inc = incoming_all
+                if len(plans) < len(pvals):
+                    # replayed/fallback slices keep their own paths —
+                    # their rows must not enter the shared write
+                    inc = inc.filter(
+                        F.col(self.partition_col).isin([p["pv"] for p in plans])
+                    )
+                cur_dirs = [
+                    os.path.join(p["sub"].path, p["scur"]["buckets"][b])
                     for p in plans
+                    for b in p["touched"]
+                    if b in p["scur"]["buckets"]
                 ]
-                union = tagged[0]
-                for t in tagged[1:]:
-                    union = union.unionByName(t)
+                if cur_dirs:
+                    stored_schema = StructType.fromJson(
+                        json.loads(shared_schema_json[0])
+                    )
+                    current = self.spark.read.schema(stored_schema).parquet(
+                        *cur_dirs
+                    ).withColumn("_bucket", proto._bucket_expr(proto_nb))
+                    union = _align_to_incoming(current, inc).unionByName(
+                        inc, allowMissingColumns=True
+                    )
+                else:
+                    union = inc
+                # _part derived from the partition VALUE with the exact
+                # _pstr rendering (a bare cast-to-string can disagree
+                # with str() for some types)
+                part_expr = None
+                for p in plans:
+                    cond = F.col(self.partition_col) == F.lit(p["pv"])
+                    part_expr = (
+                        F.when(cond, F.lit(p["pstr"]))
+                        if part_expr is None
+                        else part_expr.when(cond, F.lit(p["pstr"]))
+                    )
+                union = union.withColumn("_part", part_expr)
+                merged = latest_by_key(
+                    union, [*self.keys, "_part", "_bucket"], seq_col="_seq"
+                )
                 total = sum(len(p["touched"]) for p in plans)
-                union = union.repartition(
+                out = merged.repartition(
                     max(1, total), F.col("_part"), F.col("_bucket")
                 )
                 # within-file clustering (the sub-stores' _cluster
@@ -354,22 +412,27 @@ class PartitionedVersionedTable:
                 sort_cols = [
                     c
                     for c in (self.table_opts.get("sort_cols") or [])
-                    if c in union.columns
+                    if c in out.columns
                 ]
                 if sort_cols:
-                    union = union.sortWithinPartitions(
+                    out = out.sortWithinPartitions(
                         "_part", "_bucket", *sort_cols
                     )
                 stage = os.path.join(
                     self.path, f".stage-{uuid.uuid4().hex[:8]}"
                 )
-                union.write.partitionBy("_part", "_bucket").parquet(stage)
+                out.write.partitionBy("_part", "_bucket").parquet(stage)
+                schema_json = _nullable_schema(
+                    StructType(
+                        [f for f in merged.schema.fields if f.name != "_part"]
+                    )
+                ).jsonValue()
                 for p in plans:
                     pdir = os.path.join(stage, f"_part={p['pstr']}")
                     sv = p["sub"]._mint_version(
                         p["sub_meta"], p["scur"], p["nb"], p["touched"],
                         lambda b, d=pdir: os.path.join(d, f"_bucket={b}"),
-                        _nullable_schema(p["merged"].schema).jsonValue(),
+                        schema_json,
                         batch_id,
                     )
                     done.append((p["pstr"], {"gen": p["gen"], "v": sv}))

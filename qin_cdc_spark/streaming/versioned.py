@@ -342,13 +342,22 @@ class VersionedBucketedTable:
             and cur_man["buckets"]
             and inc_sig != getattr(self, "_merge_sig", None)
         ):
-            probe_dir = next(iter(set(cur_man["buckets"].values())))
-            stored_types = {
-                f.name: f.dataType
-                for f in self.spark.read.parquet(
-                    os.path.join(self.path, probe_dir)
-                ).schema.fields
-            }
+            # stored types come from the manifest's RECORDED schema when
+            # present (OPTIMIZATION_r11): the dir-probe alternative runs
+            # a schema-inference Spark job per store object per shape —
+            # one per merge in every chain query's fresh session, and
+            # one per PARTITION per batch in the partitioned parent
+            stored = self._man_schema(cur_man)
+            if stored is not None:
+                stored_types = {f.name: f.dataType for f in stored.fields}
+            else:
+                probe_dir = next(iter(set(cur_man["buckets"].values())))
+                stored_types = {
+                    f.name: f.dataType
+                    for f in self.spark.read.parquet(
+                        os.path.join(self.path, probe_dir)
+                    ).schema.fields
+                }
             if any(
                 f.name in stored_types and stored_types[f.name] != f.dataType
                 for f in incoming.schema.fields
