@@ -347,10 +347,19 @@ class NearDupStore:
         the pre-batch store, not the post-append self-matches) and the
         cluster fold rides its own batch guard, so a replay after a
         crash between append and fold converges."""
-        # persist: the signature feeds banding twice (within/cross) plus
-        # two verify joins; without a barrier CollapseProject inlines the
-        # 64-hash expression into every consumer (the similarity.py hazard)
-        sigs = _signatures(batch_df).persist()
+        # localCheckpoint (not persist): the signature feeds banding
+        # twice (within/cross) plus two verify joins, and EVERY
+        # downstream action would otherwise re-run Catalyst analysis
+        # over the 64-permutation MinHash expression tree repeated 4+
+        # times in its logical plan — measured seconds of pure
+        # driver-side planning per action (OPTIMIZATION_r11).  The
+        # eager checkpoint materializes once and replaces the lineage
+        # with a LogicalRDD, so the admission chain's ~10 actions plan
+        # against a 2-column leaf.  (persist alone caches DATA but not
+        # the logical plan — the CollapseProject hazard fix from the
+        # similarity.py lesson kept the compute right and the planning
+        # quadratic.)
+        sigs = _signatures(batch_df).localCheckpoint(eager=True)
         wp = sp = None
         try:
             if clusters is not None:
